@@ -1,0 +1,135 @@
+"""Model registry: name -> architecture, config, weights.
+
+Analog of the reference's model manager (utils/model_manager.py:38-946:
+registry of download URLs + hash checks + ~/.framewright/models layout)
+rebuilt around JAX pytrees: weights resolve from (1) a local .npz in the
+weights dir, (2) a released torch .pth ported on the fly, or (3) seeded
+random init (test/benchmark mode — numerics exercised without weights).
+
+Note one deliberate divergence from the reference's table
+(processors/pytorch_realesrgan.py:118-127): it constructs RRDBNet for
+realesr-animevideov3 / realesr-general-x4v3, but the released
+checkpoints for those names are SRVGGNetCompact — we register the arch
+that actually loads the weights.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from framewright_tpu.errors import ModelError
+from framewright_tpu.models import rrdb, srvgg
+from framewright_tpu.models import torch_port
+
+
+def default_weights_dir() -> Path:
+    env = os.environ.get("FRAMEWRIGHT_WEIGHTS_DIR")
+    if env:
+        return Path(env)
+    return Path.home() / ".framewright_tpu" / "models"
+
+
+@dataclass(frozen=True)
+class ModelSpec:
+    name: str
+    family: str                       # rrdb | srvgg | ifnet | nafnet | ...
+    scale: int
+    arch_config: Any
+    url: str = ""
+    apply_fn: Callable = None         # type: ignore[assignment]
+    init_fn: Callable = None          # type: ignore[assignment]
+    port_fn: Callable = None          # type: ignore[assignment]
+
+    def init(self, key=None, dtype=jnp.float32):
+        key = key if key is not None else jax.random.PRNGKey(0)
+        return self.init_fn(key, self.arch_config, dtype=dtype)
+
+
+MODEL_SPECS: Dict[str, ModelSpec] = {}
+
+
+def _register(spec: ModelSpec) -> None:
+    MODEL_SPECS[spec.name] = spec
+
+
+_register(ModelSpec(
+    name="RealESRGAN_x4plus", family="rrdb", scale=4,
+    arch_config=rrdb.RRDBConfig(num_block=23, scale=4),
+    url="https://github.com/xinntao/Real-ESRGAN/releases/download/v0.1.0/RealESRGAN_x4plus.pth",
+    apply_fn=rrdb.apply, init_fn=rrdb.init,
+    port_fn=lambda sd: torch_port.port_rrdb(sd, 23),
+))
+_register(ModelSpec(
+    name="RealESRGAN_x2plus", family="rrdb", scale=2,
+    arch_config=rrdb.RRDBConfig(num_block=23, scale=2),
+    url="https://github.com/xinntao/Real-ESRGAN/releases/download/v0.2.1/RealESRGAN_x2plus.pth",
+    apply_fn=rrdb.apply, init_fn=rrdb.init,
+    port_fn=lambda sd: torch_port.port_rrdb(sd, 23),
+))
+_register(ModelSpec(
+    name="RealESRGAN_x4plus_anime_6B", family="rrdb", scale=4,
+    arch_config=rrdb.RRDBConfig(num_block=6, scale=4),
+    url="https://github.com/xinntao/Real-ESRGAN/releases/download/v0.2.2.4/RealESRGAN_x4plus_anime_6B.pth",
+    apply_fn=rrdb.apply, init_fn=rrdb.init,
+    port_fn=lambda sd: torch_port.port_rrdb(sd, 6),
+))
+_register(ModelSpec(
+    name="realesr-animevideov3", family="srvgg", scale=4,
+    arch_config=srvgg.SRVGGConfig(num_conv=16, scale=4),
+    url="https://github.com/xinntao/Real-ESRGAN/releases/download/v0.2.5.0/realesr-animevideov3.pth",
+    apply_fn=srvgg.apply, init_fn=srvgg.init,
+    port_fn=lambda sd: torch_port.port_srvgg(sd, 16),
+))
+_register(ModelSpec(
+    name="realesr-general-x4v3", family="srvgg", scale=4,
+    arch_config=srvgg.SRVGGConfig(num_conv=32, scale=4),
+    url="https://github.com/xinntao/Real-ESRGAN/releases/download/v0.2.5.0/realesr-general-x4v3.pth",
+    apply_fn=srvgg.apply, init_fn=srvgg.init,
+    port_fn=lambda sd: torch_port.port_srvgg(sd, 32),
+))
+
+
+def get_model(name: str) -> ModelSpec:
+    if name not in MODEL_SPECS:
+        raise ModelError(f"Unknown model {name!r}. Registered: {sorted(MODEL_SPECS)}")
+    return MODEL_SPECS[name]
+
+
+def init_model(
+    name: str,
+    weights_dir: Optional[Path] = None,
+    dtype=jnp.float32,
+    allow_random: bool = True,
+    seed: int = 0,
+) -> Tuple[ModelSpec, Dict]:
+    """Resolve weights for a registered model.
+
+    Priority: <weights_dir>/<name>.npz -> <weights_dir>/<name>.pth
+    (ported via torch) -> random init (if allowed). Returns
+    (spec, params) with params cast to ``dtype``.
+    """
+    spec = get_model(name)
+    wdir = Path(weights_dir) if weights_dir else default_weights_dir()
+    npz = wdir / f"{name}.npz"
+    pth = wdir / f"{name}.pth"
+    if npz.exists():
+        params = torch_port.import_npz(npz)
+    elif pth.exists():
+        sd = torch_port.load_state_dict(pth)
+        params = spec.port_fn(sd)
+        torch_port.export_npz(params, npz)  # cache the ported form
+    elif allow_random:
+        params = spec.init(jax.random.PRNGKey(seed), dtype=dtype)
+    else:
+        raise ModelError(
+            f"No weights for {name!r} in {wdir} (looked for .npz/.pth). "
+            f"Download from {spec.url}"
+        )
+    params = jax.tree_util.tree_map(lambda p: jnp.asarray(p, dtype=dtype), params)
+    return spec, params

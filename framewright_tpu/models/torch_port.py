@@ -1,0 +1,150 @@
+"""Torch checkpoint -> JAX param pytree conversion.
+
+The reference downloads released .pth weights (Real-ESRGAN et al.,
+utils/model_manager.py:38-946). This module ports those checkpoints
+into this framework's param pytrees: OIHW conv kernels transpose to
+HWIO, and state_dict key paths map onto the pytree structure defined by
+each model's ``init``. Conversion accepts either a torch state_dict or
+a plain ``{name: np.ndarray}`` mapping, so torch itself is optional.
+"""
+
+from __future__ import annotations
+
+import re
+from pathlib import Path
+from typing import Any, Dict, Mapping
+
+import numpy as np
+
+from framewright_tpu.errors import ModelError
+
+
+def _to_np(t: Any) -> np.ndarray:
+    if isinstance(t, np.ndarray):
+        return t
+    # torch tensor without importing torch at module scope
+    return np.asarray(t.detach().cpu().numpy() if hasattr(t, "detach") else t)
+
+
+def _conv(sd: Mapping[str, Any], prefix: str) -> Dict[str, np.ndarray]:
+    try:
+        w = _to_np(sd[prefix + ".weight"])
+        b = _to_np(sd[prefix + ".bias"])
+    except KeyError as exc:
+        raise ModelError(f"Missing weight {exc} while porting {prefix!r}") from exc
+    if w.ndim != 4:
+        raise ModelError(f"{prefix}.weight is not a conv kernel: shape {w.shape}")
+    return {"w": np.transpose(w, (2, 3, 1, 0)), "b": b}  # OIHW -> HWIO
+
+
+def load_state_dict(path: Path) -> Dict[str, np.ndarray]:
+    """Read a .pth checkpoint into numpy (requires torch, CPU-only)."""
+    import torch
+
+    obj = torch.load(str(path), map_location="cpu", weights_only=True)
+    if isinstance(obj, dict):
+        for key in ("params_ema", "params", "state_dict", "model"):
+            if key in obj and isinstance(obj[key], dict):
+                obj = obj[key]
+                break
+    return {k: _to_np(v) for k, v in obj.items()}
+
+
+# ---------------------------------------------------------------------------
+# RRDBNet (Real-ESRGAN)
+# ---------------------------------------------------------------------------
+
+def port_rrdb(sd: Mapping[str, Any], num_block: int = 23) -> Dict:
+    """basicsr RRDBNet state_dict -> rrdb.init-compatible pytree."""
+    body = []
+    for i in range(num_block):
+        blk = {}
+        for j in (1, 2, 3):
+            blk[f"rdb{j}"] = {
+                f"conv{k}": _conv(sd, f"body.{i}.rdb{j}.conv{k}") for k in range(1, 6)
+            }
+        body.append(blk)
+    return {
+        "conv_first": _conv(sd, "conv_first"),
+        "body": body,
+        "conv_body": _conv(sd, "conv_body"),
+        "conv_up1": _conv(sd, "conv_up1"),
+        "conv_up2": _conv(sd, "conv_up2"),
+        "conv_hr": _conv(sd, "conv_hr"),
+        "conv_last": _conv(sd, "conv_last"),
+    }
+
+
+def infer_rrdb_blocks(sd: Mapping[str, Any]) -> int:
+    idx = [int(m.group(1)) for k in sd for m in [re.match(r"body\.(\d+)\.rdb1", k)] if m]
+    return max(idx) + 1 if idx else 0
+
+
+# ---------------------------------------------------------------------------
+# SRVGGNetCompact
+# ---------------------------------------------------------------------------
+
+def port_srvgg(sd: Mapping[str, Any], num_conv: int = 32) -> Dict:
+    """SRVGGNetCompact state_dict -> srvgg.init-compatible pytree.
+
+    torch layout: body.{even} convs, body.{odd} PReLU alphas, last conv
+    at body.{2*num_conv+2}.
+    """
+    convs = []
+    acts = []
+    for i in range(num_conv + 1):
+        convs.append(_conv(sd, f"body.{2 * i}"))
+        alpha = _to_np(sd[f"body.{2 * i + 1}.weight"])
+        acts.append({"alpha": alpha})
+    last = _conv(sd, f"body.{2 * num_conv + 2}")
+    return {"body": convs, "act": acts, "conv_last": last}
+
+
+def infer_srvgg_convs(sd: Mapping[str, Any]) -> int:
+    idx = [int(m.group(1)) for k in sd for m in [re.match(r"body\.(\d+)\.weight", k)] if m]
+    return (max(idx) - 2) // 2 if idx else 0
+
+
+# ---------------------------------------------------------------------------
+# Generic helpers
+# ---------------------------------------------------------------------------
+
+def export_npz(params: Dict, path: Path) -> None:
+    """Flatten a pytree to .npz (torch-free weight distribution format)."""
+    flat = {}
+
+    def walk(node, prefix):
+        if isinstance(node, dict):
+            for k, v in node.items():
+                walk(v, f"{prefix}.{k}" if prefix else k)
+        elif isinstance(node, (list, tuple)):
+            for i, v in enumerate(node):
+                walk(v, f"{prefix}.{i}")
+        else:
+            flat[prefix] = np.asarray(node)
+
+    walk(params, "")
+    Path(path).parent.mkdir(parents=True, exist_ok=True)
+    np.savez_compressed(path, **flat)
+
+
+def import_npz(path: Path) -> Dict:
+    """Inverse of export_npz."""
+    data = np.load(path)
+    root: Dict = {}
+    for key in data.files:
+        node = root
+        parts = key.split(".")
+        for part in parts[:-1]:
+            node = node.setdefault(part, {})
+        node[parts[-1]] = data[key]
+
+    def listify(node):
+        if not isinstance(node, dict):
+            return node
+        node = {k: listify(v) for k, v in node.items()}
+        if node and all(k.isdigit() for k in node):
+            return [node[str(i)] for i in range(len(node))]
+        return node
+
+    return listify(root)
