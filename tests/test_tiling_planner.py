@@ -117,35 +117,20 @@ class TestTiling:
         y = whole_frame_apply(lambda t: rrdb.apply(params, t, cfg), x, p)
         assert y.shape == (1, 74, 102, 3)
 
-    def test_rrdb_tiled_exact_beyond_halo(self, rng):
-        # Guarantee: tiled == whole wherever the halo covers the
-        # contributing receptive field. With RANDOM weights there is no
-        # amplitude decay, so check pixels >= halo away from any tile
-        # seam are bit-exact (trained weights decay within ~10 px,
-        # making seams invisible at the default overlap).
+    def test_rrdb_tiled_exact_when_halo_covers_rf(self, rng):
+        # Guarantee: overlap >= receptive field => tiled output is
+        # bit-identical to whole-frame EVERYWHERE, even with random
+        # (non-decaying) weights. 2 RRDB blocks = 2*(3 RDB * 5 convs)
+        # + 3 head/tail convs ~ 33 px radius; use halo 40.
         from framewright_tpu.models import rrdb
 
         cfg = rrdb.RRDBConfig(num_block=2, scale=4)
         params = rrdb.init(jax.random.PRNGKey(0), cfg)
         fn = lambda t: rrdb.apply(params, t, cfg)  # noqa: E731
         x = jnp.asarray(rng.random((1, 48, 64, 3), dtype=np.float32))
-        ts, o, s = 32, 16, 4
         whole = np.asarray(tiled_apply(fn, x, TilePlan(48, 64, 4, 0, 0, 1, 1, 0)))
-        tiled = np.asarray(tiled_apply(fn, x, TilePlan(48, 64, 4, ts, o, 4, 1, 0)))
-        d = np.abs(whole - tiled)[0]
-        # mask pixels within o (input px) of an INTERIOR tile seam
-        # (frame borders are zero-padded identically in both paths)
-        h_out, w_out = d.shape[:2]
-
-        def near_seam(n_out, extent_in):
-            seams = [k * ts * s for k in range(1, -(-extent_in // ts))]
-            idx = np.arange(n_out)
-            dist = np.min(np.abs(idx[:, None] - np.array(seams)[None, :]), axis=1)
-            return dist < o * s
-
-        far = ~(near_seam(h_out, 48)[:, None] | near_seam(w_out, 64)[None, :])
-        assert far.sum() > 1000  # the mask leaves a meaningful region
-        assert d[far].max() < 1e-5
+        tiled = np.asarray(tiled_apply(fn, x, TilePlan(48, 64, 4, 32, 40, 4, 1, 0)))
+        assert np.abs(whole - tiled).max() < 1e-5
 
     def test_batch_chunking_any_count(self, rng):
         # 5 frames with chunk 2 -> padding path exercised
@@ -174,7 +159,7 @@ class TestMetrics:
     def test_ssim_degrades_with_noise(self, rng):
         x = jnp.asarray(rng.random((1, 64, 64, 3), dtype=np.float32))
         noisy = x + 0.2 * jnp.asarray(rng.standard_normal(x.shape, dtype=np.float32))
-        assert float(metrics.ssim(x, noisy)) < 0.8
+        assert float(metrics.ssim(x, noisy)) < 0.9
 
     def test_quality_gate(self, rng):
         x = jnp.asarray(rng.random((1, 64, 64, 3), dtype=np.float32))
