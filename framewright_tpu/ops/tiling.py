@@ -1,16 +1,24 @@
 """Overlap-tiled inference over static-shape jit functions.
 
 TPU-native replacement for RealESRGANer's per-tile Python loop (the
-reference's in-process tiling) and the ncnn `-t tile` flag: the frame
-is reflect-padded, decomposed into an (nh x nw) grid of overlapping
-tiles, the model runs over tile batches sized by the HBM planner, and
-each tile's interior is stitched back — numerically identical to
-whole-frame inference for interior pixels beyond the halo (tests assert
-exact equality for sufficient overlap vs the receptive-field depth).
+reference's in-process tiling path) and the ncnn `-t tile` flag: frames
+are decomposed into a grid of fixed-size overlapping windows, the model
+runs over window batches sized by the HBM planner inside one traced XLA
+program (window extraction = static slices, the chunk loop = lax.map,
+assembly = static slices + concat), and each window's interior is
+stitched back.
 
-Everything here traces into a single XLA program: tile extraction is a
-stack of static slices, the per-chunk model loop is ``lax.map``, and
-assembly is a reshape/transpose — no host round-trips between tiles.
+Window semantics follow the official tiler: halos are CLAMPED at frame
+bounds — near a border the fixed-size window slides inward and the
+interior offset shifts correspondingly (all offsets static per grid
+position). This matters because deep nets are not zero-preserving
+(biases), so synthetic halo padding would differ from the model's own
+SAME-conv boundary behavior; with clamped windows, border pixels are
+bit-identical to whole-frame inference, and interior pixels are
+bit-identical wherever the halo covers the receptive field (tested).
+
+Frames whose grid-aligned extent cannot contain one full window fall
+back to whole-frame processing (the planner only tiles large frames).
 """
 
 from __future__ import annotations
@@ -27,16 +35,15 @@ def _ceil_to(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
-def pad_zero(x: jnp.ndarray, top: int, bottom: int, left: int, right: int) -> jnp.ndarray:
-    """Geometry padding is ZERO padding, deliberately: the SR models use
-    zero-padded SAME convs internally, so a frame border already "sees"
-    zeros in the official implementations. Using the same value for tile
-    halos and alignment rows makes the output bit-identical regardless
-    of execution geometry (tiled vs whole, any tile size) — a guarantee
-    the reference's tiling lacks."""
-    if top == bottom == left == right == 0:
+def pad_mod(x: jnp.ndarray, bottom: int, right: int) -> jnp.ndarray:
+    """Grid/divisor alignment padding on bottom/right, reflect mode
+    (matching the official mod_pad; falls back to edge when the pad
+    exceeds the reflectable extent)."""
+    if bottom == 0 and right == 0:
         return x
-    return jnp.pad(x, ((0, 0), (top, bottom), (left, right), (0, 0)))
+    h, w = x.shape[1], x.shape[2]
+    mode = "reflect" if bottom < h and right < w else "edge"
+    return jnp.pad(x, ((0, 0), (0, bottom), (0, right), (0, 0)), mode=mode)
 
 
 def _chunked_map(fn: Callable, x: jnp.ndarray, chunk: int) -> jnp.ndarray:
@@ -59,52 +66,19 @@ def _chunked_map(fn: Callable, x: jnp.ndarray, chunk: int) -> jnp.ndarray:
 
 def whole_frame_apply(fn: Callable, x: jnp.ndarray, plan: TilePlan) -> jnp.ndarray:
     """Run fn over full frames, batched per plan, padding dims to the
-    model's body divisor."""
+    model's body divisor (reflect, official mod_pad semantics)."""
     b, h, w, c = x.shape
     s, u = plan.scale, plan.body_divisor
     hp, wp = _ceil_to(h, u), _ceil_to(w, u)
-    xp = pad_zero(x, 0, hp - h, 0, wp - w)
+    xp = pad_mod(x, hp - h, wp - w)
     y = _chunked_map(fn, xp, plan.batch)
     return y[:, : h * s, : w * s, :]
 
 
-def extract_tiles(x: jnp.ndarray, tile: int, overlap: int, grid) -> jnp.ndarray:
-    """(B, Hp+2o, Wp+2o, C) -> (B*nh*nw, tile+2o, tile+2o, C).
-
-    Input must already be padded so that Hp = nh*tile, Wp = nw*tile
-    plus an ``overlap`` ring.
-    """
-    b = x.shape[0]
-    c = x.shape[-1]
-    nh, nw = grid
+def _window_starts(extent: int, tile: int, overlap: int, n: int) -> list:
+    """Clamped start offsets of fixed-size windows along one axis."""
     full = tile + 2 * overlap
-    rows = []
-    for i in range(nh):
-        for j in range(nw):
-            rows.append(
-                jax.lax.slice(
-                    x,
-                    (0, i * tile, j * tile, 0),
-                    (b, i * tile + full, j * tile + full, c),
-                )
-            )
-    tiles = jnp.stack(rows, axis=1)  # (B, nT, full, full, C)
-    return tiles.reshape(b * nh * nw, full, full, c)
-
-
-def assemble_tiles(
-    tiles: jnp.ndarray, grid, tile: int, overlap: int, scale: int, batch: int
-) -> jnp.ndarray:
-    """Inverse of extract_tiles at output resolution: crop each tile's
-    interior and stitch. tiles: (B*nT, (tile+2o)*s, (tile+2o)*s, C)."""
-    nh, nw = grid
-    o, s = overlap, scale
-    c = tiles.shape[-1]
-    interior = tiles[:, o * s : (o + tile) * s, o * s : (o + tile) * s, :]
-    t = tile * s
-    x = interior.reshape(batch, nh, nw, t, t, c)
-    x = x.transpose(0, 1, 3, 2, 4, 5)  # B, nh, t, nw, t, C
-    return x.reshape(batch, nh * t, nw * t, c)
+    return [max(0, min(i * tile - overlap, extent - full)) for i in range(n)]
 
 
 def tiled_apply(fn: Callable, x: jnp.ndarray, plan: TilePlan) -> jnp.ndarray:
@@ -114,18 +88,60 @@ def tiled_apply(fn: Callable, x: jnp.ndarray, plan: TilePlan) -> jnp.ndarray:
         return whole_frame_apply(fn, x, plan)
     b, h, w, c = x.shape
     s, ts, o = plan.scale, plan.tile_size, plan.overlap
-    nh, nw = plan.grid
-    hp, wp = nh * ts, nw * ts
-    xp = pad_zero(x, o, hp - h + o, o, wp - w + o)
-    tiles = extract_tiles(xp, ts, o, (nh, nw))
-    out_tiles = _chunked_map(fn, tiles, plan.batch)
-    y = assemble_tiles(out_tiles, (nh, nw), ts, o, s, b)
+    u = plan.body_divisor
+    full = _ceil_to(ts + 2 * o, u)
+    o2 = (full - ts) // 2  # halo after divisor alignment (full-ts even)
+    # Canvas = the same divisor-aligned extent whole_frame_apply uses;
+    # NO padding to the tile grid — windows clamp inside the canvas and
+    # the last band's interior is simply narrower. This keeps the two
+    # paths operating on identical content everywhere.
+    hp, wp = _ceil_to(h, u), _ceil_to(w, u)
+    if hp < full or wp < full:
+        return whole_frame_apply(fn, x, plan)
+    xp = pad_mod(x, hp - h, wp - w)
+    nh, nw = -(-hp // ts), -(-wp // ts)
+
+    row_starts = _window_starts(hp, ts, o2, nh)
+    col_starts = _window_starts(wp, ts, o2, nw)
+    windows = []
+    for i in range(nh):
+        for j in range(nw):
+            windows.append(
+                jax.lax.slice(
+                    xp,
+                    (0, row_starts[i], col_starts[j], 0),
+                    (b, row_starts[i] + full, col_starts[j] + full, c),
+                )
+            )
+    tiles = jnp.stack(windows, axis=1).reshape(b * nh * nw, full, full, c)
+    out = _chunked_map(fn, tiles, plan.batch)
+    out = out.reshape(b, nh * nw, full * s, full * s, c)
+
+    # Per-window interior crop: band i covers canvas rows
+    # [i*ts, min((i+1)*ts, hp)) at offset (i*ts - start) in the window —
+    # all static per (i, j).
+    rows = []
+    for i in range(nh):
+        bh = min((i + 1) * ts, hp) - i * ts
+        cols = []
+        for j in range(nw):
+            bw = min((j + 1) * ts, wp) - j * ts
+            oi = (i * ts - row_starts[i]) * s
+            oj = (j * ts - col_starts[j]) * s
+            k = i * nw + j
+            cols.append(
+                jax.lax.slice(
+                    out,
+                    (0, k, oi, oj, 0),
+                    (b, k + 1, oi + bh * s, oj + bw * s, c),
+                )[:, 0]
+            )
+        rows.append(jnp.concatenate(cols, axis=2))
+    y = jnp.concatenate(rows, axis=1)
     return y[:, : h * s, : w * s, :]
 
 
 def receptive_overlap(family: str) -> int:
-    """Minimum halo for stitching to be visually seamless. Full
-    receptive fields are huge (23 RRDB blocks ≈ 345 3x3 convs) but
-    contribution decays geometrically; these values give < 1e-3 max
-    pixel delta vs whole-frame in practice (Real-ESRGAN uses 10)."""
+    """Default halo: large enough that trained-weight contributions from
+    beyond it are sub-visual (Real-ESRGAN's official tile_pad is 10)."""
     return {"rrdb": 10, "srvgg": 10, "nafnet": 16, "restormer": 16}.get(family, 16)
