@@ -120,12 +120,46 @@ def apply(params: Dict, x: jnp.ndarray, cfg: RRDBConfig = RRDBConfig()) -> jnp.n
         return _rrdb_forward(bp, h), None
 
     body_out, _ = jax.lax.scan(block, feat, stacked)
-    feat = feat + conv2d(params["conv_body"], body_out)
+    return _tail(params, feat, body_out)
 
+
+def _tail(params: Dict, feat: jnp.ndarray, body_out: jnp.ndarray) -> jnp.ndarray:
+    feat = feat + conv2d(params["conv_body"], body_out.astype(feat.dtype))
     feat = lrelu(conv2d(params["conv_up1"], upsample_nearest(feat, 2)))
     feat = lrelu(conv2d(params["conv_up2"], upsample_nearest(feat, 2)))
-    out = conv2d(params["conv_last"], lrelu(conv2d(params["conv_hr"], feat)))
-    return out
+    return conv2d(params["conv_last"], lrelu(conv2d(params["conv_hr"], feat)))
+
+
+def _head(params: Dict, x: jnp.ndarray, cfg: RRDBConfig) -> jnp.ndarray:
+    if cfg.scale == 2:
+        feat = pixel_unshuffle(x, 2)
+    elif cfg.scale == 1:
+        feat = pixel_unshuffle(x, 4)
+    else:
+        feat = x
+    return conv2d(params["conv_first"], feat)
+
+
+def make_fast_params(params: Dict, dtype=jnp.bfloat16) -> Dict:
+    """Precompute the wide-form weights for the fused Pallas body."""
+    from framewright_tpu.ops.fused_rrdb import rrdb_fast_params
+
+    return rrdb_fast_params(params, dtype)
+
+
+def apply_fast(params: Dict, fast_params: Dict, x: jnp.ndarray,
+               cfg: RRDBConfig = RRDBConfig(), interpret: bool = False) -> jnp.ndarray:
+    """Forward pass with the fused Pallas RDB body (TPU hot path).
+
+    Numerics match ``apply`` at bf16 rounding level (tests assert);
+    head/tail convs still run through XLA. ``interpret=True`` runs the
+    kernel in the Pallas interpreter (CPU CI).
+    """
+    from framewright_tpu.ops.fused_rrdb import rrdb_body_fast
+
+    feat = _head(params, x, cfg)
+    body_out = rrdb_body_fast(feat, fast_params, interpret=interpret)
+    return _tail(params, feat, body_out)
 
 
 def stack_body(params: Dict) -> Dict:

@@ -1,0 +1,277 @@
+"""Fused ResidualDenseBlock Pallas kernel — the RRDB hot path.
+
+Replaces per-frame `realesrgan-ncnn-vulkan` subprocess calls
+(reference restorer.py:1462-1516) with an on-chip fused kernel. Design
+(measured on TPU v5e; see bench history in commit messages):
+
+- The naive XLA conv path runs Real-ESRGAN's 32/64-channel 3x3 convs at
+  ~11 TFLOP/s (6% MXU): channel dims half/quarter-fill the 128-wide MXU
+  and the dense-block concats bounce activations through HBM.
+- This kernel keeps a spatial block's features resident in VMEM across
+  all 5 dense-block convs and rewrites the math as wide matmuls: each
+  conv is split by input source, so one matmul covers ALL remaining
+  targets (K = 9*64/9*32 im2col taps, N = 192..64 target channels
+  instead of 32). 9x faster than the XLA path (94 vs 11 TFLOP/s).
+- Layout is channel-major flattened (C, S*S): im2col taps become single
+  lane rotations (pltpu.roll), tap pairs concatenate on the sublane
+  axis into K=128/256 chunks, and target-slice accumulation lands on
+  8-aligned sublane offsets. Features are f32 in VMEM (pltpu.roll is
+  32-bit only); matmul operands cast to bf16, accumulation in f32 —
+  bit-comparable to the bf16 conv path.
+- Frame-border exactness: deep nets are not zero-preserving (biases),
+  so activations computed for out-of-frame halo pixels must be masked
+  to zero after every conv to reproduce SAME zero-padding semantics.
+  Per-block valid extents arrive as prefetched scalars.
+
+Kernel geometry: S=64 block (4096 px lanes), halo 5 (covers the 5
+sequential convs), interior 54. VMEM ~9 MiB.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+S = 64
+HALO = 5
+BH = S - 2 * HALO          # 54 valid interior
+NF, GC = 64, 32            # Real-ESRGAN fixed channel plan
+PX = S * S
+NT = 192                   # total target channels: 4*32 + 64
+TAPS = tuple((di, dj) for di in range(3) for dj in range(3))
+TPC_NF = 2                 # taps/chunk for 64-ch source  -> K=128
+TPC_GC = 4                 # taps/chunk for 32-ch sources -> K=128
+
+
+# ---------------------------------------------------------------------------
+# Weight transformation: basicsr RDB params -> wide target-major form
+# ---------------------------------------------------------------------------
+
+def rdb_wide_weights(rdb_params: Dict, dtype=jnp.bfloat16) -> Dict:
+    """{conv1..conv5: {w (3,3,Cin,Cout) HWIO, b}} -> wide matrices.
+
+    W_src has shape (num_targets_from_src, 9*C_src): row t = target
+    channel, columns grouped by tap (tap-major) then source channel —
+    matching the kernel's chunk concat order.
+    """
+    convs = [rdb_params[f"conv{k}"] for k in range(1, 6)]
+    outs = [32, 32, 32, 32, 64]
+    # sources: x (64ch) feeds convs1-5; x1 feeds convs2-5; ... x4 feeds conv5
+    def wide_for_source(src_idx: int, c_src: int) -> np.ndarray:
+        # channels of this source inside conv_k's input concat start at:
+        off = 64 + 32 * (src_idx - 1) if src_idx > 0 else 0
+        n_targets = NT - (32 * src_idx if src_idx > 0 else 0)
+        w = np.zeros((n_targets, 9 * c_src), np.float32)
+        trow = 0
+        for k in range(src_idx, 5):  # conv indices this source feeds
+            wk = np.asarray(convs[k]["w"], np.float32)  # (3,3,Cin,Cout)
+            for t, (di, dj) in enumerate(TAPS):
+                # columns [t*c_src:(t+1)*c_src] = tap (di,dj)
+                w[trow:trow + outs[k], t * c_src:(t + 1) * c_src] = (
+                    wk[di, dj, off:off + c_src, :].T
+                )
+            trow += outs[k]
+        return w
+
+    b = np.zeros((NT, 1), np.float32)
+    row = 0
+    for k in range(5):
+        b[row:row + outs[k], 0] = np.asarray(convs[k]["b"], np.float32)
+        row += outs[k]
+    return {
+        "Wx": jnp.asarray(wide_for_source(0, NF), dtype),
+        "W1": jnp.asarray(wide_for_source(1, GC), dtype),
+        "W2": jnp.asarray(wide_for_source(2, GC), dtype),
+        "W3": jnp.asarray(wide_for_source(3, GC), dtype),
+        "W4": jnp.asarray(wide_for_source(4, GC), dtype),
+        "b": jnp.asarray(b, jnp.float32),
+    }
+
+
+def rrdb_fast_params(params: Dict, dtype=jnp.bfloat16) -> Dict:
+    """Full RRDBNet params -> fast-path params: wide RDB weights stacked
+    (num_block, 3, ...) for lax.scan; head/tail convs unchanged."""
+    body = params["body"]
+    wides = [
+        [rdb_wide_weights(blk[f"rdb{j}"], dtype) for j in (1, 2, 3)]
+        for blk in body
+    ]
+    stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *[
+        jax.tree_util.tree_map(lambda *ys: jnp.stack(ys), *w3) for w3 in wides
+    ])
+    out = {k: v for k, v in params.items() if k != "body"}
+    out["body_wide"] = stacked
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Kernel
+# ---------------------------------------------------------------------------
+
+def _tap_roll(src, di, dj):
+    shift = (1 - di) * S + (1 - dj)
+    if shift == 0:
+        return src
+    return pltpu.roll(src, shift % PX, axis=1)
+
+
+def _accum_conv(src, w_ref, acc_ref, c, tpc, off, init=False):
+    n = len(TAPS)
+    t = 0
+    k = 0
+    while t < n:
+        m = min(tpc, n - t)
+        parts = [_tap_roll(src, *TAPS[t + u]) for u in range(m)]
+        chunk = parts[0] if m == 1 else jnp.concatenate(parts, axis=0)
+        contrib = jnp.dot(
+            w_ref[:, k:k + m * c],
+            chunk.astype(jnp.bfloat16),
+            preferred_element_type=jnp.float32,
+        )
+        if init and t == 0:
+            acc_ref[off:NT] = contrib
+        else:
+            acc_ref[off:NT] += contrib
+        k += m * c
+        t += m
+
+
+def _lrelu(v):
+    return jnp.where(v >= 0, v, 0.2 * v)
+
+
+def _rdb_kernel(ext_ref, x_ref, wx_ref, w1_ref, w2_ref, w3_ref, w4_ref, b_ref,
+                o_ref, acc_ref, xf_ref, x1_ref, x2_ref, x3_ref, x4_ref):
+    # ext_ref (scalar prefetch): (NB, 4) valid extents [r0, r1, c0, c1)
+    # in block coords; activations outside are masked to zero to match
+    # SAME zero-pad conv semantics at frame borders.
+    bi = pl.program_id(0)
+    r0 = ext_ref[bi, 0]
+    r1 = ext_ref[bi, 1]
+    c0 = ext_ref[bi, 2]
+    c1 = ext_ref[bi, 3]
+    lanes = jax.lax.broadcasted_iota(jnp.int32, (1, PX), 1)
+    rows = lanes // S
+    cols = lanes % S
+    valid = (rows >= r0) & (rows < r1) & (cols >= c0) & (cols < c1)
+
+    def act(v):
+        return jnp.where(valid, _lrelu(v).astype(jnp.bfloat16).astype(jnp.float32), 0.0)
+
+    xf_ref[:] = x_ref[0].astype(jnp.float32)
+    _accum_conv(xf_ref[:], wx_ref, acc_ref, NF, TPC_NF, 0, init=True)
+    x1_ref[:] = act(acc_ref[0:32] + b_ref[0:32])
+    _accum_conv(x1_ref[:], w1_ref, acc_ref, GC, TPC_GC, 32)
+    x2_ref[:] = act(acc_ref[32:64] + b_ref[32:64])
+    _accum_conv(x2_ref[:], w2_ref, acc_ref, GC, TPC_GC, 64)
+    x3_ref[:] = act(acc_ref[64:96] + b_ref[64:96])
+    _accum_conv(x3_ref[:], w3_ref, acc_ref, GC, TPC_GC, 96)
+    x4_ref[:] = act(acc_ref[96:128] + b_ref[96:128])
+    _accum_conv(x4_ref[:], w4_ref, acc_ref, GC, TPC_GC, 128)
+    x5 = acc_ref[128:NT] + b_ref[128:NT]
+    o_ref[0] = (0.2 * jnp.where(valid, x5, 0.0)).astype(jnp.bfloat16) + x_ref[0]
+
+
+def fused_rdb_blocks(blocks: jnp.ndarray, extents: jnp.ndarray, wide: Dict,
+                     interpret: bool = False) -> jnp.ndarray:
+    """Run the fused RDB over channel-major flat blocks.
+
+    blocks: (NB, 64, S*S) bf16; extents: (NB, 4) int32 valid rects.
+    Returns (NB, 64, S*S) bf16 (full blocks; halo cropped by caller).
+    """
+    nb = blocks.shape[0]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nb,),
+        in_specs=[pl.BlockSpec((1, NF, PX), lambda k, *_: (k, 0, 0),
+                               memory_space=pltpu.VMEM)]
+                 + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 6,
+        out_specs=pl.BlockSpec((1, NF, PX), lambda k, *_: (k, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((NT, PX), jnp.float32),
+            pltpu.VMEM((NF, PX), jnp.float32),
+            pltpu.VMEM((GC, PX), jnp.float32),
+            pltpu.VMEM((GC, PX), jnp.float32),
+            pltpu.VMEM((GC, PX), jnp.float32),
+            pltpu.VMEM((GC, PX), jnp.float32),
+        ],
+    )
+    return pl.pallas_call(
+        _rdb_kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((nb, NF, PX), jnp.bfloat16),
+        interpret=interpret,
+    )(extents, blocks, wide["Wx"], wide["W1"], wide["W2"], wide["W3"],
+      wide["W4"], wide["b"])
+
+
+# ---------------------------------------------------------------------------
+# Block extraction / assembly (XLA, traced around the kernel)
+# ---------------------------------------------------------------------------
+
+def _grid_dims(h: int, w: int) -> Tuple[int, int]:
+    return -(-h // BH), -(-w // BH)
+
+
+@functools.partial(jax.jit, static_argnames=("h", "w", "interpret"))
+def _fused_rdb_image(feat_cm: jnp.ndarray, wide: Dict, h: int, w: int,
+                     interpret: bool = False) -> jnp.ndarray:
+    """One RDB over a channel-major image. feat_cm: (B, 64, h, w) bf16."""
+    b = feat_cm.shape[0]
+    nh, nw = _grid_dims(h, w)
+    hp, wp = nh * BH, nw * BH
+    # zero padding: halo ring + grid alignment (both regions are
+    # outside the frame, where SAME convs see zeros)
+    x = jnp.pad(feat_cm, ((0, 0), (0, 0), (HALO, hp - h + HALO),
+                          (HALO, wp - w + HALO)))
+    windows = []
+    extents = []
+    for i in range(nh):
+        for j in range(nw):
+            windows.append(jax.lax.slice(
+                x, (0, 0, i * BH, j * BH), (b, NF, i * BH + S, j * BH + S)))
+            # valid rect in block coords: frame rows [0,h) map to block
+            # rows [HALO - i*BH + ... ] -> clip
+            r0 = max(0, HALO - 0) if i == 0 else 0
+            r1 = min(S, HALO + h - i * BH)
+            c0 = HALO if j == 0 else 0
+            c1 = min(S, HALO + w - j * BH)
+            extents.append((r0, r1, c0, c1))
+    nt = nh * nw
+    blocks = jnp.stack(windows, axis=1).reshape(b * nt, NF, S, S)
+    blocks = blocks.reshape(b * nt, NF, PX)
+    ext = jnp.asarray(np.tile(np.asarray(extents, np.int32), (b, 1)))
+    out = fused_rdb_blocks(blocks, ext, wide, interpret=interpret)
+    out = out.reshape(b, nt, NF, S, S)[:, :, :, HALO:S - HALO, HALO:S - HALO]
+    out = out.reshape(b, nh, nw, NF, BH, BH)
+    out = out.transpose(0, 3, 1, 4, 2, 5).reshape(b, NF, hp, wp)
+    return out[:, :, :h, :w]
+
+
+def rrdb_body_fast(feat: jnp.ndarray, fast_params: Dict,
+                   interpret: bool = False) -> jnp.ndarray:
+    """The 23-block RRDB trunk via fused kernels.
+
+    feat: (B, H, W, 64) (NHWC, output of conv_first). Returns same shape.
+    """
+    b, h, w, c = feat.shape
+    fcm = feat.transpose(0, 3, 1, 2).astype(jnp.bfloat16)  # (B, 64, H, W)
+
+    def rrdb_step(carry, wide3):
+        wide1 = jax.tree_util.tree_map(lambda v: v[0], wide3)
+        wide2 = jax.tree_util.tree_map(lambda v: v[1], wide3)
+        wide3_ = jax.tree_util.tree_map(lambda v: v[2], wide3)
+        out = _fused_rdb_image(carry, wide1, h, w, interpret)
+        out = _fused_rdb_image(out, wide2, h, w, interpret)
+        out = _fused_rdb_image(out, wide3_, h, w, interpret)
+        return (0.2 * out).astype(jnp.bfloat16) + carry, None
+
+    body_out, _ = jax.lax.scan(rrdb_step, fcm, fast_params["body_wide"])
+    return body_out.transpose(0, 2, 3, 1)

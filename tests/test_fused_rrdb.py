@@ -1,0 +1,116 @@
+"""Fused RDB Pallas kernel tests (interpreter mode on CPU).
+
+The real-hardware throughput is exercised by bench.py; here we verify
+NUMERICS: the fused wide-matmul body must match the plain conv body at
+bf16 rounding level, including frame borders (SAME zero-pad masking)
+and grid seams.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from framewright_tpu.models import rrdb
+from framewright_tpu.ops import fused_rrdb
+
+
+def _plain_body(params, feat):
+    """Reference: the plain conv RRDB trunk (bf16 like the kernel)."""
+    stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *params["body"])
+
+    def block(h, bp):
+        return rrdb._rrdb_forward(bp, h), None
+
+    out, _ = jax.lax.scan(block, feat, stacked)
+    return out
+
+
+@pytest.fixture(scope="module")
+def tiny_model():
+    cfg = rrdb.RRDBConfig(num_block=1, scale=4)
+    params = rrdb.init(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+    fast = rrdb.make_fast_params(params)
+    return cfg, params, fast
+
+
+class TestWideWeights:
+    def test_wide_shapes(self, tiny_model):
+        _, params, fast = tiny_model
+        bw = fast["body_wide"]
+        assert bw["Wx"].shape == (1, 3, 192, 576)
+        assert bw["W1"].shape == (1, 3, 160, 288)
+        assert bw["W4"].shape == (1, 3, 64, 288)
+        assert bw["b"].shape == (1, 3, 192, 1)
+
+    def test_wide_matmul_equals_convs(self, tiny_model):
+        # the wide matrices must reproduce each conv contribution
+        _, params, _ = tiny_model
+        rdb = params["body"][0]["rdb1"]
+        wide = fused_rrdb.rdb_wide_weights(rdb, dtype=jnp.float32)
+        # conv1 on random x == first 32 targets of Wx applied to patches
+        rng = np.random.default_rng(0)
+        x = rng.standard_normal((5, 5, 64)).astype(np.float32)
+        from framewright_tpu.models.layers import conv2d
+
+        y_conv = np.asarray(conv2d(rdb["conv1"], jnp.asarray(x)[None]))[0]
+        # build patch vector at center pixel (2,2): taps rows 1..3
+        pv = np.concatenate([x[1 + di, 1 + dj] for di in range(3) for dj in range(3)])
+        y_wide = np.asarray(wide["Wx"])[0:32] @ pv + np.asarray(wide["b"])[0:32, 0]
+        np.testing.assert_allclose(y_wide, y_conv[2, 2], rtol=1e-4, atol=1e-5)
+
+
+class TestFusedBodyNumerics:
+    @pytest.mark.parametrize("hw", [(40, 40), (54, 54), (60, 80)])
+    def test_matches_plain_body(self, tiny_model, hw):
+        cfg, params, fast = tiny_model
+        h, w = hw
+        rng = np.random.default_rng(1)
+        feat = jnp.asarray(
+            rng.standard_normal((1, h, w, 64)).astype(np.float32) * 0.5
+        ).astype(jnp.bfloat16)
+        want = np.asarray(_plain_body(params, feat), np.float32)
+        got = np.asarray(
+            fused_rrdb.rrdb_body_fast(feat, fast, interpret=True), np.float32
+        )
+        assert got.shape == want.shape
+        # bf16 rounding differences accumulate through 15 convs; the
+        # fused path reorders summation so allow small tolerance
+        err = np.abs(got - want)
+        scale = np.abs(want).max() + 1e-3
+        assert err.max() / scale < 0.05
+        assert err.mean() / scale < 0.005
+
+    def test_border_masking_exact_on_zero_bias_free_region(self, tiny_model):
+        # with all conv biases zeroed the net IS zero-preserving, so
+        # fused and plain must agree tightly even at borders
+        cfg, params, fast = tiny_model
+        p0 = jax.tree_util.tree_map(lambda v: v, params)
+        for blk in p0["body"]:
+            for rdbk in blk.values():
+                for conv in rdbk.values():
+                    conv["b"] = jnp.zeros_like(conv["b"])
+        fast0 = rrdb.make_fast_params(p0)
+        rng = np.random.default_rng(2)
+        feat = jnp.asarray(
+            rng.standard_normal((1, 30, 30, 64)).astype(np.float32) * 0.5
+        ).astype(jnp.bfloat16)
+        want = np.asarray(_plain_body(p0, feat), np.float32)
+        got = np.asarray(fused_rrdb.rrdb_body_fast(feat, fast0, interpret=True), np.float32)
+        err = np.abs(got - want)
+        assert err.max() < 0.02
+
+
+class TestApplyFast:
+    def test_full_model_close_to_reference(self, tiny_model):
+        cfg, params, fast = tiny_model
+        rng = np.random.default_rng(3)
+        x = jnp.asarray(rng.random((1, 24, 32, 3), dtype=np.float32))
+        ref = np.asarray(rrdb.apply(params, x, cfg), np.float32)
+        out = np.asarray(
+            rrdb.apply_fast(params, fast, x.astype(jnp.bfloat16), cfg,
+                            interpret=True), np.float32)
+        assert out.shape == ref.shape == (1, 96, 128, 3)
+        # reference runs f32, fast path bf16: expect ~1e-2 agreement
+        assert np.abs(out - ref).mean() < 0.02
