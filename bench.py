@@ -1,0 +1,75 @@
+#!/usr/bin/env python
+"""Headline benchmark: Real-ESRGAN RRDB 1080p -> 4K frames/sec/chip.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "fps", "vs_baseline": N}
+
+Baseline: the reference's published ~0.1 s/frame (~10 fps) GAN SR
+figure on an unspecified GPU (reference docs/roadmap.md:116;
+BASELINE.md). North star: >= 8 fps/chip on TPU v5e.
+
+Runs the production fast path (fused Pallas RDB body) on the real
+device; on CPU-only hosts falls back to a tiny proxy so the harness
+still emits a line (flagged in the payload).
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main() -> int:
+    import jax
+    import jax.numpy as jnp
+
+    from framewright_tpu.models import rrdb
+
+    platform = jax.devices()[0].platform
+    on_tpu = platform == "tpu"
+
+    if on_tpu:
+        h, w, blocks, reps = 1080, 1920, 23, 10
+    else:
+        # CPU proxy: tiny model+frame so the harness can smoke-test
+        h, w, blocks, reps = 128, 160, 2, 2
+
+    cfg = rrdb.RRDBConfig(num_block=blocks, scale=2)
+    params = rrdb.init(jax.random.PRNGKey(0), cfg, dtype=jnp.bfloat16)
+    fast = rrdb.make_fast_params(params)
+    params = rrdb.stack_body(params)
+
+    x = jnp.asarray(np.random.rand(1, h, w, 3).astype(np.float32)).astype(jnp.bfloat16)
+
+    if on_tpu:
+        fwd = jax.jit(lambda p, fp, t: rrdb.apply_fast(p, fp, t, cfg))
+    else:
+        fwd = jax.jit(lambda p, fp, t: rrdb.apply(p, t, cfg))
+
+    y = fwd(params, fast, x)
+    jax.block_until_ready(y)
+
+    t0 = time.time()
+    for _ in range(reps):
+        y = fwd(params, fast, x)
+    jax.block_until_ready(y)
+    dt = (time.time() - t0) / reps
+
+    fps = 1.0 / dt
+    baseline_fps = 10.0  # reference ~0.1 s/frame GAN SR claim
+    result = {
+        "metric": "realesrgan_x2_1080p_to_4k_fps_per_chip",
+        "value": round(fps, 3),
+        "unit": "fps",
+        "vs_baseline": round(fps / baseline_fps, 3),
+        "platform": platform,
+        "proxy": not on_tpu,
+        "s_per_frame": round(dt, 4),
+    }
+    print(json.dumps(result))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
