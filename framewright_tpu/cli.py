@@ -1,0 +1,246 @@
+"""framewright-tpu command-line interface.
+
+Mirrors the reference's CLI shape (cli.py:2414-4647: `framewright
+video.mp4` just works; subcommands for models/presets/hardware/analyze;
+layered config precedence CLI > env > config file > preset). Round-1
+verb set — the reference's full ~60-verb surface lands as the
+corresponding subsystems come online.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+import sys
+from pathlib import Path
+from typing import List, Optional
+
+from framewright_tpu import __version__
+from framewright_tpu.config import PRESETS, Config, build_config
+from framewright_tpu.errors import FramewrightError
+from framewright_tpu.logging_utils import setup_logging
+
+logger = logging.getLogger(__name__)
+
+
+def _add_restore_args(p: argparse.ArgumentParser) -> None:
+    p.add_argument("source", help="input video (.y4m, frame dir, or any ffmpeg format)")
+    p.add_argument("-o", "--output", type=Path, default=None)
+    p.add_argument("--preset", choices=sorted(PRESETS), default="")
+    p.add_argument("--config-file", type=Path, default=None)
+    p.add_argument("--scale", dest="scale_factor", type=int, choices=[1, 2, 3, 4])
+    p.add_argument("--model", dest="sr_model")
+    p.add_argument("--tile", dest="tile_size", type=int)
+    p.add_argument("--batch", dest="batch_size", type=int)
+    p.add_argument("--dtype", dest="compute_dtype", choices=["bfloat16", "float32"])
+    p.add_argument("--device", dest="device_platform", choices=["auto", "tpu", "cpu"])
+    p.add_argument("--deduplicate", action="store_true", default=None)
+    p.add_argument("--denoise", action="store_true", default=None)
+    p.add_argument("--interpolate", dest="interpolation", action="store_true", default=None)
+    p.add_argument("--target-fps", dest="target_fps", type=float)
+    p.add_argument("--face-restore", dest="face_restore", action="store_true", default=None)
+    p.add_argument("--crf", type=int)
+    p.add_argument("--codec")
+    p.add_argument("--no-checkpoint", dest="checkpoint_enabled",
+                   action="store_false", default=None)
+    p.add_argument("--no-resume", dest="resume", action="store_false", default=None)
+    p.add_argument("--no-validate", dest="validate_output",
+                   action="store_false", default=None)
+    p.add_argument("--project-dir", dest="project_dir", type=Path)
+    p.add_argument("--weights-dir", type=Path, default=None)
+    p.add_argument("--dry-run", dest="dry_run", action="store_true", default=None)
+    p.add_argument("--verbose", "-v", action="store_true", default=None)
+
+
+def _config_from_args(args: argparse.Namespace) -> Config:
+    skip = {"source", "output", "command", "config_file", "preset", "weights_dir", "func"}
+    overrides = {
+        k: v for k, v in vars(args).items()
+        if k not in skip and v is not None
+    }
+    return build_config(
+        preset=getattr(args, "preset", "") or "",
+        config_file=getattr(args, "config_file", None),
+        cli_overrides=overrides,
+    )
+
+
+def cmd_restore(args: argparse.Namespace) -> int:
+    from framewright_tpu.restorer import ProgressInfo, VideoRestorer
+
+    cfg = _config_from_args(args)
+    setup_logging(logging.DEBUG if cfg.verbose else logging.INFO)
+    if cfg.device_platform != "auto":
+        # must run before any jax computation; the axon TPU plugin
+        # ignores the JAX_PLATFORMS env var, so use the config API
+        import jax
+
+        jax.config.update("jax_platforms", cfg.device_platform)
+    if args.weights_dir:
+        import os
+
+        os.environ["FRAMEWRIGHT_WEIGHTS_DIR"] = str(args.weights_dir)
+
+    last = {"stage": None}
+
+    def on_progress(info: ProgressInfo):
+        if info.stage != last["stage"]:
+            print(f"\n[{info.stage}]", file=sys.stderr)
+            last["stage"] = info.stage
+        print(
+            f"\r  {info.frames_done}/{info.total_frames} frames "
+            f"({info.percent:.1f}%)  {info.fps:.2f} fps  ETA {info.eta_s:.0f}s ",
+            end="", file=sys.stderr,
+        )
+
+    restorer = VideoRestorer(cfg, progress_callback=on_progress)
+    try:
+        result = restorer.restore_video(args.source, output=args.output)
+    except FramewrightError as exc:
+        print(f"\nerror: {exc}", file=sys.stderr)
+        return 1
+    print("", file=sys.stderr)
+    summary = {
+        "output": str(result.output_path),
+        "frames": result.frames_out,
+        "seconds": round(result.duration_s, 1),
+        "fps": round(result.fps, 2),
+    }
+    if result.dedup:
+        summary["duplicates_removed"] = result.dedup.duplicates
+    if result.quality:
+        summary["quality"] = result.quality.to_dict()
+    print(json.dumps(summary, indent=2))
+    return 0
+
+
+def cmd_probe(args: argparse.Namespace) -> int:
+    from framewright_tpu.io import probe
+
+    meta = probe(args.source)
+    print(json.dumps({
+        "width": meta.width, "height": meta.height, "fps": meta.fps,
+        "frames": meta.nb_frames, "container": meta.container,
+        "has_audio": meta.has_audio,
+    }, indent=2))
+    return 0
+
+
+def cmd_check(args: argparse.Namespace) -> int:
+    from framewright_tpu.hw import check_hardware
+
+    print(json.dumps(check_hardware(), indent=2))
+    return 0
+
+
+def cmd_presets(args: argparse.Namespace) -> int:
+    for name, preset in sorted(PRESETS.items()):
+        print(f"{name:10s} - {preset.get('description', '')}")
+    return 0
+
+
+def cmd_models(args: argparse.Namespace) -> int:
+    from framewright_tpu.models.registry import MODEL_SPECS, default_weights_dir
+
+    wdir = default_weights_dir()
+    for name, spec in sorted(MODEL_SPECS.items()):
+        have = "cached" if (wdir / f"{name}.npz").exists() or \
+            (wdir / f"{name}.pth").exists() else "missing"
+        print(f"{name:32s} x{spec.scale}  {spec.family:8s} [{have}]")
+        if args.verbose:
+            print(f"    {spec.url}")
+    return 0
+
+
+def cmd_analyze(args: argparse.Namespace) -> int:
+    from framewright_tpu.io import open_reader, probe
+    from framewright_tpu.processors.deduplication import DedupConfig, FrameDeduplicator
+    from framewright_tpu.processors.scene_detection import SceneDetector
+
+    meta = probe(args.source)
+    with open_reader(args.source) as r:
+        dedup = FrameDeduplicator(DedupConfig()).analyze(iter(r), target_fps=meta.fps)
+    with open_reader(args.source) as r:
+        scenes = SceneDetector().analyze(iter(r))
+    print(json.dumps({
+        "input": f"{meta.width}x{meta.height}@{meta.fps:.2f}",
+        "frames": meta.nb_frames,
+        "unique_frames": dedup.unique_frames,
+        "duplicate_ratio": round(dedup.dedup_ratio, 3),
+        "estimated_source_fps": dedup.estimated_source_fps,
+        "scenes": len(scenes.scene_ranges()),
+        "scene_boundaries": scenes.boundaries[:50],
+        "recommendation": {
+            "deduplicate": dedup.dedup_ratio > 0.1,
+            "interpolate_to_fps": meta.fps if dedup.dedup_ratio > 0.1 else 0,
+        },
+    }, indent=2))
+    return 0
+
+
+def cmd_bench(args: argparse.Namespace) -> int:
+    import runpy
+
+    runpy.run_path(str(Path(__file__).resolve().parent.parent / "bench.py"),
+                   run_name="__main__")
+    return 0
+
+
+def build_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(
+        prog="framewright",
+        description="TPU-native video restoration (framewright-tpu)",
+    )
+    parser.add_argument("--version", action="version", version=__version__)
+    sub = parser.add_subparsers(dest="command")
+
+    p = sub.add_parser("restore", help="restore a video (default command)")
+    _add_restore_args(p)
+    p.set_defaults(func=cmd_restore)
+
+    p = sub.add_parser("probe", help="show video metadata")
+    p.add_argument("source")
+    p.set_defaults(func=cmd_probe)
+
+    p = sub.add_parser("check", help="hardware report")
+    p.set_defaults(func=cmd_check)
+
+    p = sub.add_parser("presets", help="list presets")
+    p.set_defaults(func=cmd_presets)
+
+    p = sub.add_parser("models", help="list model zoo")
+    p.add_argument("--verbose", "-v", action="store_true")
+    p.set_defaults(func=cmd_models)
+
+    p = sub.add_parser("analyze", help="content analysis (dedup/scenes)")
+    p.add_argument("source")
+    p.set_defaults(func=cmd_analyze)
+
+    p = sub.add_parser("bench", help="run the headline benchmark")
+    p.set_defaults(func=cmd_bench)
+
+    return parser
+
+
+def main(argv: Optional[List[str]] = None) -> int:
+    argv = list(sys.argv[1:] if argv is None else argv)
+    # `framewright video.mp4` sugar: treat a path-like first arg as restore
+    known = {"restore", "probe", "check", "presets", "models", "analyze",
+             "bench", "-h", "--help", "--version"}
+    if argv and argv[0] not in known and not argv[0].startswith("-"):
+        argv = ["restore"] + argv
+    parser = build_parser()
+    args = parser.parse_args(argv)
+    if not getattr(args, "command", None):
+        parser.print_help()
+        return 0
+    try:
+        return args.func(args)
+    except FramewrightError as exc:
+        print(f"error: {exc}", file=sys.stderr)
+        return 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -184,15 +184,37 @@ class Y4MWriter:
         fps: Union[float, Fraction] = 25,
         colorspace: str = "420jpeg",
         full_range: Optional[bool] = None,
+        append: bool = False,
     ):
         if width % 2 or height % 2:
             if colorspace.startswith("420"):
                 raise MediaFormatError("4:2:0 requires even dimensions")
+        self.frames_written = 0
         if hasattr(dst, "write"):
             self._f: BinaryIO = dst  # type: ignore[assignment]
             self._owns = False
+            append = False
         else:
-            Path(dst).parent.mkdir(parents=True, exist_ok=True)
+            dst = Path(dst)
+            dst.parent.mkdir(parents=True, exist_ok=True)
+            if append and dst.exists() and dst.stat().st_size > 0:
+                # checkpoint-resume path: validate the existing header
+                # matches, count frames already present, continue
+                with Y4MReader(dst) as existing:
+                    if (existing.width, existing.height) != (width, height):
+                        raise MediaFormatError(
+                            "resume dims mismatch: existing "
+                            f"{existing.width}x{existing.height} vs {width}x{height}"
+                        )
+                    self.frames_written = existing.count_frames()
+                self._f = open(dst, "ab")
+                self._owns = True
+                fps = Fraction(fps).limit_denominator(65536)
+                self.header = Y4MHeader(width, height, fps, colorspace=colorspace)
+                if full_range is None:
+                    full_range = "jpeg" in colorspace
+                self.full_range = full_range
+                return
             self._f = open(dst, "wb")
             self._owns = True
         fps = Fraction(fps).limit_denominator(65536)
@@ -201,7 +223,6 @@ class Y4MWriter:
             full_range = "jpeg" in colorspace
         self.full_range = full_range
         self._f.write(self.header.to_line())
-        self.frames_written = 0
 
     def write_frame(self, rgb: np.ndarray) -> None:
         h, w = self.header.height, self.header.width

@@ -1,0 +1,179 @@
+"""Super-resolution processor: the pipeline's hot stage.
+
+Replaces the reference's per-frame `realesrgan-ncnn-vulkan` subprocess
+loop and the PyTorch RealESRGANer path (restorer.py:1386-1601,
+processors/pytorch_realesrgan.py) with one jit-compiled program: HBM
+planner chooses tile/batch geometry, the tiler feeds the model (fused
+Pallas body on TPU, plain conv path elsewhere), and OOM triggers the
+same shrink-and-retry downshift as the reference's adaptive tile
+fallback (utils/gpu.py:468, restorer.py:1737-1756).
+"""
+
+from __future__ import annotations
+
+import logging
+from dataclasses import dataclass, field
+from typing import Any, Dict, Optional
+
+import numpy as np
+
+from framewright_tpu import planner as planner_mod
+from framewright_tpu.errors import HBMError, classify_error
+from framewright_tpu.processors.base import (
+    FrameProcessor,
+    require_shape,
+    to_float,
+    to_uint8,
+)
+
+logger = logging.getLogger(__name__)
+
+
+@dataclass
+class SRConfig:
+    model_name: str = "RealESRGAN_x2plus"
+    compute_dtype: str = "bfloat16"
+    tile_size: int = 0            # 0 = planner decides
+    tile_overlap: int = 0         # 0 = receptive default for the family
+    batch_size: int = 0           # 0 = planner decides
+    hbm_utilization: float = 0.85
+    weights_dir: Optional[str] = None
+    allow_random_weights: bool = True   # bench/test mode
+    use_fused_kernel: Optional[bool] = None  # None = auto (TPU yes)
+    outscale: float = 0.0         # final resize; 0 = model scale
+    max_oom_retries: int = 3
+
+
+class SuperResolution(FrameProcessor):
+    name = "super_resolution"
+
+    def __init__(self, config: Optional[SRConfig] = None):
+        self.config = config or SRConfig()
+        self._fn = None
+        self._plan = None
+        self._spec = None
+        self._params = None
+        self._fast_params = None
+
+    # ------------------------------------------------------------------
+    def setup(self, height: int, width: int) -> None:
+        import jax
+        import jax.numpy as jnp
+
+        from framewright_tpu.models.registry import init_model
+        from framewright_tpu.ops import tiling
+
+        cfg = self.config
+        dtype = {"bfloat16": jnp.bfloat16, "float32": jnp.float32}.get(
+            cfg.compute_dtype, jnp.bfloat16
+        )
+        spec, params = init_model(
+            cfg.model_name,
+            weights_dir=cfg.weights_dir,
+            dtype=dtype,
+            allow_random=cfg.allow_random_weights,
+        )
+        self._spec = spec
+        self.scale = spec.scale
+
+        on_tpu = jax.devices()[0].platform == "tpu"
+        use_fused = cfg.use_fused_kernel
+        if use_fused is None:
+            use_fused = on_tpu and spec.family == "rrdb"
+
+        if spec.family == "rrdb":
+            from framewright_tpu.models import rrdb
+
+            if use_fused:
+                self._fast_params = rrdb.make_fast_params(params)
+            params = rrdb.stack_body(params)
+        self._params = params
+
+        overlap = cfg.tile_overlap or tiling.receptive_overlap(spec.family)
+        self._plan = planner_mod.plan(
+            height, width, spec.scale,
+            family=spec.family, dtype=cfg.compute_dtype,
+            hbm_utilization=cfg.hbm_utilization,
+            tile_size_override=cfg.tile_size,
+            overlap=overlap,
+            max_batch=cfg.batch_size or 16,
+        )
+        logger.info("SR plan: %s", self._plan)
+        self._compile(dtype, use_fused)
+
+    def _compile(self, dtype, use_fused: bool) -> None:
+        import jax
+        import jax.numpy as jnp
+
+        from framewright_tpu.ops import tiling
+
+        spec = self._spec
+        params = self._params
+        fast = self._fast_params
+        plan = self._plan
+
+        if spec.family == "rrdb" and use_fused:
+            from framewright_tpu.models import rrdb
+
+            def model_fn(t):
+                return rrdb.apply_fast(params, fast, t, spec.arch_config)
+        else:
+            def model_fn(t):
+                return spec.apply_fn(params, t, spec.arch_config)
+
+        @jax.jit
+        def run(x):
+            x = x.astype(dtype)
+            y = tiling.tiled_apply(model_fn, x, plan)
+            return jnp.clip(y.astype(jnp.float32), 0.0, 1.0)
+
+        self._fn = run
+
+    # ------------------------------------------------------------------
+    def process_batch(self, frames: np.ndarray) -> np.ndarray:
+        require_shape(frames, self.name)
+        import jax
+
+        cfg = self.config
+        x = to_float(frames)
+        for attempt in range(cfg.max_oom_retries + 1):
+            try:
+                y = self._fn(x)
+                out = to_uint8(y)
+                break
+            except Exception as exc:  # noqa: BLE001
+                err = classify_error(exc)
+                if not isinstance(err, HBMError) or attempt == cfg.max_oom_retries:
+                    raise err from exc
+                # device OOM: downshift the plan and recompile (the
+                # reference's adaptive tile fallback)
+                self._plan = self._plan.downshift()
+                logger.warning("HBM OOM; downshifted plan to %s", self._plan)
+                import jax.numpy as jnp
+
+                dtype = {"bfloat16": jnp.bfloat16, "float32": jnp.float32}.get(
+                    cfg.compute_dtype, jnp.bfloat16
+                )
+                self._compile(dtype, self._fast_params is not None)
+        if cfg.outscale and cfg.outscale != self.scale:
+            out = self._resize(out, cfg.outscale)
+        return out
+
+    def _resize(self, frames: np.ndarray, outscale: float) -> np.ndarray:
+        import jax.numpy as jnp
+
+        from framewright_tpu.models.layers import resize_bicubic
+
+        b, h, w, c = frames.shape
+        oh = int(round(h / self.scale * outscale))
+        ow = int(round(w / self.scale * outscale))
+        y = resize_bicubic(jnp.asarray(to_float(frames)), (oh, ow))
+        return to_uint8(np.asarray(y))
+
+    def output_size(self, height: int, width: int):
+        # outscale follows RealESRGANer semantics: final scale relative
+        # to the input, applied as a bicubic resize after the model
+        if self.config.outscale:
+            return (int(round(height * self.config.outscale)),
+                    int(round(width * self.config.outscale)))
+        return height * self.scale, width * self.scale

@@ -1,0 +1,411 @@
+"""VideoRestorer: the production restore pipeline.
+
+The reference's VideoRestorer (restorer.py:307-3621) drives a 13-step
+frames-on-disk pipeline through external binaries. This orchestrator
+keeps the same user-facing behavior — `restore_video(source)` with
+per-stage progress/ETA, frame-level checkpoint resume keyed by
+(config hash, video content hash), duplicate handling, quality gates,
+continue-on-error frame copy — over a streaming in-memory dataflow:
+
+    decode -> prefetch ring -> [dedup gate] -> SR batches on device
+           -> writer drain -> container encode
+
+Stages run under the generic DAG engine (engine/pipeline.py) so
+pause/cancel/events/hooks behave like the reference's newer engine.
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Callable, Dict, List, Optional
+
+import numpy as np
+
+from framewright_tpu.config import Config
+from framewright_tpu.engine.checkpoint import CheckpointManager
+from framewright_tpu.engine.pipeline import PipelineBuilder, PipelineContext
+from framewright_tpu.errors import InputError, StageError, ValidationError
+from framewright_tpu.events import EventBus, EventType, HookManager
+from framewright_tpu.io import open_reader, open_writer, probe
+from framewright_tpu.io.ring import PrefetchRing, WriterDrain
+from framewright_tpu.processors.deduplication import (
+    DedupConfig,
+    DedupResult,
+    FrameDeduplicator,
+)
+from framewright_tpu.processors.super_resolution import SRConfig, SuperResolution
+from framewright_tpu.quality.validators import QualityReport, QualityValidator
+
+logger = logging.getLogger(__name__)
+
+
+@dataclass
+class ProgressInfo:
+    stage: str = ""
+    frames_done: int = 0
+    total_frames: int = 0
+    fps: float = 0.0
+    eta_s: float = 0.0
+    percent: float = 0.0
+
+
+@dataclass
+class RestoreResult:
+    output_path: Path
+    frames_in: int = 0
+    frames_out: int = 0
+    duration_s: float = 0.0
+    dedup: Optional[DedupResult] = None
+    quality: Optional[QualityReport] = None
+    stage_summary: Dict = field(default_factory=dict)
+    errors: int = 0
+
+    @property
+    def fps(self) -> float:
+        return self.frames_out / self.duration_s if self.duration_s else 0.0
+
+
+class _EtaTracker:
+    """Rolling-window throughput/ETA (reference restorer.py:354-667)."""
+
+    def __init__(self, window: int = 100):
+        self.window = window
+        self.times: List[float] = []
+
+    def tick(self, n: int = 1) -> None:
+        now = time.time()
+        self.times.extend([now] * n)
+        if len(self.times) > self.window:
+            self.times = self.times[-self.window:]
+
+    @property
+    def fps(self) -> float:
+        if len(self.times) < 2:
+            return 0.0
+        dt = self.times[-1] - self.times[0]
+        return (len(self.times) - 1) / dt if dt > 0 else 0.0
+
+    def eta(self, remaining: int) -> float:
+        f = self.fps
+        return remaining / f if f > 0 else 0.0
+
+
+class VideoRestorer:
+    def __init__(
+        self,
+        config: Optional[Config] = None,
+        progress_callback: Optional[Callable[[ProgressInfo], None]] = None,
+        events: Optional[EventBus] = None,
+        hooks: Optional[HookManager] = None,
+    ):
+        self.config = config or Config()
+        self.progress_callback = progress_callback
+        self.events = events or EventBus()
+        self.hooks = hooks or HookManager()
+        self.checkpoints = CheckpointManager(
+            self.config.checkpoint_dir, self.config.checkpoint_interval
+        )
+        self.context: Optional[PipelineContext] = None
+
+    # ------------------------------------------------------------------
+    def _progress(self, stage: str, done: int, total: int, tracker: _EtaTracker):
+        if self.progress_callback is None:
+            return
+        self.progress_callback(ProgressInfo(
+            stage=stage, frames_done=done, total_frames=total,
+            fps=round(tracker.fps, 2),
+            eta_s=round(tracker.eta(max(total - done, 0)), 1),
+            percent=round(100.0 * done / total, 1) if total else 0.0,
+        ))
+
+    def _resolve_output(self, source: Path) -> Path:
+        cfg = self.config
+        if cfg.output_path is not None:
+            return cfg.output_path
+        suffix = source.suffix if source.suffix else ".y4m"
+        if cfg.output_format not in ("auto", ""):
+            suffix = "." + cfg.output_format if cfg.output_format != "png" else ""
+        name = source.stem + "_restored" + suffix
+        return cfg.project_dir / name
+
+    # ------------------------------------------------------------------
+    def restore_video(self, source, output: Optional[Path] = None) -> RestoreResult:
+        cfg = self.config
+        source = Path(source)
+        if not source.exists():
+            raise InputError(f"source not found: {source}")
+        out_path = Path(output) if output else self._resolve_output(source)
+        t_start = time.time()
+
+        ctx = PipelineContext({
+            "source": source, "output": out_path, "config": cfg,
+        })
+        self.context = ctx
+
+        builder = (
+            PipelineBuilder("restore")
+            .events(self.events)
+            .hooks(self.hooks)
+            .stage("probe", self._stage_probe)
+            .stage("checkpoint", self._stage_checkpoint, depends_on=("probe",),
+                   enabled=cfg.checkpoint_enabled)
+            .stage("dedup", self._stage_dedup, depends_on=("probe",),
+                   enabled=cfg.deduplicate)
+            .stage("enhance", self._stage_enhance,
+                   depends_on=("probe",), max_retries=1)
+            .stage("validate", self._stage_validate, depends_on=("enhance",),
+                   enabled=cfg.validate_output, critical=False)
+            .stage("finalize", self._stage_finalize, depends_on=("enhance",))
+        )
+        pipeline = builder.build()
+        if cfg.dry_run:
+            return self._dry_run(ctx, pipeline, out_path)
+        pipeline.run(ctx)
+
+        result = RestoreResult(
+            output_path=out_path,
+            frames_in=ctx.get("frames_in", 0),
+            frames_out=ctx.get("frames_out", 0),
+            duration_s=time.time() - t_start,
+            dedup=ctx.get("dedup_result"),
+            quality=ctx.get("quality_report"),
+            stage_summary=pipeline.summary(),
+            errors=ctx.get("frame_errors", 0),
+        )
+        return result
+
+    def _dry_run(self, ctx, pipeline, out_path) -> RestoreResult:
+        """Analyze and report without processing (reference dry_run.py)."""
+        ctx.update(self._stage_probe(ctx.data))
+        meta = ctx.get("meta")
+        plan = {
+            "stages": [s.name for s in pipeline.stages if s.enabled],
+            "input": f"{meta.width}x{meta.height}@{meta.fps:.2f} ({meta.nb_frames} frames)",
+            "output": f"{meta.width * self.config.scale_factor}x"
+                      f"{meta.height * self.config.scale_factor} -> {out_path}",
+            "model": self.config.sr_model,
+        }
+        logger.info("dry run: %s", plan)
+        return RestoreResult(output_path=out_path, stage_summary={"dry_run": plan})
+
+    # ------------------------------------------------------------------
+    # Stages
+    # ------------------------------------------------------------------
+
+    def _stage_probe(self, data: Dict) -> Dict:
+        meta = probe(data["source"])
+        if meta.width <= 0 or meta.nb_frames <= 0:
+            raise InputError(f"empty or unreadable video: {data['source']}")
+        return {"meta": meta, "frames_in": meta.nb_frames}
+
+    def _stage_checkpoint(self, data: Dict) -> Dict:
+        ck = self.checkpoints.start(
+            data["source"], self.config.get_hash(),
+            total_frames=data["meta"].nb_frames,
+        )
+        if ck.frames_done:
+            self.events.emit(EventType.CHECKPOINT_RESTORED,
+                             stage=ck.current_stage, frames=dict(ck.frames_done))
+        return {"checkpoint": ck}
+
+    def _stage_dedup(self, data: Dict) -> Dict:
+        meta = data["meta"]
+        dedup = FrameDeduplicator(DedupConfig(
+            similarity_threshold=self.config.dedup_similarity,
+            hash_size=self.config.dedup_hash_size,
+        ))
+        with open_reader(data["source"]) as reader:
+            result = dedup.analyze(iter(reader), target_fps=meta.fps)
+        return {"dedup_result": result}
+
+    def _stage_enhance(self, data: Dict) -> Dict:
+        cfg = self.config
+        meta = data["meta"]
+        out_path: Path = data["output"]
+        dedup: Optional[DedupResult] = data.get("dedup_result")
+        ctx = self.context
+
+        if cfg.scale_factor == 1 or cfg.sr_model == "none":
+            sr = None
+            oh, ow = meta.height, meta.width
+        else:
+            sr = SuperResolution(SRConfig(
+                model_name=cfg.sr_model,
+                compute_dtype=cfg.compute_dtype,
+                tile_size=cfg.tile_size,
+                tile_overlap=cfg.tile_overlap,
+                batch_size=cfg.batch_size,
+                hbm_utilization=cfg.hbm_utilization,
+                outscale=cfg.outscale,
+            ))
+            sr.setup(meta.height, meta.width)
+            oh, ow = sr.output_size(meta.height, meta.width)
+
+        resume_from = 0
+        if cfg.checkpoint_enabled and cfg.resume and "checkpoint" in data:
+            resume_from = self.checkpoints.resume_point("enhance")
+            if resume_from:
+                logger.info("resuming enhance at frame %d", resume_from)
+
+        batch_size = sr._plan.batch if (sr and not sr._plan.tiled) else 8
+        validator = QualityValidator(cfg.min_psnr, cfg.min_ssim) \
+            if cfg.validate_output else None
+
+        writer = open_writer(
+            out_path, ow, oh, fps=meta.fps, codec=cfg.codec, crf=cfg.crf,
+            preset=cfg.encode_preset, pix_fmt=cfg.pixel_format,
+        )
+        if resume_from and hasattr(writer, "frames_written"):
+            # only appendable writers support resume; others restart
+            from framewright_tpu.io.y4m import Y4MWriter
+
+            if isinstance(writer, Y4MWriter):
+                writer.close()
+                writer = Y4MWriter(out_path, ow, oh, fps=meta.fps, append=True)
+                resume_from = min(resume_from, writer.frames_written)
+            elif writer.__class__.__name__ == "FrameDirWriter":
+                from framewright_tpu.io.png_seq import FrameDirWriter, list_frames
+
+                existing = len(list_frames(out_path))
+                resume_from = min(resume_from, existing)
+                writer = FrameDirWriter(out_path, fps=meta.fps,
+                                        start_index=resume_from + 1)
+            else:
+                resume_from = 0
+
+        tracker = _EtaTracker()
+        frame_errors = 0
+        written = resume_from
+        mapping = dedup.frame_mapping if dedup else None
+
+        reader = open_reader(data["source"])
+        drain = WriterDrain(writer.write_frame, depth=4)
+        ring = PrefetchRing(iter(reader), batch_size=batch_size,
+                            skip_frames=resume_from, start_frame=resume_from)
+        last_out: Optional[np.ndarray] = None
+        last_unique_idx = -1
+        try:
+            for batch in ring:
+                if ctx is not None:
+                    ctx.checkpoint_wait()
+                frames = batch.frames[: batch.valid]
+                idxs = list(range(batch.start_frame, batch.start_frame + batch.valid))
+
+                if mapping is not None:
+                    unique_sel = []
+                    for pos, i in enumerate(idxs):
+                        u = mapping.get(i, i)
+                        if u > last_unique_idx:
+                            unique_sel.append(pos)
+                            last_unique_idx = u
+                    work = frames[unique_sel] if unique_sel else frames[:0]
+                else:
+                    unique_sel = list(range(len(idxs)))
+                    work = frames
+
+                if sr is not None and len(work):
+                    try:
+                        out_unique = sr.process_batch(work)
+                    except StageError:
+                        raise
+                    except Exception as exc:  # noqa: BLE001
+                        if not self.config.continue_on_error:
+                            raise
+                        # copy-original fallback (reference restorer.py:1786)
+                        logger.exception("enhance batch failed; copying originals")
+                        frame_errors += len(work)
+                        out_unique = self._upscale_fallback(work, (oh, ow))
+                elif len(work):
+                    out_unique = work
+                else:
+                    out_unique = frames[:0]
+
+                # expand back to original frame positions
+                out_pos = 0
+                outs = []
+                for pos in range(len(idxs)):
+                    if pos in unique_sel:
+                        last_out = out_unique[out_pos]
+                        out_pos += 1
+                    if last_out is None:
+                        # first frame marked duplicate (can't happen via
+                        # dedup analyze, but guard anyway)
+                        last_out = self._upscale_fallback(frames[pos:pos+1], (oh, ow))[0]
+                    outs.append(last_out)
+                out_arr = np.stack(outs)
+
+                if validator is not None:
+                    for pos in range(len(idxs)):
+                        validator.observe(frames[pos], out_arr[pos])
+
+                drain.submit(out_arr, len(idxs))
+                written += len(idxs)
+                tracker.tick(len(idxs))
+                if cfg.checkpoint_enabled and "checkpoint" in data:
+                    self.checkpoints.frames_completed("enhance", written)
+                self.events.emit(EventType.FRAME_PROCESSED, frames=written)
+                self._progress("enhance", written, meta.nb_frames, tracker)
+        finally:
+            ring.close()
+            drain.close()
+            writer.close()
+            reader.close()
+            if sr is not None:
+                sr.teardown()
+            if cfg.checkpoint_enabled and "checkpoint" in data:
+                self.checkpoints.frames_completed("enhance", written)
+                self.checkpoints.force_save()
+        if cfg.checkpoint_enabled and "checkpoint" in data:
+            self.checkpoints.stage_completed("enhance")
+        return {
+            "frames_out": written,
+            "frame_errors": frame_errors,
+            "validator": validator,
+            "out_size": (oh, ow),
+        }
+
+    @staticmethod
+    def _upscale_fallback(frames: np.ndarray, out_hw) -> np.ndarray:
+        """Bicubic fallback when the model path fails (continue-on-error)."""
+        import jax.numpy as jnp
+
+        from framewright_tpu.models.layers import resize_bicubic
+        from framewright_tpu.processors.base import to_uint8
+
+        y = resize_bicubic(jnp.asarray(frames, jnp.float32) / 255.0, out_hw)
+        return to_uint8(np.asarray(y))
+
+    def _stage_validate(self, data: Dict) -> Dict:
+        validator: Optional[QualityValidator] = data.get("validator")
+        if validator is None:
+            return {}
+        report = validator.validate()
+        if report.passed:
+            self.events.emit(EventType.QUALITY_CHECK_PASSED, **report.to_dict())
+        else:
+            self.events.emit(EventType.QUALITY_CHECK_FAILED, **report.to_dict())
+            logger.warning("quality gates failed: %s", report.to_dict())
+            if not self.config.continue_on_error:
+                raise ValidationError(f"quality gates failed: {report.to_dict()}")
+        return {"quality_report": report}
+
+    def _stage_finalize(self, data: Dict) -> Dict:
+        if self.config.checkpoint_enabled and "checkpoint" in data:
+            self.checkpoints.complete()
+        return {}
+
+    # ------------------------------------------------------------------
+    def cancel(self) -> None:
+        if self.context:
+            self.context.cancel()
+
+    def pause(self) -> None:
+        if self.context:
+            self.context.pause()
+
+    def resume(self) -> None:
+        if self.context:
+            self.context.resume()

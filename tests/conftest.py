@@ -21,6 +21,8 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
+
+_TEXTURE_CACHE: dict = {}
 import pytest  # noqa: E402
 
 
@@ -35,10 +37,21 @@ def make_gradient_frame(h: int, w: int, t: int = 0) -> np.ndarray:
     Analog of the reference's synthetic PNG fixtures which embed a frame
     number bit pattern (reference tests/fixtures/conftest.py:15-73).
     """
-    yy = np.linspace(0, 255, h, dtype=np.float32)[:, None]
-    xx = np.linspace(0, 255, w, dtype=np.float32)[None, :]
-    r = np.broadcast_to(yy, (h, w))
-    g = np.broadcast_to(xx, (h, w))
+    # a fixed random texture panning 3 px/frame: consecutive frames
+    # differ structurally everywhere (a uniform brightness change would
+    # be invisible to difference hashes and flow estimators)
+    key = (h, w)
+    tex = _TEXTURE_CACHE.get(key)
+    if tex is None:
+        tex_rng = np.random.default_rng(42)
+        base = tex_rng.integers(0, 256, (h, w * 2), dtype=np.uint8).astype(np.float32)
+        # smooth slightly so it's image-like, not white noise
+        tex = (base + np.roll(base, 1, 1) + np.roll(base, 1, 0) +
+               np.roll(base, (1, 1), (0, 1))) / 4.0
+        _TEXTURE_CACHE[key] = tex
+    shift = (t * 3) % w
+    r = tex[:, shift:shift + w]
+    g = tex[:, w - 1 - shift:w - 1 - shift + w][:, ::-1]
     b = np.full((h, w), (t * 37) % 256, dtype=np.float32)
     frame = np.stack([r, g, b], axis=-1).astype(np.uint8)
     # frame-index bit pattern in the top-left 8x8 corner blocks

@@ -1,0 +1,141 @@
+"""End-to-end VideoRestorer tests (tiny model, CPU, y4m in/out).
+
+The analog of the reference's integration tests
+(tests/integration/test_full_pipeline.py): real orchestration over a
+real clip, with the model seam replaced by a tiny random-weight net.
+"""
+
+import numpy as np
+import pytest
+
+from framewright_tpu.config import Config
+from framewright_tpu.events import EventBus, EventType
+from framewright_tpu.io.y4m import Y4MReader, Y4MWriter
+from framewright_tpu.restorer import VideoRestorer
+
+
+def _make_cfg(tmp_path, **kw):
+    kw.setdefault("sr_model", "realesr-animevideov3")
+    kw.setdefault("compute_dtype", "float32")
+    kw.setdefault("validate_output", False)
+    kw.setdefault("checkpoint_interval", 4)
+    return Config(project_dir=tmp_path / "proj", **kw)
+
+
+@pytest.fixture(autouse=True)
+def _weights_dir(tmp_path, monkeypatch):
+    monkeypatch.setenv("FRAMEWRIGHT_WEIGHTS_DIR", str(tmp_path / "weights"))
+
+
+class TestRestoreEndToEnd:
+    def test_y4m_to_y4m_upscale(self, tmp_path, tiny_y4m):
+        cfg = _make_cfg(tmp_path)
+        out = tmp_path / "out.y4m"
+        result = VideoRestorer(cfg).restore_video(tiny_y4m, output=out)
+        assert out.exists()
+        assert result.frames_out == 16
+        with Y4MReader(out) as r:
+            assert (r.width, r.height) == (64 * 4, 48 * 4)
+            assert r.count_frames() == 16
+
+    def test_progress_and_events(self, tmp_path, tiny_y4m):
+        cfg = _make_cfg(tmp_path)
+        seen = []
+        bus = EventBus()
+        bus.subscribe(lambda e: seen.append(e.type), EventType.FRAME_PROCESSED)
+        progress = []
+        restorer = VideoRestorer(cfg, progress_callback=progress.append, events=bus)
+        restorer.restore_video(tiny_y4m, output=tmp_path / "o.y4m")
+        assert seen  # frame events emitted
+        assert progress[-1].frames_done == 16
+        assert progress[-1].stage == "enhance"
+
+    def test_scale_1_passthrough(self, tmp_path, tiny_y4m, tiny_clip):
+        cfg = _make_cfg(tmp_path, scale_factor=1, sr_model="none")
+        out = tmp_path / "o.y4m"
+        result = VideoRestorer(cfg).restore_video(tiny_y4m, output=out)
+        assert result.frames_out == 16
+        with Y4MReader(out) as r:
+            frames = list(r)
+        # passthrough: one lossy 420 round-trip away from input
+        err = np.abs(frames[3].astype(int) - tiny_clip[3].astype(int)).mean()
+        assert err < 15
+
+    def test_dedup_pipeline(self, tmp_path, gradient_frame):
+        # clip with every 2nd frame duplicated
+        src = tmp_path / "dup.y4m"
+        with Y4MWriter(src, 64, 48, fps=24) as w:
+            for t in range(12):
+                w.write_frame(gradient_frame(48, 64, t // 2))
+        cfg = _make_cfg(tmp_path, deduplicate=True)
+        result = VideoRestorer(cfg).restore_video(src, output=tmp_path / "o.y4m")
+        assert result.dedup is not None
+        assert result.dedup.unique_frames == 6
+        assert result.frames_out == 12  # reconstructed to original count
+        with Y4MReader(tmp_path / "o.y4m") as r:
+            frames = list(r)
+        # duplicated outputs are bit-identical pairs
+        np.testing.assert_array_equal(frames[0], frames[1])
+        np.testing.assert_array_equal(frames[10], frames[11])
+
+    def test_validation_report(self, tmp_path, tiny_y4m):
+        cfg = _make_cfg(tmp_path, validate_output=True, min_psnr=5.0, min_ssim=0.0)
+        result = VideoRestorer(cfg).restore_video(tiny_y4m, output=tmp_path / "o.y4m")
+        assert result.quality is not None
+        assert result.quality.samples > 0
+
+    def test_dry_run(self, tmp_path, tiny_y4m):
+        cfg = _make_cfg(tmp_path, dry_run=True)
+        out = tmp_path / "o.y4m"
+        result = VideoRestorer(cfg).restore_video(tiny_y4m, output=out)
+        assert not out.exists()
+        assert "dry_run" in result.stage_summary
+
+    def test_missing_source(self, tmp_path):
+        from framewright_tpu.errors import InputError
+
+        cfg = _make_cfg(tmp_path)
+        with pytest.raises(InputError):
+            VideoRestorer(cfg).restore_video(tmp_path / "nope.y4m")
+
+
+class TestCheckpointResume:
+    def test_resume_skips_done_frames(self, tmp_path, tiny_y4m, monkeypatch):
+        cfg = _make_cfg(tmp_path, checkpoint_interval=2)
+        out = tmp_path / "o.y4m"
+
+        # first run: cancel after ~8 frames by failing the writer
+        calls = {"n": 0}
+        restorer = VideoRestorer(cfg)
+        orig = Y4MWriter.write_frame
+
+        def flaky(self, frame):
+            calls["n"] += 1
+            if calls["n"] > 8:
+                raise IOError("disk gone")
+            return orig(self, frame)
+
+        monkeypatch.setattr(Y4MWriter, "write_frame", flaky)
+        with pytest.raises(Exception):
+            restorer.restore_video(tiny_y4m, output=out)
+        monkeypatch.setattr(Y4MWriter, "write_frame", orig)
+
+        # checkpoint recorded progress
+        cm = restorer.checkpoints
+        done = cm.resume_point("enhance")
+        assert done >= 2
+
+        # second run resumes and completes
+        restorer2 = VideoRestorer(_make_cfg(tmp_path, checkpoint_interval=2))
+        result = restorer2.restore_video(tiny_y4m, output=out)
+        assert result.frames_out == 16
+        with Y4MReader(out) as r:
+            assert r.count_frames() == 16
+
+    def test_checkpoint_removed_on_success(self, tmp_path, tiny_y4m):
+        cfg = _make_cfg(tmp_path)
+        restorer = VideoRestorer(cfg)
+        restorer.restore_video(tiny_y4m, output=tmp_path / "o.y4m")
+        ckpts = list((cfg.checkpoint_dir).glob("ckpt_*.json")) \
+            if cfg.checkpoint_dir.exists() else []
+        assert ckpts == []
