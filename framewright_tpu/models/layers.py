@@ -57,19 +57,37 @@ def conv2d(p: dict, x: jnp.ndarray, stride: int = 1, padding="SAME",
     return y.astype(x.dtype)
 
 
-def conv2d_transpose(p: dict, x: jnp.ndarray, stride: int = 2) -> jnp.ndarray:
-    """Transposed conv (stride-2 upsample), NHWC x HWIO -> NHWC."""
-    y = jax.lax.conv_transpose(
+def conv2d_transpose(p: dict, x: jnp.ndarray, stride: int = 2,
+                     kernel: int = 4, pad: int = 1) -> jnp.ndarray:
+    """Transposed conv with TORCH ConvTranspose2d semantics
+    (kernel=4, stride=2, padding=1 -> exact 2x upsample, the RIFE/GAN
+    idiom). Kernel stored HWIO like regular convs (ported torch weights
+    transpose (2,3,0,1) from torch's (in, out, kH, kW)).
+
+    Implemented as input dilation + flipped-kernel conv, which is the
+    definition of transposed convolution: insert (s-1) zeros between
+    inputs, pad (k-1-p) each side, correlate with the flipped kernel.
+    """
+    w = p["w"].astype(x.dtype)
+    w_flipped = w[::-1, ::-1, :, :]
+    edge = kernel - 1 - pad
+    y = jax.lax.conv_general_dilated(
         x,
-        p["w"].astype(x.dtype),
-        strides=(stride, stride),
-        padding="SAME",
+        w_flipped,
+        window_strides=(1, 1),
+        padding=((edge, edge), (edge, edge)),
+        lhs_dilation=(stride, stride),
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         precision=_conv_precision(x),
         preferred_element_type=jnp.float32,
     )
     y = y + p["b"].astype(jnp.float32)
     return y.astype(x.dtype)
+
+
+def prelu(x: jnp.ndarray, alpha: jnp.ndarray) -> jnp.ndarray:
+    """Channel-wise PReLU (alpha shape (C,))."""
+    return jnp.where(x >= 0, x, x * alpha.astype(x.dtype))
 
 
 def lrelu(x: jnp.ndarray, slope: float = 0.2) -> jnp.ndarray:

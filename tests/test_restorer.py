@@ -139,3 +139,24 @@ class TestCheckpointResume:
         ckpts = list((cfg.checkpoint_dir).glob("ckpt_*.json")) \
             if cfg.checkpoint_dir.exists() else []
         assert ckpts == []
+
+
+class TestInterpolationStage:
+    def test_enhance_then_interpolate(self, tmp_path, gradient_frame):
+        src = tmp_path / "clip.y4m"
+        with Y4MWriter(src, 64, 48, fps=12) as w:
+            for t in range(6):
+                w.write_frame(gradient_frame(48, 64, t))
+        cfg = _make_cfg(
+            tmp_path, interpolation=True, target_fps=24.0,
+            scale_factor=1, sr_model="none",
+        )
+        out = tmp_path / "o.y4m"
+        result = VideoRestorer(cfg).restore_video(src, output=out)
+        # 6 frames at 12fps -> factor 2 -> 11 frames at 24fps
+        assert result.frames_out == 11
+        with Y4MReader(out) as r:
+            assert r.fps == 24.0
+            assert r.count_frames() == 11
+        # intermediate cleaned up
+        assert not (cfg.work_dir / "enhanced.y4m").exists()
