@@ -96,19 +96,8 @@ def _ifblock(p, x, cfg) -> jnp.ndarray:
     return out
 
 
-def apply(
-    params: Dict,
-    img0: jnp.ndarray,
-    img1: jnp.ndarray,
-    timestep: float = 0.5,
-    cfg: IFNetConfig = IFNetConfig(),
-) -> jnp.ndarray:
-    """Interpolate the frame at ``timestep`` between img0 and img1.
-
-    img0/img1: (B, H, W, 3) float [0,1]; H, W must be multiples of 32
-    (callers pad; scale-8 block downsamples by 32 total).
-    Returns (B, H, W, 3).
-    """
+def _pyramid(params, img0, img1, timestep, cfg):
+    """Run the coarse-to-fine refinement; returns (flow, mask, w0, w1)."""
     b, h, w, _ = img0.shape
     flow = jnp.zeros((b, h, w, 4), img0.dtype)
     mask = jnp.zeros((b, h, w, 1), img0.dtype)
@@ -133,8 +122,45 @@ def apply(
         warped0 = flow_warp(img0, flow[..., 0:2])
         warped1 = flow_warp(img1, flow[..., 2:4])
 
+    return flow, mask, warped0, warped1
+
+
+def apply(
+    params: Dict,
+    img0: jnp.ndarray,
+    img1: jnp.ndarray,
+    timestep: float = 0.5,
+    cfg: IFNetConfig = IFNetConfig(),
+) -> jnp.ndarray:
+    """Interpolate the frame at ``timestep`` between img0 and img1.
+
+    img0/img1: (B, H, W, 3) float [0,1]; H, W must be multiples of 32
+    (callers pad; scale-8 block downsamples by 32 total).
+    Returns (B, H, W, 3).
+    """
+    flow, mask, warped0, warped1 = _pyramid(params, img0, img1, timestep, cfg)
     m = jax.nn.sigmoid(mask)
     return jnp.clip(warped0 * m + warped1 * (1.0 - m), 0.0, 1.0)
+
+
+def estimate_flow(
+    params: Dict,
+    img0: jnp.ndarray,
+    img1: jnp.ndarray,
+    cfg: IFNetConfig = IFNetConfig(),
+) -> jnp.ndarray:
+    """Optical flow on img0's grid sampling INTO img1 (pixels, (x, y)):
+    ``flow_warp(img1, flow) ~ img0``. This is the alignment flow the
+    temporal denoiser uses (timestep 0 => the t-frame is img0 itself).
+    Pads to multiples of 32 internally."""
+    b, h, w, c = img0.shape
+    hp, wp = -(-h // 32) * 32, -(-w // 32) * 32
+    if (hp, wp) != (h, w):
+        pad = ((0, 0), (0, hp - h), (0, wp - w), (0, 0))
+        img0 = jnp.pad(img0, pad, mode="edge")
+        img1 = jnp.pad(img1, pad, mode="edge")
+    flow, _, _, _ = _pyramid(params, img0, img1, 0.0, cfg)
+    return flow[:, :h, :w, 2:4]
 
 
 def interpolate_padded(params, img0, img1, timestep=0.5,

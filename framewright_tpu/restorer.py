@@ -292,8 +292,30 @@ class VideoRestorer:
         mapping = dedup.frame_mapping if dedup else None
 
         reader = open_reader(data["source"])
+        src_iter = iter(reader)
+        if cfg.denoise:
+            from framewright_tpu.processors.temporal_denoise import (
+                TemporalDenoiseConfig,
+                TemporalDenoiser,
+            )
+
+            method = {"restormer": "nafnet"}.get(cfg.denoise_model,
+                                                 cfg.denoise_model)
+            dn = TemporalDenoiser(TemporalDenoiseConfig(
+                radius=(cfg.temporal_window - 1) // 2,
+                strength=cfg.denoise_strength,
+                method=method if method in ("temporal", "nafnet", "bilateral")
+                else "temporal",
+                scene_change_threshold=cfg.scene_threshold,
+            ))
+            dn.setup(meta.height, meta.width)
+            src_iter = dn.denoise_stream(src_iter)
+        if cfg.temporal_consistency:
+            from framewright_tpu.processors.temporal_denoise import FlickerReducer
+
+            src_iter = FlickerReducer().reduce_stream(src_iter)
         drain = WriterDrain(writer.write_frame, depth=4)
-        ring = PrefetchRing(iter(reader), batch_size=batch_size,
+        ring = PrefetchRing(src_iter, batch_size=batch_size,
                             skip_frames=resume_from, start_frame=resume_from)
         last_out: Optional[np.ndarray] = None
         last_unique_idx = -1

@@ -160,3 +160,18 @@ class TestInterpolationStage:
             assert r.count_frames() == 11
         # intermediate cleaned up
         assert not (cfg.work_dir / "enhanced.y4m").exists()
+
+
+class TestDenoiseStage:
+    def test_denoise_in_pipeline(self, tmp_path, gradient_frame):
+        src = tmp_path / "clip.y4m"
+        with Y4MWriter(src, 64, 48, fps=12) as w:
+            for t in range(8):
+                w.write_frame(gradient_frame(48, 64, t))
+        cfg = _make_cfg(tmp_path, denoise=True, denoise_model="temporal",
+                        temporal_window=3, scale_factor=1, sr_model="none",
+                        temporal_consistency=True)
+        result = VideoRestorer(cfg).restore_video(src, output=tmp_path / "o.y4m")
+        assert result.frames_out == 8
+        with Y4MReader(tmp_path / "o.y4m") as r:
+            assert r.count_frames() == 8
