@@ -1,0 +1,192 @@
+"""Face detection + restoration.
+
+Reference behavior (processors/face_restore.py:46, restoration/faces.py
+UnifiedFaceRestorer with GFPGAN/CodeFormer/RestoreFormer backends):
+detect faces, crop-align, run a restoration model per face, paste back
+with feathered blending.
+
+Round-1 implementation: a dependency-free skin-region detector
+(YCbCr chroma gating + connected components — the classical approach)
+and a restoration backend that runs the SR model zoo on face crops and
+blends at original scale, sharpening facial detail. The GFPGAN-class
+generative prior backend slots into ``FaceRestorer._enhance_crop``
+when its weights/arch land (weight port tracked for round 2).
+"""
+
+from __future__ import annotations
+
+import logging
+from dataclasses import dataclass, field
+from typing import Iterator, List, Optional, Tuple
+
+import numpy as np
+from scipy import ndimage
+
+from framewright_tpu.processors.base import to_float, to_uint8
+
+logger = logging.getLogger(__name__)
+
+
+@dataclass
+class FaceBox:
+    x0: int
+    y0: int
+    x1: int
+    y1: int
+    confidence: float = 0.0
+
+    @property
+    def w(self) -> int:
+        return self.x1 - self.x0
+
+    @property
+    def h(self) -> int:
+        return self.y1 - self.y0
+
+    def expand(self, factor: float, bounds: Tuple[int, int]) -> "FaceBox":
+        bh, bw = bounds
+        cx, cy = (self.x0 + self.x1) / 2, (self.y0 + self.y1) / 2
+        nw, nh = self.w * factor, self.h * factor
+        return FaceBox(
+            max(0, int(cx - nw / 2)), max(0, int(cy - nh / 2)),
+            min(bw, int(cx + nw / 2)), min(bh, int(cy + nh / 2)),
+            self.confidence,
+        )
+
+
+class FaceDetector:
+    """Skin-chroma segmentation detector (classical YCbCr gates)."""
+
+    def __init__(self, min_face_frac: float = 0.002, max_faces: int = 8):
+        self.min_face_frac = min_face_frac
+        self.max_faces = max_faces
+
+    def detect(self, frame: np.ndarray) -> List[FaceBox]:
+        f = frame.astype(np.float32)
+        r, g, b = f[..., 0], f[..., 1], f[..., 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+        cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+        skin = (cb > 77) & (cb < 127) & (cr > 133) & (cr < 173) & (y > 40)
+        # clean small speckles
+        skin = ndimage.binary_opening(skin, iterations=1)
+        labels, n = ndimage.label(skin)
+        if n == 0:
+            return []
+        boxes: List[FaceBox] = []
+        h, w = skin.shape
+        min_area = self.min_face_frac * h * w
+        for sl in ndimage.find_objects(labels):
+            if sl is None:
+                continue
+            ys, xs = sl
+            bh, bw = ys.stop - ys.start, xs.stop - xs.start
+            area = bh * bw
+            if area < min_area:
+                continue
+            aspect = bh / max(bw, 1)
+            if not (0.6 <= aspect <= 2.4):
+                continue
+            fill = skin[sl].mean()
+            if fill < 0.35:
+                continue
+            boxes.append(FaceBox(xs.start, ys.start, xs.stop, ys.stop,
+                                 confidence=float(fill)))
+        boxes.sort(key=lambda bx: -bx.confidence)
+        return boxes[: self.max_faces]
+
+
+@dataclass
+class FaceRestoreConfig:
+    strength: float = 0.8
+    backend: str = "sr"           # sr | gfpgan (when weights land)
+    sr_model: str = "realesr-general-x4v3"
+    expand: float = 1.6
+    crop_size: int = 128          # model input (static shape for jit)
+    weights_dir: Optional[str] = None
+
+
+@dataclass
+class FaceRestoreResult:
+    frames: int = 0
+    faces_restored: int = 0
+
+
+class FaceRestorer:
+    def __init__(self, config: Optional[FaceRestoreConfig] = None):
+        self.config = config or FaceRestoreConfig()
+        self.detector = FaceDetector()
+        self._fn = None
+        self._spec = None
+        self._params = None
+        self.result = FaceRestoreResult()
+
+    def setup(self, height: int, width: int) -> None:
+        import jax
+        import jax.numpy as jnp
+
+        from framewright_tpu.models.registry import init_model
+
+        spec, params = init_model(
+            self.config.sr_model, weights_dir=self.config.weights_dir,
+            dtype=jnp.float32, allow_random=True,
+        )
+        self._spec = spec
+        self._params = params
+
+        @jax.jit
+        def run(p, x):
+            return jnp.clip(spec.apply_fn(p, x, spec.arch_config), 0.0, 1.0)
+
+        self._fn = run
+
+    # ------------------------------------------------------------------
+    def _enhance_crop(self, crop: np.ndarray) -> np.ndarray:
+        """Enhance one face crop at a fixed model size, return at the
+        crop's original size."""
+        import jax.numpy as jnp
+
+        from framewright_tpu.models.layers import resize_bicubic
+
+        ch, cw = crop.shape[:2]
+        s = self.config.crop_size
+        x = resize_bicubic(jnp.asarray(to_float(crop[None])), (s, s))
+        y = self._fn(self._params, x)          # (1, s*scale, s*scale, 3)
+        y = resize_bicubic(y, (ch, cw))
+        return to_uint8(np.asarray(y))[0]
+
+    @staticmethod
+    def _feather_mask(h: int, w: int, border: int = 8) -> np.ndarray:
+        m = np.ones((h, w), np.float32)
+        ramp = np.linspace(0, 1, max(border, 1), endpoint=False)
+        m[:border] *= ramp[:, None]
+        m[-border:] *= ramp[::-1][:, None]
+        m[:, :border] *= ramp[None, :]
+        m[:, -border:] *= ramp[::-1][None, :]
+        return m[..., None]
+
+    def restore_frame(self, frame: np.ndarray) -> np.ndarray:
+        boxes = self.detector.detect(frame)
+        if not boxes:
+            return frame
+        out = frame.astype(np.float32)
+        for box in boxes:
+            eb = box.expand(self.config.expand, frame.shape[:2])
+            if eb.w < 12 or eb.h < 12:
+                continue
+            crop = frame[eb.y0:eb.y1, eb.x0:eb.x1]
+            enhanced = self._enhance_crop(crop).astype(np.float32)
+            mask = self._feather_mask(eb.h, eb.w) * self.config.strength
+            region = out[eb.y0:eb.y1, eb.x0:eb.x1]
+            out[eb.y0:eb.y1, eb.x0:eb.x1] = region * (1 - mask) + enhanced * mask
+            self.result.faces_restored += 1
+        return np.clip(out, 0, 255).astype(np.uint8)
+
+    def process_stream(self, frames_iter: Iterator[np.ndarray]) -> Iterator[np.ndarray]:
+        started = False
+        for f in frames_iter:
+            if not started:
+                self.setup(f.shape[0], f.shape[1])
+                started = True
+            self.result.frames += 1
+            yield self.restore_frame(f)

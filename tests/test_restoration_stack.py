@@ -1,0 +1,181 @@
+"""LaMa inpainting, faces, colorization tests."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from framewright_tpu.models import lama
+from framewright_tpu.processors.colorize import Colorizer, ColorizeConfig, rgb_to_ycbcr
+from framewright_tpu.processors.faces import FaceDetector, FaceRestoreConfig, FaceRestorer
+from framewright_tpu.processors.inpaint import (
+    InpaintConfig,
+    SubtitleRemover,
+    WatermarkRemover,
+)
+
+
+class TestLamaModel:
+    def _tiny(self):
+        return lama.LamaConfig(ngf=8, n_down=2, n_blocks=2)
+
+    def test_shapes(self, rng):
+        cfg = self._tiny()
+        params = lama.init(jax.random.PRNGKey(0), cfg)
+        img = jnp.asarray(rng.random((1, 16, 16, 3)).astype(np.float32))
+        mask = jnp.zeros((1, 16, 16, 1))
+        out = lama.apply(params, img, mask, cfg)
+        assert out.shape == (1, 16, 16, 3)
+
+    def test_unmasked_pixels_passthrough(self, rng):
+        cfg = self._tiny()
+        params = lama.init(jax.random.PRNGKey(0), cfg)
+        img = jnp.asarray(rng.random((1, 16, 16, 3)).astype(np.float32))
+        mask = np.zeros((1, 16, 16, 1), np.float32)
+        mask[0, 4:8, 4:8] = 1.0
+        out = np.asarray(lama.apply(params, img, jnp.asarray(mask), cfg))
+        outside = np.abs(out - np.asarray(img)) * (1 - mask)
+        assert outside.max() < 1e-6  # composited through the mask
+
+    def test_padded_arbitrary_dims(self, rng):
+        cfg = self._tiny()
+        params = lama.init(jax.random.PRNGKey(0), cfg)
+        img = jnp.asarray(rng.random((1, 13, 19, 3)).astype(np.float32))
+        mask = jnp.zeros((1, 13, 19, 1))
+        out = lama.apply_padded(params, img, mask, cfg)
+        assert out.shape == (1, 13, 19, 3)
+
+    def test_fourier_unit_roundtrip_identity(self, rng):
+        # with an identity-initialized spectral conv the FourierUnit
+        # must reproduce relu(BN(x)) pathways consistently; here we just
+        # check FFT/iFFT wiring: zero conv -> zero output
+        c = 4
+        p = lama._fourier_unit_init(jax.random.PRNGKey(0), c)
+        p["conv"]["w"] = jnp.zeros_like(p["conv"]["w"])
+        p["conv"]["b"] = jnp.zeros_like(p["conv"]["b"])
+        x = jnp.asarray(rng.random((1, 8, 8, c)).astype(np.float32))
+        out = lama._fourier_unit(p, x)
+        assert float(jnp.abs(out).max()) < 1e-5
+
+
+class TestWatermarkRemoval:
+    def _clip_with_logo(self, rng, n=12):
+        frames = []
+        for t in range(n):
+            base = rng.random((48, 64)) * 180 + 40
+            f = np.stack([np.roll(base, t * 3, axis=1)] * 3, -1)
+            # static high-contrast logo block
+            f[4:12, 50:62] = 255
+            f[5:11, 51:61] = 20
+            frames.append(f.astype(np.uint8))
+        return frames
+
+    def test_auto_detect_finds_static_logo(self, rng):
+        frames = self._clip_with_logo(rng)
+        wr = WatermarkRemover(InpaintConfig(method="diffusion", detect_frames=10))
+        mask = wr.detect_mask(frames)
+        assert mask[5:10, 52:60].mean() > 0.5   # logo covered
+        assert mask[30:].mean() < 0.1  # content not covered
+
+    def test_stream_removes_logo(self, rng):
+        frames = self._clip_with_logo(rng)
+        wr = WatermarkRemover(InpaintConfig(method="diffusion", detect_frames=10))
+        out = list(wr.process_stream(iter(frames)))
+        assert len(out) == len(frames)
+        # the hard logo edges should be gone (filled from surroundings)
+        logo_region = out[5][5:11, 51:61].astype(np.float32)
+        assert logo_region.std() < 45
+        assert abs(logo_region.mean() - 20) > 25  # no longer the dark box
+
+    def test_custom_mask(self, rng):
+        frames = [(rng.random((32, 32, 3)) * 255).astype(np.uint8) for _ in range(4)]
+        wr = WatermarkRemover(InpaintConfig(
+            method="diffusion", auto_detect=False,
+            custom_masks=[(8, 8, 16, 16)], detect_frames=2))
+        out = list(wr.process_stream(iter(frames)))
+        assert len(out) == 4
+
+    def test_lama_method_runs(self, rng):
+        frames = [(rng.random((24, 24, 3)) * 255).astype(np.uint8) for _ in range(4)]
+        wr = WatermarkRemover(InpaintConfig(
+            method="lama", auto_detect=False,
+            custom_masks=[(4, 4, 12, 12)], detect_frames=2))
+        out = list(wr.process_stream(iter(frames)))
+        assert len(out) == 4
+
+    def test_subtitle_band_restriction(self, rng):
+        sr = SubtitleRemover(InpaintConfig(method="diffusion"))
+        assert sr.config.subtitle_band
+
+
+class TestFaces:
+    def _frame_with_face(self, rng):
+        f = np.zeros((96, 96, 3), np.uint8)
+        f[...] = (40, 90, 40)  # green background (non-skin)
+        # skin-colored ellipse-ish block
+        f[20:60, 30:60] = (205, 140, 115)
+        return f
+
+    def test_detector_finds_skin_region(self, rng):
+        boxes = FaceDetector().detect(self._frame_with_face(rng))
+        assert len(boxes) == 1
+        b = boxes[0]
+        assert 25 <= b.x0 <= 32 and 15 <= b.y0 <= 22
+
+    def test_no_faces_in_gray(self, rng):
+        g = np.stack([(rng.random((64, 64)) * 255)] * 3, -1).astype(np.uint8)
+        assert FaceDetector().detect(g) == []
+
+    def test_restore_frame_changes_face_only(self, rng, tmp_path):
+        frame = self._frame_with_face(rng)
+        fr = FaceRestorer(FaceRestoreConfig(
+            sr_model="realesr-animevideov3", crop_size=32,
+            weights_dir=str(tmp_path)))
+        fr.setup(96, 96)
+        out = fr.restore_frame(frame)
+        assert fr.result.faces_restored == 1
+        # background untouched
+        np.testing.assert_array_equal(out[80:, 80:], frame[80:, 80:])
+
+
+class TestColorize:
+    def test_palette_colorizes_bw(self, rng):
+        gray = np.stack([(rng.random((32, 48)) * 255)] * 3, -1).astype(np.uint8)
+        col = Colorizer(ColorizeConfig(saturation=0.7))
+        col.setup(32, 48)
+        out = col._colorize_keyframe(gray)
+        _, cb, cr = rgb_to_ycbcr(out.astype(np.float32))
+        sat = np.abs(cb - 128).mean() + np.abs(cr - 128).mean()
+        assert sat > 3.0  # chroma actually added
+        # luma preserved
+        y_in, _, _ = rgb_to_ycbcr(gray.astype(np.float32))
+        y_out, _, _ = rgb_to_ycbcr(out.astype(np.float32))
+        assert np.abs(y_in - y_out).mean() < 3.0
+
+    def test_stream_propagates_and_keyframes(self, rng):
+        base = rng.random((32, 48)) * 255
+        frames = [np.stack([np.roll(base, t, axis=1)] * 3, -1).astype(np.uint8)
+                  for t in range(8)]
+        col = Colorizer(ColorizeConfig(keyframe_interval=4))
+        out = list(col.colorize_stream(iter(frames)))
+        assert len(out) == 8
+        for f in out:
+            _, cb, cr = rgb_to_ycbcr(f.astype(np.float32))
+            assert np.abs(cb - 128).mean() + np.abs(cr - 128).mean() > 1.0
+
+    def test_exemplar_transfer(self, rng):
+        ref = np.zeros((32, 32, 3), np.uint8)
+        ref[:16] = (200, 60, 40)    # bright red region
+        ref[16:] = (10, 30, 90)     # dark blue region
+        gray_vals = np.zeros((32, 32), np.float32)
+        gray_vals[:16] = 180
+        gray_vals[16:] = 30
+        gray = np.stack([gray_vals] * 3, -1).astype(np.uint8)
+        col = Colorizer(ColorizeConfig(method="exemplar", reference_image=ref,
+                                       saturation=0.5))
+        col.setup(32, 32)
+        out = col._colorize_keyframe(gray).astype(np.float32)
+        # bright area should lean red, dark area lean blue
+        assert out[:16, :, 0].mean() > out[:16, :, 2].mean()
+        assert out[16:, :, 2].mean() > out[16:, :, 0].mean()
