@@ -36,6 +36,7 @@ class SRConfig:
     tile_size: int = 0            # 0 = planner decides
     tile_overlap: int = 0         # 0 = receptive default for the family
     batch_size: int = 0           # 0 = planner decides
+    sharding: str = "auto"        # auto|data|none: frame-axis mesh parallel
     hbm_utilization: float = 0.85
     weights_dir: Optional[str] = None
     allow_random_weights: bool = True   # bench/test mode
@@ -99,6 +100,21 @@ class SuperResolution(FrameProcessor):
             max_batch=cfg.batch_size or 16,
         )
         logger.info("SR plan: %s", self._plan)
+
+        # frame-axis data parallelism over the local mesh: the analog of
+        # the reference's MultiGPUDistributor (utils/multi_gpu.py:549)
+        self._mesh = None
+        if cfg.sharding in ("auto", "data") and len(jax.devices()) > 1:
+            from framewright_tpu.parallel.mesh import build_mesh, frame_sharding, replicate
+
+            self._mesh = build_mesh()
+            self._frame_sharding = frame_sharding(self._mesh)
+            self._params = jax.device_put(self._params, replicate(self._mesh))
+            if self._fast_params is not None:
+                self._fast_params = jax.device_put(
+                    self._fast_params, replicate(self._mesh))
+            logger.info("SR sharded over %d devices (frames axis)",
+                        self._mesh.shape["frames"])
         self._compile(dtype, use_fused)
 
     def _compile(self, dtype, use_fused: bool) -> None:
@@ -136,10 +152,21 @@ class SuperResolution(FrameProcessor):
 
         cfg = self.config
         x = to_float(frames)
+        n = x.shape[0]
+        if self._mesh is not None:
+            from framewright_tpu.parallel.mesh import pad_batch_for_mesh
+
+            n_pad = pad_batch_for_mesh(n, self._mesh)
+            if n_pad != n:
+                x = np.concatenate(
+                    [x, np.broadcast_to(x[-1:], (n_pad - n,) + x.shape[1:])], 0)
         for attempt in range(cfg.max_oom_retries + 1):
             try:
-                y = self._fn(x)
-                out = to_uint8(y)
+                xin = x
+                if self._mesh is not None:
+                    xin = jax.device_put(x, self._frame_sharding)
+                y = self._fn(xin)
+                out = to_uint8(y)[:n]
                 break
             except Exception as exc:  # noqa: BLE001
                 err = classify_error(exc)
