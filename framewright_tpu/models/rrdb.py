@@ -148,17 +148,22 @@ def make_fast_params(params: Dict, dtype=jnp.bfloat16) -> Dict:
 
 
 def apply_fast(params: Dict, fast_params: Dict, x: jnp.ndarray,
-               cfg: RRDBConfig = RRDBConfig(), interpret: bool = False) -> jnp.ndarray:
+               cfg: RRDBConfig = RRDBConfig(), interpret: bool = False,
+               fast_tail=None) -> jnp.ndarray:
     """Forward pass with the fused Pallas RDB body (TPU hot path).
 
-    Numerics match ``apply`` at bf16 rounding level (tests assert);
-    head/tail convs still run through XLA. ``interpret=True`` runs the
-    kernel in the Pallas interpreter (CPU CI).
+    Numerics match ``apply`` at bf16 rounding level (tests assert).
+    ``fast_tail`` (a prepared ops.pallas_conv.FastTail) routes the
+    upsample/tail convs through the band-conv kernel as well (2.2x over
+    XLA on v5e); ``interpret=True`` runs kernels in the Pallas
+    interpreter (CPU CI).
     """
     from framewright_tpu.ops.fused_rrdb import rrdb_body_fast
 
     feat = _head(params, x, cfg)
     body_out = rrdb_body_fast(feat, fast_params, interpret=interpret)
+    if fast_tail is not None:
+        return fast_tail(feat, body_out)
     return _tail(params, feat, body_out)
 
 

@@ -1,0 +1,129 @@
+"""Audio chain tests: WAV I/O, filters, enhancer, sync."""
+
+import numpy as np
+import pytest
+
+from framewright_tpu.audio import (
+    AudioEnhanceConfig,
+    AudioEnhancer,
+    AudioSyncAnalyzer,
+    AudioSyncCorrector,
+    ClickRemover,
+    HumRemover,
+    Normalizer,
+    SpectralDenoiser,
+    read_wav,
+    write_wav,
+)
+
+SR = 16000
+
+
+def _tone(freq, seconds=1.0, sr=SR, amp=0.3):
+    t = np.arange(int(seconds * sr)) / sr
+    return (amp * np.sin(2 * np.pi * freq * t)).astype(np.float32)
+
+
+class TestWavIO:
+    def test_roundtrip(self, tmp_path):
+        x = np.stack([_tone(440), _tone(880)], axis=1)
+        write_wav(tmp_path / "t.wav", x, SR)
+        y, sr = read_wav(tmp_path / "t.wav")
+        assert sr == SR and y.shape == x.shape
+        assert np.abs(y - x).max() < 1e-3  # 16-bit quantization
+
+    def test_mono(self, tmp_path):
+        write_wav(tmp_path / "m.wav", _tone(440), SR)
+        y, sr = read_wav(tmp_path / "m.wav")
+        assert y.shape[1] == 1
+
+
+class TestFilters:
+    def test_hum_removal_kills_50hz(self):
+        signal = _tone(1000)
+        hum = _tone(50, amp=0.2)
+        x = (signal + hum)[:, None]
+        out = HumRemover(50.0).process(x, SR)
+
+        def band_power(s, f):
+            spec = np.abs(np.fft.rfft(s[:, 0]))
+            k = int(f * len(s) / SR)
+            return spec[max(0, k - 2):k + 3].max()
+
+        assert band_power(out, 50) < band_power(x, 50) * 0.2
+        assert band_power(out, 1000) > band_power(x, 1000) * 0.7
+
+    def test_click_removal(self):
+        x = _tone(300)[:, None].copy()
+        x[5000] = 0.99
+        x[9000] = -0.99
+        out = ClickRemover().process(x, SR)
+        assert abs(out[5000, 0]) < 0.5
+        assert abs(out[9000, 0]) < 0.5
+        # signal preserved elsewhere
+        assert np.abs(out[:4000] - x[:4000]).max() < 0.05
+
+    def test_spectral_denoise_improves_snr(self, rng):
+        # intermittent speech-like signal: spectral subtraction needs
+        # quiet frames to estimate the noise floor
+        clean = _tone(500, 2.0)
+        gate = np.zeros_like(clean)
+        gate[SR // 2:SR] = 1.0
+        gate[SR + SR // 2:] = 1.0
+        clean = clean * gate
+        noise = rng.normal(0, 0.05, clean.shape).astype(np.float32)
+        x = (clean + noise)[:, None]
+        out = SpectralDenoiser(strength=1.8).process(x, SR)
+        silent = slice(2048, SR // 2 - 2048)
+        assert np.mean(out[silent, 0] ** 2) < np.mean(x[silent, 0] ** 2) * 0.4
+        on = slice(SR // 2 + 2048, SR - 2048)
+        tone_power = np.mean(clean[on] ** 2)
+        assert np.mean(out[on, 0] ** 2) > tone_power * 0.4
+
+    def test_normalizer_hits_target(self):
+        x = (_tone(440, amp=0.01))[:, None]
+        out = Normalizer(target_dbfs=-18).process(x, SR)
+        rms_db = 20 * np.log10(np.sqrt(np.mean(out ** 2)))
+        assert abs(rms_db - (-18)) < 1.5
+
+
+class TestEnhancer:
+    def test_chain_runs(self, tmp_path, rng):
+        x = (_tone(800) + _tone(50, amp=0.15)
+             + rng.normal(0, 0.02, SR).astype(np.float32))[:, None]
+        write_wav(tmp_path / "in.wav", x, SR)
+        out_path = AudioEnhancer(AudioEnhanceConfig()).process_file(
+            tmp_path / "in.wav", tmp_path / "out.wav")
+        y, sr = read_wav(out_path)
+        assert y.shape[0] == x.shape[0]
+
+
+class TestSync:
+    def test_constant_offset_detected_and_corrected(self, rng):
+        base = rng.normal(0, 0.1, SR * 4).astype(np.float32)
+        ref = base[:, None]
+        shift = int(0.25 * SR)
+        test = np.concatenate([np.zeros(shift, np.float32), base])[: len(base)][:, None]
+        res = AudioSyncAnalyzer(window_s=1.0, step_s=1.0).analyze(ref, test, SR)
+        assert abs(abs(res["offset_s"]) - 0.25) < 0.02
+        # analyzer returns the alignment-ready correction directly
+        fixed = AudioSyncCorrector.correct(test, SR, offset_s=res["offset_s"])
+        # after correction, alignment error shrinks
+        n = min(len(fixed), len(ref))
+        before = np.mean((test[:n, 0] - ref[:n, 0]) ** 2)
+        after = np.mean((fixed[:n, 0] - ref[:n, 0]) ** 2)
+        assert after < before * 0.1
+
+    def test_drift_estimation(self, rng):
+        base = rng.normal(0, 0.1, SR * 30).astype(np.float32)
+        ref = base[:, None]
+        # 0.5% drift: test track resampled slightly long
+        n = len(base)
+        idx = np.linspace(0, n - 1, int(n * 1.005))
+        test = np.interp(idx, np.arange(n), base).astype(np.float32)[:, None]
+        res = AudioSyncAnalyzer(window_s=2.0, step_s=5.0).analyze(ref, test, SR)
+        assert res["points"] >= 3
+        # alignment-ready convention: a 1.005x-stretched track needs a
+        # negative drift correction (~-0.005); windowed xcorr biases
+        # the magnitude, so accept the right sign and order of magnitude
+        assert -0.012 < res["drift_s_per_s"] < -0.002
