@@ -187,6 +187,159 @@ def cmd_bench(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_suite(args: argparse.Namespace) -> int:
+    from framewright_tpu.benchmarks import BenchmarkRunner, standard_suite
+
+    runner = BenchmarkRunner(Path(args.work_dir), iterations=args.iterations)
+    results = runner.run_suite(standard_suite(tiny=args.tiny))
+    for r in results:
+        print(f"{r.case:20s} {r.fps:8.2f} fps  ({r.frames} frames in {r.seconds}s)")
+    if args.output:
+        runner.save_results(results, Path(args.output))
+    return 0
+
+
+def cmd_recipes(args: argparse.Namespace) -> int:
+    from framewright_tpu.recipes import RECIPES
+
+    for name, r in sorted(RECIPES.items()):
+        print(f"{name:28s} - {r.description}")
+    return 0
+
+
+def cmd_recipe(args: argparse.Namespace) -> int:
+    from framewright_tpu.recipes import RecipeExecutor, get_recipe
+
+    recipe = get_recipe(args.name)
+    if args.device != "auto":
+        import jax
+
+        jax.config.update("jax_platforms", args.device)
+    ex = RecipeExecutor(recipe, Path(args.project_dir))
+    result = ex.execute(args.source, output=args.output)
+    print(json.dumps({"output": str(result.output_path),
+                      "frames": result.frames_out,
+                      "seconds": round(result.duration_s, 1)}, indent=2))
+    return 0
+
+
+def cmd_auto(args: argparse.Namespace) -> int:
+    """Analyze content, pick settings, restore (--auto-enhance path)."""
+    from framewright_tpu.io import open_reader, probe
+    from framewright_tpu.presets import PresetRegistry, SmartPresetSelector
+    from framewright_tpu.processors.analysis import ContentAnalyzer
+    from framewright_tpu.restorer import VideoRestorer
+
+    if args.device != "auto":
+        import jax
+
+        jax.config.update("jax_platforms", args.device)
+    meta = probe(args.source)
+    with open_reader(args.source) as r:
+        report = ContentAnalyzer().analyze(iter(r), height=meta.height)
+    print("analysis:", json.dumps(report.to_dict(), indent=2), file=sys.stderr)
+    cfg = SmartPresetSelector(PresetRegistry()).select(report, meta.nb_frames)
+    cfg = cfg.with_overrides(project_dir=str(args.project_dir))
+    result = VideoRestorer(cfg).restore_video(args.source, output=args.output)
+    print(json.dumps({"output": str(result.output_path),
+                      "preset": cfg.preset,
+                      "frames": result.frames_out}, indent=2))
+    return 0
+
+
+def cmd_do(args: argparse.Namespace) -> int:
+    """Natural-language command ('framewright do \"restore my vhs ...\"')."""
+    from framewright_tpu.nlp import build_config_from_text
+    from framewright_tpu.restorer import VideoRestorer
+
+    cfg, cmd = build_config_from_text(args.text,
+                                      project_dir=str(args.project_dir))
+    print(cmd.describe(), file=sys.stderr)
+    source = args.source or cmd.source
+    if not source:
+        print("error: no input file found in the command; pass --source",
+              file=sys.stderr)
+        return 1
+    if args.dry_run:
+        print(json.dumps(cfg.to_dict(), indent=2))
+        return 0
+    if args.device != "auto":
+        import jax
+
+        jax.config.update("jax_platforms", args.device)
+    result = VideoRestorer(cfg).restore_video(source, output=args.output)
+    print(json.dumps({"output": str(result.output_path),
+                      "frames": result.frames_out}, indent=2))
+    return 0
+
+
+def cmd_batch(args: argparse.Namespace) -> int:
+    from framewright_tpu.batch import BatchQueueProcessor
+    from framewright_tpu.persistence import JobStore
+
+    store = JobStore(Path(args.db))
+    q = BatchQueueProcessor(store)
+    if args.action == "submit":
+        jid = q.submit(args.source, args.output or "")
+        print(jid)
+    elif args.action == "list":
+        for job in store.list_jobs():
+            print(f"{job.job_id}  {job.state:10s} {job.frames_done:6d}f  {job.source}")
+    elif args.action == "run":
+        q.resume_crashed()
+        n = q.run_until_empty()
+        print(f"processed {n} jobs")
+    return 0
+
+
+def cmd_watch(args: argparse.Namespace) -> int:
+    from framewright_tpu.batch import BatchQueueProcessor, WatchFolder
+    from framewright_tpu.persistence import JobStore
+
+    store = JobStore(Path(args.db))
+    q = BatchQueueProcessor(store)
+    wf = WatchFolder(Path(args.directory), q, poll_s=args.poll,
+                     output_dir=Path(args.output_dir) if args.output_dir else None)
+    print(f"watching {args.directory} (ctrl-c to stop)", file=sys.stderr)
+    try:
+        wf.run(max_cycles=args.cycles)
+    except KeyboardInterrupt:
+        pass
+    return 0
+
+
+def cmd_qa_report(args: argparse.Namespace) -> int:
+    from framewright_tpu.reports import QAReport
+
+    rep = QAReport(source=args.source, output=args.output or "")
+    path = rep.save(Path(args.report))
+    print(str(path))
+    return 0
+
+
+def cmd_export_presets(args: argparse.Namespace) -> int:
+    from framewright_tpu.export import EXPORT_PRESETS
+
+    for name, p in sorted(EXPORT_PRESETS.items()):
+        print(f"{name:16s} {p.codec:12s} crf={p.crf:<3d} - {p.description}")
+    return 0
+
+
+def cmd_audio(args: argparse.Namespace) -> int:
+    from framewright_tpu.audio import AudioEnhanceConfig, AudioEnhancer
+
+    cfg = AudioEnhanceConfig(
+        denoise=not args.no_denoise,
+        hum_removal=not args.no_hum,
+        click_removal=not args.no_clicks,
+        normalize=not args.no_normalize,
+        hum_freq=args.hum_freq,
+    )
+    out = AudioEnhancer(cfg).process_file(Path(args.source), Path(args.output))
+    print(str(out))
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     parser = argparse.ArgumentParser(
         prog="framewright",
@@ -220,6 +373,74 @@ def build_parser() -> argparse.ArgumentParser:
     p = sub.add_parser("bench", help="run the headline benchmark")
     p.set_defaults(func=cmd_bench)
 
+    p = sub.add_parser("suite", help="run the standard benchmark suite")
+    p.add_argument("--work-dir", default="./framewright_bench")
+    p.add_argument("--iterations", type=int, default=3)
+    p.add_argument("--tiny", action="store_true")
+    p.add_argument("--output", default="")
+    p.set_defaults(func=cmd_suite)
+
+    p = sub.add_parser("recipes", help="list restoration recipes")
+    p.set_defaults(func=cmd_recipes)
+
+    p = sub.add_parser("recipe", help="run a named recipe")
+    p.add_argument("name")
+    p.add_argument("source")
+    p.add_argument("-o", "--output", type=Path, default=None)
+    p.add_argument("--project-dir", default="./framewright_project")
+    p.add_argument("--device", choices=["auto", "tpu", "cpu"], default="auto")
+    p.set_defaults(func=cmd_recipe)
+
+    p = sub.add_parser("auto", help="analyze content and auto-restore")
+    p.add_argument("source")
+    p.add_argument("-o", "--output", type=Path, default=None)
+    p.add_argument("--project-dir", default="./framewright_project")
+    p.add_argument("--device", choices=["auto", "tpu", "cpu"], default="auto")
+    p.set_defaults(func=cmd_auto)
+
+    p = sub.add_parser("do", help='natural-language command: do "restore my vhs tape.mp4"')
+    p.add_argument("text")
+    p.add_argument("--source", default="")
+    p.add_argument("-o", "--output", type=Path, default=None)
+    p.add_argument("--project-dir", default="./framewright_project")
+    p.add_argument("--device", choices=["auto", "tpu", "cpu"], default="auto")
+    p.add_argument("--dry-run", action="store_true")
+    p.set_defaults(func=cmd_do)
+
+    p = sub.add_parser("batch", help="batch queue: submit/list/run")
+    p.add_argument("action", choices=["submit", "list", "run"])
+    p.add_argument("source", nargs="?", default="")
+    p.add_argument("-o", "--output", default="")
+    p.add_argument("--db", default="./framewright_jobs.db")
+    p.set_defaults(func=cmd_batch)
+
+    p = sub.add_parser("watch", help="watch a folder and restore new videos")
+    p.add_argument("directory")
+    p.add_argument("--output-dir", default="")
+    p.add_argument("--db", default="./framewright_jobs.db")
+    p.add_argument("--poll", type=float, default=2.0)
+    p.add_argument("--cycles", type=int, default=None)
+    p.set_defaults(func=cmd_watch)
+
+    p = sub.add_parser("qa-report", help="write a QA report skeleton")
+    p.add_argument("source")
+    p.add_argument("--output", default="")
+    p.add_argument("--report", default="qa_report.html")
+    p.set_defaults(func=cmd_qa_report)
+
+    p = sub.add_parser("export-presets", help="list encode/export presets")
+    p.set_defaults(func=cmd_export_presets)
+
+    p = sub.add_parser("audio", help="enhance a WAV audio file")
+    p.add_argument("source")
+    p.add_argument("output")
+    p.add_argument("--no-denoise", action="store_true")
+    p.add_argument("--no-hum", action="store_true")
+    p.add_argument("--no-clicks", action="store_true")
+    p.add_argument("--no-normalize", action="store_true")
+    p.add_argument("--hum-freq", type=float, default=50.0)
+    p.set_defaults(func=cmd_audio)
+
     return parser
 
 
@@ -227,7 +448,9 @@ def main(argv: Optional[List[str]] = None) -> int:
     argv = list(sys.argv[1:] if argv is None else argv)
     # `framewright video.mp4` sugar: treat a path-like first arg as restore
     known = {"restore", "probe", "check", "presets", "models", "analyze",
-             "bench", "-h", "--help", "--version"}
+             "bench", "suite", "recipes", "recipe", "auto", "do", "batch",
+             "watch", "qa-report", "export-presets", "audio",
+             "-h", "--help", "--version"}
     if argv and argv[0] not in known and not argv[0].startswith("-"):
         argv = ["restore"] + argv
     parser = build_parser()

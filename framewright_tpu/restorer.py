@@ -286,6 +286,17 @@ class VideoRestorer:
             else:
                 resume_from = 0
 
+        face_restorer = None
+        if cfg.face_restore:
+            from framewright_tpu.processors.faces import (
+                FaceRestoreConfig,
+                FaceRestorer,
+            )
+
+            face_restorer = FaceRestorer(FaceRestoreConfig(
+                strength=cfg.face_strength))
+            face_restorer.setup(oh, ow)
+
         tracker = _EtaTracker()
         frame_errors = 0
         written = resume_from
@@ -293,6 +304,36 @@ class VideoRestorer:
 
         reader = open_reader(data["source"])
         src_iter = iter(reader)
+        # pre-SR restoration stream (reference stage order,
+        # restorer.py:3094-3407: format fixes -> defects -> color ->
+        # denoise -> SR)
+        if cfg.deinterlace in ("yadif", "bwdif"):
+            from framewright_tpu.processors.format import Deinterlacer
+
+            src_iter = Deinterlacer(method="blend").process_stream(src_iter)
+        if cfg.defect_repair:
+            from framewright_tpu.processors.film import DefectRepairer
+
+            src_iter = DefectRepairer().process_stream(src_iter)
+        if cfg.watermark_removal or cfg.subtitle_removal:
+            from framewright_tpu.processors.inpaint import (
+                InpaintConfig,
+                SubtitleRemover,
+                WatermarkRemover,
+            )
+
+            cls = SubtitleRemover if cfg.subtitle_removal else WatermarkRemover
+            src_iter = cls(InpaintConfig(
+                method=cfg.inpaint_model if cfg.inpaint_model in ("lama", "diffusion")
+                else "lama",
+                auto_detect=cfg.watermark_auto_detect,
+            )).process_stream(src_iter)
+        if cfg.colorize:
+            from framewright_tpu.processors.colorize import ColorizeConfig, Colorizer
+
+            src_iter = Colorizer(ColorizeConfig(
+                scene_change_threshold=cfg.scene_threshold,
+            )).colorize_stream(src_iter)
         if cfg.denoise:
             from framewright_tpu.processors.temporal_denoise import (
                 TemporalDenoiseConfig,
@@ -368,6 +409,12 @@ class VideoRestorer:
                         last_out = self._upscale_fallback(frames[pos:pos+1], (oh, ow))[0]
                     outs.append(last_out)
                 out_arr = np.stack(outs)
+
+                if face_restorer is not None:
+                    out_arr = np.stack([
+                        face_restorer.restore_frame(out_arr[pos])
+                        for pos in range(len(idxs))
+                    ])
 
                 if validator is not None:
                     for pos in range(len(idxs)):

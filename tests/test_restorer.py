@@ -175,3 +175,24 @@ class TestDenoiseStage:
         assert result.frames_out == 8
         with Y4MReader(tmp_path / "o.y4m") as r:
             assert r.count_frames() == 8
+
+
+class TestFullRecipeStages:
+    def test_all_stages_on(self, tmp_path, gradient_frame):
+        # the "everything enabled" pipeline must run end to end
+        src = tmp_path / "clip.y4m"
+        with Y4MWriter(src, 64, 48, fps=12) as w:
+            for t in range(10):
+                w.write_frame(gradient_frame(48, 64, t))
+        cfg = _make_cfg(
+            tmp_path, scale_factor=1, sr_model="none",
+            deinterlace="yadif", defect_repair=True,
+            watermark_removal=True, inpaint_model="lama",
+            colorize=True, denoise=True, denoise_model="temporal",
+            temporal_window=3, face_restore=True,
+            temporal_consistency=True, deduplicate=True,
+        )
+        result = VideoRestorer(cfg).restore_video(src, output=tmp_path / "o.y4m")
+        assert result.frames_out == 10
+        with Y4MReader(tmp_path / "o.y4m") as r:
+            assert r.count_frames() == 10
