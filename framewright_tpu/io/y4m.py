@@ -136,7 +136,12 @@ class Y4MReader:
             ulen = us[0] * us[1]
             u = np.frombuffer(raw, np.uint8, count=ulen, offset=off).reshape(us)
             v = np.frombuffer(raw, np.uint8, count=ulen, offset=off + ulen).reshape(vs)
-            rgb = _color.yuv420_to_rgb(y, u, v, full_range=self.full_range)
+            if us[0] * 2 == ys[0]:  # 4:2:0 -> native fast path available
+                from framewright_tpu import native
+
+                rgb = native.yuv420_to_rgb(y, u, v, full_range=self.full_range)
+            else:
+                rgb = _color.yuv420_to_rgb(y, u, v, full_range=self.full_range)
         self.frames_read += 1
         return rgb
 
@@ -244,7 +249,9 @@ class Y4MWriter:
             for p in (y, u, v):
                 self._f.write(np.clip(p + 0.5, 0, 255).astype(np.uint8).tobytes())
         else:
-            y, u, v = _color.rgb_to_yuv420(rgb, full_range=self.full_range)
+            from framewright_tpu import native
+
+            y, u, v = native.rgb_to_yuv420(rgb, full_range=self.full_range)
             self._f.write(y.tobytes())
             self._f.write(u.tobytes())
             self._f.write(v.tobytes())
