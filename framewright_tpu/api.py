@@ -1,0 +1,228 @@
+"""REST API server (stdlib ThreadingHTTPServer).
+
+Capability parity with the reference's API/dashboard layer
+(_ui_pkg/api/server.py:31-1111: jobs/models/presets/hardware/analyze
+endpoints with rate limiting; _ui_pkg/dashboard/server.py job-progress
+dashboard). JSON over HTTP, no third-party web framework; jobs execute
+on a background worker thread against the SQLite store.
+
+Endpoints:
+    GET  /api/health
+    GET  /api/hardware
+    GET  /api/presets
+    GET  /api/models
+    GET  /api/recipes
+    GET  /api/jobs            list
+    POST /api/jobs            {"source": ..., "output": ..., "config": {...}}
+    GET  /api/jobs/<id>
+    DELETE /api/jobs/<id>
+    POST /api/analyze         {"source": ...}
+    GET  /                    minimal HTML dashboard
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from pathlib import Path
+from typing import Optional
+
+from framewright_tpu.batch import BatchQueueProcessor
+from framewright_tpu.persistence import JobStore
+from framewright_tpu.security import RateLimiter
+
+logger = logging.getLogger(__name__)
+
+_DASHBOARD_HTML = """<!doctype html><html><head><meta charset="utf-8">
+<title>framewright-tpu</title>
+<style>body{font-family:system-ui;margin:2rem;background:#14161a;color:#e7e7e7}
+table{border-collapse:collapse;width:100%}td,th{border-bottom:1px solid #333;
+padding:.45rem .7rem;text-align:left}.state-completed{color:#6c6}
+.state-failed{color:#e66}.state-running{color:#fc6}
+progress{width:140px}</style></head><body>
+<h1>framewright-tpu</h1>
+<table id="jobs"><tr><th>Job</th><th>Source</th><th>State</th>
+<th>Progress</th></tr></table>
+<script>
+async function refresh(){
+  const r = await fetch('/api/jobs'); const jobs = await r.json();
+  const t = document.getElementById('jobs');
+  t.innerHTML = '<tr><th>Job</th><th>Source</th><th>State</th><th>Progress</th></tr>';
+  for(const j of jobs){
+    const pct = j.total_frames ? Math.round(100*j.frames_done/j.total_frames) : 0;
+    t.innerHTML += `<tr><td>${j.job_id}</td><td>${j.source}</td>
+      <td class="state-${j.state}">${j.state}</td>
+      <td><progress max="100" value="${pct}"></progress> ${j.frames_done}f</td></tr>`;
+  }
+}
+refresh(); setInterval(refresh, 2000);
+</script></body></html>"""
+
+
+class APIServer:
+    def __init__(self, db_path: Path, host: str = "127.0.0.1", port: int = 8765,
+                 rate_per_s: float = 20.0):
+        self.store = JobStore(db_path)
+        self.queue = BatchQueueProcessor(self.store)
+        self.limiter = RateLimiter(rate_per_s=rate_per_s, burst=int(rate_per_s * 2))
+        self.host = host
+        self.port = port
+        self._httpd: Optional[ThreadingHTTPServer] = None
+        self._worker: Optional[threading.Thread] = None
+        self._stop = threading.Event()
+
+    # ------------------------------------------------------------------
+    def _make_handler(self):
+        server = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, fmt, *args):  # quiet
+                logger.debug("api: " + fmt, *args)
+
+            def _send(self, code: int, payload, content_type="application/json"):
+                body = (payload if isinstance(payload, (bytes, str))
+                        else json.dumps(payload))
+                if isinstance(body, str):
+                    body = body.encode()
+                self.send_response(code)
+                self.send_header("Content-Type", content_type)
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def _check_rate(self) -> bool:
+                if not server.limiter.allow():
+                    self._send(429, {"error": "rate limited"})
+                    return False
+                return True
+
+            def _read_json(self):
+                length = int(self.headers.get("Content-Length", 0))
+                if length <= 0 or length > 1_000_000:
+                    return None
+                try:
+                    return json.loads(self.rfile.read(length))
+                except json.JSONDecodeError:
+                    return None
+
+            # ---------------- GET ----------------
+            def do_GET(self):
+                if not self._check_rate():
+                    return
+                path = self.path.rstrip("/") or "/"
+                if path == "/":
+                    return self._send(200, _DASHBOARD_HTML, "text/html")
+                if path == "/api/health":
+                    return self._send(200, {"status": "ok"})
+                if path == "/api/hardware":
+                    from framewright_tpu.hw import check_hardware
+
+                    return self._send(200, check_hardware())
+                if path == "/api/presets":
+                    from framewright_tpu.config import PRESETS
+
+                    return self._send(200, {
+                        k: v.get("description", "") for k, v in PRESETS.items()})
+                if path == "/api/models":
+                    from framewright_tpu.models.registry import MODEL_SPECS
+
+                    return self._send(200, {
+                        k: {"scale": s.scale, "family": s.family}
+                        for k, s in MODEL_SPECS.items()})
+                if path == "/api/recipes":
+                    from framewright_tpu.recipes import RECIPES
+
+                    return self._send(200, {
+                        k: r.description for k, r in RECIPES.items()})
+                if path == "/api/jobs":
+                    return self._send(200, [self._job_dict(j)
+                                            for j in server.store.list_jobs()])
+                if path.startswith("/api/jobs/"):
+                    job = server.store.get_job(path.split("/")[-1])
+                    if job is None:
+                        return self._send(404, {"error": "not found"})
+                    return self._send(200, self._job_dict(job))
+                self._send(404, {"error": "unknown endpoint"})
+
+            # ---------------- POST ----------------
+            def do_POST(self):
+                if not self._check_rate():
+                    return
+                path = self.path.rstrip("/")
+                body = self._read_json()
+                if body is None:
+                    return self._send(400, {"error": "bad json"})
+                if path == "/api/jobs":
+                    source = body.get("source", "")
+                    if not source:
+                        return self._send(400, {"error": "source required"})
+                    from framewright_tpu.config import Config
+                    from framewright_tpu.errors import FramewrightError
+
+                    try:
+                        cfg = Config.from_dict(body.get("config", {}))
+                    except FramewrightError as exc:
+                        return self._send(400, {"error": str(exc)})
+                    jid = server.queue.submit(source, body.get("output", ""), cfg)
+                    return self._send(201, {"job_id": jid})
+                if path == "/api/analyze":
+                    source = body.get("source", "")
+                    try:
+                        from framewright_tpu.io import open_reader, probe
+                        from framewright_tpu.processors.analysis import ContentAnalyzer
+
+                        meta = probe(source)
+                        with open_reader(source) as r:
+                            rep = ContentAnalyzer().analyze(iter(r), height=meta.height)
+                        return self._send(200, rep.to_dict())
+                    except Exception as exc:  # noqa: BLE001
+                        return self._send(400, {"error": str(exc)})
+                self._send(404, {"error": "unknown endpoint"})
+
+            def do_DELETE(self):
+                if not self._check_rate():
+                    return
+                path = self.path.rstrip("/")
+                if path.startswith("/api/jobs/"):
+                    jid = path.split("/")[-1]
+                    if server.store.get_job(jid) is None:
+                        return self._send(404, {"error": "not found"})
+                    server.store.set_state(jid, "cancelled")
+                    return self._send(200, {"job_id": jid, "state": "cancelled"})
+                self._send(404, {"error": "unknown endpoint"})
+
+            @staticmethod
+            def _job_dict(j):
+                return {
+                    "job_id": j.job_id, "source": j.source, "output": j.output,
+                    "state": j.state, "frames_done": j.frames_done,
+                    "total_frames": j.total_frames, "error": j.error,
+                }
+
+        return Handler
+
+    # ------------------------------------------------------------------
+    def start(self, process_jobs: bool = True) -> None:
+        self._httpd = ThreadingHTTPServer((self.host, self.port),
+                                          self._make_handler())
+        self.port = self._httpd.server_port
+        threading.Thread(target=self._httpd.serve_forever, daemon=True,
+                         name="fw-api").start()
+        if process_jobs:
+            self._worker = threading.Thread(target=self._drain_loop, daemon=True,
+                                            name="fw-api-worker")
+            self._worker.start()
+        logger.info("API server on http://%s:%d", self.host, self.port)
+
+    def _drain_loop(self) -> None:
+        while not self._stop.wait(1.0):
+            self.queue.process_next()
+
+    def stop(self) -> None:
+        self._stop.set()
+        if self._httpd:
+            self._httpd.shutdown()
+            self._httpd.server_close()
+        self.store.close()

@@ -1,0 +1,204 @@
+"""API server, integrations, safeguards tests."""
+
+import json
+import threading
+import time
+import urllib.request
+
+import numpy as np
+import pytest
+
+from framewright_tpu.api import APIServer
+from framewright_tpu.config import Config
+from framewright_tpu.events import Event, EventBus, EventType
+from framewright_tpu.integrations import (
+    MediaServerConfig,
+    MediaServerNotifier,
+    WebhookConfig,
+    WebhookNotifier,
+    apply_lut,
+    export_edl,
+    parse_cube_lut,
+)
+from framewright_tpu.safeguards import (
+    DiskSpaceMonitor,
+    HBMMonitor,
+    HostMemoryMonitor,
+    preflight_check,
+)
+
+
+@pytest.fixture
+def api(tmp_path):
+    srv = APIServer(tmp_path / "jobs.db", port=0)
+    srv.start(process_jobs=False)
+    yield srv
+    srv.stop()
+
+
+def _get(srv, path):
+    try:
+        with urllib.request.urlopen(f"http://127.0.0.1:{srv.port}{path}",
+                                    timeout=5) as r:
+            return r.status, json.loads(r.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+
+
+def _post(srv, path, payload):
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{srv.port}{path}",
+        data=json.dumps(payload).encode(),
+        headers={"Content-Type": "application/json"})
+    try:
+        with urllib.request.urlopen(req, timeout=5) as r:
+            return r.status, json.loads(r.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+
+
+import urllib.error  # noqa: E402
+
+
+class TestAPI:
+    def test_health_and_catalog(self, api):
+        assert _get(api, "/api/health")[1]["status"] == "ok"
+        assert "fast" in _get(api, "/api/presets")[1]
+        assert "RealESRGAN_x2plus" in _get(api, "/api/models")[1]
+        assert "vhs_family_video" in _get(api, "/api/recipes")[1]
+
+    def test_job_lifecycle(self, api):
+        code, out = _post(api, "/api/jobs", {"source": "a.y4m"})
+        assert code == 201
+        jid = out["job_id"]
+        code, job = _get(api, f"/api/jobs/{jid}")
+        assert job["state"] == "pending"
+        code, jobs = _get(api, "/api/jobs")
+        assert len(jobs) == 1
+        # cancel
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{api.port}/api/jobs/{jid}", method="DELETE")
+        with urllib.request.urlopen(req, timeout=5) as r:
+            assert json.loads(r.read())["state"] == "cancelled"
+
+    def test_bad_requests(self, api):
+        assert _post(api, "/api/jobs", {})[0] == 400
+        assert _post(api, "/api/jobs", {"source": "x", "config": {"crf": 99}})[0] == 400
+        assert _get(api, "/api/jobs/nope")[0] == 404
+
+    def test_dashboard_html(self, api):
+        with urllib.request.urlopen(f"http://127.0.0.1:{api.port}/", timeout=5) as r:
+            assert b"framewright" in r.read()
+
+
+class TestWebhooks:
+    def test_payload_shapes(self):
+        wh = WebhookNotifier(WebhookConfig(url="https://example.com/hook",
+                                           kind="slack"))
+        ev = Event(type=EventType.JOB_COMPLETED, data={"frames": 5})
+        p = wh.payload_for(ev)
+        assert "text" in p
+        generic = WebhookNotifier(WebhookConfig(url="https://example.com/h"))
+        assert generic.payload_for(ev)["event"] == "job_completed"
+
+    def test_delivery_to_local_server(self, tmp_path):
+        # a tiny local HTTP sink
+        from http.server import BaseHTTPRequestHandler, HTTPServer
+
+        received = []
+
+        class Sink(BaseHTTPRequestHandler):
+            def do_POST(self):
+                n = int(self.headers["Content-Length"])
+                received.append(json.loads(self.rfile.read(n)))
+                self.send_response(200)
+                self.end_headers()
+
+            def log_message(self, *a):
+                pass
+
+        httpd = HTTPServer(("127.0.0.1", 0), Sink)
+        threading.Thread(target=httpd.serve_forever, daemon=True).start()
+        try:
+            bus = EventBus()
+            wh = WebhookNotifier(WebhookConfig(
+                url=f"http://127.0.0.1:{httpd.server_port}/hook"))
+            wh.attach(bus)
+            bus.emit(EventType.JOB_COMPLETED, frames=7)
+            time.sleep(0.2)
+            assert received and received[0]["frames"] == 7
+        finally:
+            httpd.shutdown()
+
+    def test_media_server_urls(self):
+        plex = MediaServerNotifier(MediaServerConfig(
+            "plex", "http://plex.local:32400", token="tok"))
+        assert "X-Plex-Token=tok" in plex.refresh_url()
+        jf = MediaServerNotifier(MediaServerConfig(
+            "jellyfin", "http://jf.local:8096", token="k"))
+        assert "/Library/Refresh" in jf.refresh_url()
+
+
+class TestEDLLut:
+    def test_edl_format(self):
+        edl = export_edl([24, 72], 120, fps=24.0, title="t")
+        assert "TITLE: t" in edl
+        lines = [ln for ln in edl.splitlines() if ln[:3].isdigit()]
+        assert len(lines) == 3
+        assert "00:00:01:00" in lines[0]  # first scene ends at frame 24
+
+    def test_lut_roundtrip_identity(self, rng):
+        n = 4
+        rows = []
+        for b in range(n):
+            for g in range(n):
+                for r in range(n):
+                    rows.append(f"{r/(n-1):.6f} {g/(n-1):.6f} {b/(n-1):.6f}")
+        text = f"LUT_3D_SIZE {n}\n" + "\n".join(rows)
+        lut = parse_cube_lut(text)
+        frame = rng.integers(0, 256, (16, 16, 3), np.uint8)
+        out = apply_lut(frame, lut)
+        assert np.abs(out.astype(int) - frame.astype(int)).max() <= 2
+
+    def test_lut_inversion(self, rng):
+        n = 4
+        rows = []
+        for b in range(n):
+            for g in range(n):
+                for r in range(n):
+                    rows.append(f"{1-r/(n-1):.6f} {1-g/(n-1):.6f} {1-b/(n-1):.6f}")
+        lut = parse_cube_lut(f"LUT_3D_SIZE {n}\n" + "\n".join(rows))
+        frame = np.full((4, 4, 3), 255, np.uint8)
+        out = apply_lut(frame, lut)
+        assert out.max() <= 2  # inverted white -> black
+
+
+class TestSafeguards:
+    def test_disk_monitor(self, tmp_path):
+        mon = DiskSpaceMonitor(tmp_path, min_free_gb=0.001)
+        s = mon.check()
+        assert s.ok and s.free_gb > 0
+        assert mon.estimate_output_gb(1920, 1080, 1000) > 1.0
+
+    def test_host_memory(self):
+        m = HostMemoryMonitor(min_free_gb=0.001).check()
+        assert m["ok"]
+
+    def test_hbm_monitor(self):
+        m = HBMMonitor().check()
+        assert "utilization" in m
+
+    def test_preflight_blockers(self, tmp_path):
+        cfg = Config(project_dir=tmp_path)
+        res = preflight_check(cfg, tmp_path / "missing.y4m")
+        assert not res.ok
+        assert any("not found" in b for b in res.blockers)
+
+    def test_preflight_ok_with_warnings(self, tmp_path, monkeypatch):
+        monkeypatch.setenv("FRAMEWRIGHT_WEIGHTS_DIR", str(tmp_path / "w"))
+        src = tmp_path / "v.y4m"
+        src.write_bytes(b"YUV4MPEG2 W64 H48 F25:1\n")
+        cfg = Config(project_dir=tmp_path)
+        res = preflight_check(cfg, src)
+        assert res.ok
+        assert any("random init" in w or "CPU" in w for w in res.warnings)
