@@ -30,7 +30,7 @@ logger = logging.getLogger(__name__)
 class TemporalDenoiseConfig:
     radius: int = 3                 # window = 2r+1 (reference default)
     strength: float = 0.5           # blend of denoised vs original
-    method: str = "temporal"        # temporal | nafnet | bilateral
+    method: str = "temporal"        # temporal | nafnet | restormer | bilateral
     flow_align: bool = True         # motion-compensate neighbors (needs flow weights)
     similarity_sigma: float = 0.08  # photometric rejection width ([0,1] units)
     scene_change_threshold: float = 0.30
@@ -99,25 +99,35 @@ class TemporalDenoiser:
         self._align_fn = align_and_blend
         self._flow_params = flow_params
 
-        if cfg.method == "nafnet":
-            from framewright_tpu.models import nafnet
-
-            ncfg = nafnet.NAFNetConfig(width=16, enc_blocks=(1, 1),
-                                       middle_blocks=1, dec_blocks=(1, 1))
+        if cfg.method in ("nafnet", "restormer"):
             params = None
+            if cfg.method == "restormer":
+                from framewright_tpu.models import restormer as net
+
+                ncfg = net.RestormerConfig(dim=8, num_blocks=(1, 1, 1, 1),
+                                           num_refinement=1)
+                full_cfg = net.RestormerConfig()
+                weight_file = "restormer.npz"
+            else:
+                from framewright_tpu.models import nafnet as net
+
+                ncfg = net.NAFNetConfig(width=16, enc_blocks=(1, 1),
+                                        middle_blocks=1, dec_blocks=(1, 1))
+                full_cfg = net.NAFNetConfig()
+                weight_file = "nafnet.npz"
             if cfg.weights_dir:
                 from pathlib import Path
 
                 from framewright_tpu.models import torch_port
 
-                npz = Path(cfg.weights_dir) / "nafnet.npz"
+                npz = Path(cfg.weights_dir) / weight_file
                 if npz.exists():
                     params = torch_port.import_npz(npz)
-                    ncfg = nafnet.NAFNetConfig()  # full-size once weighted
+                    ncfg = full_cfg  # full-size once weighted
             if params is None:
-                params = nafnet.init(jax.random.PRNGKey(2), ncfg)
+                params = net.init(jax.random.PRNGKey(2), ncfg)
             self._naf_params = jax.tree_util.tree_map(jnp.asarray, params)
-            self._naf_fn = jax.jit(lambda p, x: nafnet.apply_padded(p, x, ncfg))
+            self._naf_fn = jax.jit(lambda p, x: net.apply_padded(p, x, ncfg))
 
     # ------------------------------------------------------------------
     def _denoise_center(self, window: List[np.ndarray], center_idx: int) -> np.ndarray:
@@ -126,13 +136,13 @@ class TemporalDenoiser:
         cfg = self.config
         center = to_float(window[center_idx][None])
         neighbors = [to_float(f[None])[0] for i, f in enumerate(window) if i != center_idx]
-        if neighbors and cfg.method in ("temporal", "nafnet"):
+        if neighbors and cfg.method in ("temporal", "nafnet", "restormer"):
             nb = np.stack(neighbors)
             out = np.asarray(self._align_fn(
                 self._flow_params, jnp.asarray(center), jnp.asarray(nb)))
         else:
             out = center
-        if cfg.method == "nafnet" and self._naf_fn is not None:
+        if cfg.method in ("nafnet", "restormer") and self._naf_fn is not None:
             out = np.asarray(self._naf_fn(self._naf_params, jnp.asarray(out)))
         elif cfg.method == "bilateral":
             out = self._bilateral(center)

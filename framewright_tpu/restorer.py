@@ -340,13 +340,12 @@ class VideoRestorer:
                 TemporalDenoiser,
             )
 
-            method = {"restormer": "nafnet"}.get(cfg.denoise_model,
-                                                 cfg.denoise_model)
             dn = TemporalDenoiser(TemporalDenoiseConfig(
                 radius=(cfg.temporal_window - 1) // 2,
                 strength=cfg.denoise_strength,
-                method=method if method in ("temporal", "nafnet", "bilateral")
-                else "temporal",
+                method=cfg.denoise_model
+                if cfg.denoise_model in ("temporal", "nafnet", "restormer",
+                                         "bilateral") else "temporal",
                 scene_change_threshold=cfg.scene_threshold,
             ))
             dn.setup(meta.height, meta.width)

@@ -190,3 +190,11 @@ class TestFlickerReducer:
         out = list(fr.reduce_stream(iter(frames)))
         assert len(out) == 8
         np.testing.assert_allclose(out[3].astype(int), frames[3].astype(int), atol=2)
+
+    def test_restormer_method_runs(self, rng):
+        frames = [(rng.random((16, 16, 3)) * 255).astype(np.uint8) for _ in range(3)]
+        dn = TemporalDenoiser(TemporalDenoiseConfig(radius=1, method="restormer",
+                                                    scene_change_threshold=9.9))
+        dn.setup(16, 16)
+        out = list(dn.denoise_stream(iter(frames)))
+        assert len(out) == 3
