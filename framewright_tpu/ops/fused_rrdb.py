@@ -38,7 +38,13 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-S = 64
+import os as _os
+
+# Block geometry: interior BH = S - 2*HALO; halo 5 covers the 5
+# sequential convs. S=64 -> PX=4096 lanes, ~9 MiB VMEM. Larger S cuts
+# the (S/BH)^2 halo-recompute factor but grows the f32 accumulator;
+# overridable for experiments via FW_RDB_S.
+S = int(_os.environ.get("FW_RDB_S", "64"))
 HALO = 5
 BH = S - 2 * HALO          # 54 valid interior
 NF, GC = 64, 32            # Real-ESRGAN fixed channel plan

@@ -348,3 +348,29 @@ class TestSecurity:
         assert not rl.allow()
         time.sleep(0.01)
         assert rl.allow()
+
+
+class TestProfiles:
+    def test_save_load_list_delete(self, tmp_path, monkeypatch):
+        monkeypatch.setenv("FRAMEWRIGHT_PROFILES_DIR", str(tmp_path / "profiles"))
+        from framewright_tpu.profiles import (
+            delete_profile,
+            list_profiles,
+            load_profile,
+            save_profile,
+        )
+
+        cfg = Config(scale_factor=4, sr_model="RealESRGAN_x4plus", crf=12)
+        save_profile("my archival", cfg)
+        assert list_profiles() == ["my archival"]
+        loaded = load_profile("my archival")
+        assert loaded.crf == 12 and loaded.scale_factor == 4
+        assert delete_profile("my archival")
+        assert list_profiles() == []
+
+    def test_missing_profile(self, tmp_path, monkeypatch):
+        monkeypatch.setenv("FRAMEWRIGHT_PROFILES_DIR", str(tmp_path / "p"))
+        from framewright_tpu.profiles import load_profile
+
+        with pytest.raises(ConfigError):
+            load_profile("nope")
