@@ -444,6 +444,16 @@ def build_parser() -> argparse.ArgumentParser:
     return parser
 
 
+def main_check(argv: Optional[List[str]] = None) -> int:
+    """framewright-check entry point."""
+    return main(["check"])
+
+
+def main_bench(argv: Optional[List[str]] = None) -> int:
+    """framewright-bench entry point."""
+    return main(["bench"])
+
+
 def main(argv: Optional[List[str]] = None) -> int:
     argv = list(sys.argv[1:] if argv is None else argv)
     # `framewright video.mp4` sugar: treat a path-like first arg as restore

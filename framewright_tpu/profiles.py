@@ -33,7 +33,9 @@ def save_profile(name: str, config: Config) -> Path:
 
 
 def load_profile(name: str) -> Config:
-    path = profiles_dir() / f"{name}.json"
+    from framewright_tpu.security import sanitize_filename
+
+    path = profiles_dir() / f"{sanitize_filename(name)}.json"
     if not path.exists():
         raise ConfigError(
             f"Profile {name!r} not found; available: {list_profiles()}")
@@ -48,7 +50,9 @@ def list_profiles() -> List[str]:
 
 
 def delete_profile(name: str) -> bool:
-    path = profiles_dir() / f"{name}.json"
+    from framewright_tpu.security import sanitize_filename
+
+    path = profiles_dir() / f"{sanitize_filename(name)}.json"
     if path.exists():
         path.unlink()
         return True

@@ -55,7 +55,7 @@ def sanitize_filename(name: str, replacement: str = "_") -> str:
     name = _CTRL.sub("", name)
     name = name.replace("/", replacement).replace("\\", replacement)
     name = _SHELLISH.sub(replacement, name)
-    name = name.strip(". ")
+    name = re.sub(r"\s+", replacement, name.strip(". "))
     return name[:200] or "unnamed"
 
 

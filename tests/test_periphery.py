@@ -362,7 +362,7 @@ class TestProfiles:
 
         cfg = Config(scale_factor=4, sr_model="RealESRGAN_x4plus", crf=12)
         save_profile("my archival", cfg)
-        assert list_profiles() == ["my archival"]
+        assert list_profiles() == ["my_archival"]
         loaded = load_profile("my archival")
         assert loaded.crf == 12 and loaded.scale_factor == 4
         assert delete_profile("my archival")
