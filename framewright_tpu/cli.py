@@ -28,6 +28,8 @@ def _add_restore_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("source", help="input video (.y4m, frame dir, or any ffmpeg format)")
     p.add_argument("-o", "--output", type=Path, default=None)
     p.add_argument("--preset", choices=sorted(PRESETS), default="")
+    p.add_argument("--profile", default="", help="named saved profile")
+    p.add_argument("--save-profile", default="", help="save resolved config as profile")
     p.add_argument("--config-file", type=Path, default=None)
     p.add_argument("--scale", dest="scale_factor", type=int, choices=[1, 2, 3, 4])
     p.add_argument("--model", dest="sr_model")
@@ -54,16 +56,29 @@ def _add_restore_args(p: argparse.ArgumentParser) -> None:
 
 
 def _config_from_args(args: argparse.Namespace) -> Config:
-    skip = {"source", "output", "command", "config_file", "preset", "weights_dir", "func"}
+    skip = {"source", "output", "command", "config_file", "preset",
+            "weights_dir", "func", "profile", "save_profile"}
     overrides = {
         k: v for k, v in vars(args).items()
         if k not in skip and v is not None
     }
-    return build_config(
+    if getattr(args, "profile", ""):
+        # profile sits between preset and CLI flags in precedence
+        from framewright_tpu.profiles import load_profile
+
+        base = load_profile(args.profile).to_dict()
+        base.update(overrides)
+        overrides = base
+    cfg = build_config(
         preset=getattr(args, "preset", "") or "",
         config_file=getattr(args, "config_file", None),
         cli_overrides=overrides,
     )
+    if getattr(args, "save_profile", ""):
+        from framewright_tpu.profiles import save_profile
+
+        save_profile(args.save_profile, cfg)
+    return cfg
 
 
 def cmd_restore(args: argparse.Namespace) -> int:

@@ -115,3 +115,21 @@ class TestBatchVerbs:
         rc = main(["audio", str(tmp_path / "in.wav"), str(tmp_path / "out.wav")])
         assert rc == 0
         assert (tmp_path / "out.wav").exists()
+
+
+class TestProfileFlags:
+    def test_save_and_use_profile(self, tmp_path, gradient_frame, monkeypatch, capsys):
+        monkeypatch.setenv("FRAMEWRIGHT_PROFILES_DIR", str(tmp_path / "profiles"))
+        src = _clip(tmp_path, gradient_frame)
+        rc = main([str(src), "--dry-run", "--crf", "12", "--scale", "1",
+                   "--model", "none", "--save-profile", "lowcrf",
+                   "--project-dir", str(tmp_path / "p1")])
+        assert rc == 0
+        capsys.readouterr()
+        # reuse the profile; crf should come from it
+        rc = main([str(src), "--dry-run", "--profile", "lowcrf",
+                   "--project-dir", str(tmp_path / "p2")])
+        assert rc == 0
+        from framewright_tpu.profiles import load_profile
+
+        assert load_profile("lowcrf").crf == 12
