@@ -158,14 +158,50 @@ def cmd_presets(args: argparse.Namespace) -> int:
 def cmd_models(args: argparse.Namespace) -> int:
     from framewright_tpu.models.registry import MODEL_SPECS, default_weights_dir
 
+    action = getattr(args, "action", "list") or "list"
     wdir = default_weights_dir()
-    for name, spec in sorted(MODEL_SPECS.items()):
-        have = "cached" if (wdir / f"{name}.npz").exists() or \
-            (wdir / f"{name}.pth").exists() else "missing"
-        print(f"{name:32s} x{spec.scale}  {spec.family:8s} [{have}]")
-        if args.verbose:
-            print(f"    {spec.url}")
-    return 0
+    if action == "list":
+        for name, spec in sorted(MODEL_SPECS.items()):
+            have = "cached" if (wdir / f"{name}.npz").exists() or \
+                (wdir / f"{name}.pth").exists() else "missing"
+            print(f"{name:32s} x{spec.scale}  {spec.family:8s} [{have}]")
+            if args.verbose:
+                print(f"    {spec.url}")
+        return 0
+    if action == "port":
+        # torch .pth -> cached .npz in the weights dir
+        from framewright_tpu.models.registry import get_model
+        from framewright_tpu.models import torch_port
+
+        spec = get_model(args.name)
+        src = Path(args.path) if args.path else wdir / f"{args.name}.pth"
+        if not src.exists():
+            print(f"error: checkpoint not found: {src}", file=sys.stderr)
+            return 1
+        sd = torch_port.load_state_dict(src)
+        params = spec.port_fn(sd)
+        out = wdir / f"{args.name}.npz"
+        torch_port.export_npz(params, out)
+        print(str(out))
+        return 0
+    if action == "download":
+        import urllib.request
+
+        from framewright_tpu.models.registry import get_model
+
+        spec = get_model(args.name)
+        wdir.mkdir(parents=True, exist_ok=True)
+        dst = wdir / f"{args.name}.pth"
+        print(f"downloading {spec.url} -> {dst}", file=sys.stderr)
+        try:
+            urllib.request.urlretrieve(spec.url, dst)
+        except OSError as exc:
+            print(f"error: download failed ({exc}); fetch manually from "
+                  f"{spec.url} and place at {dst}", file=sys.stderr)
+            return 1
+        print(str(dst))
+        return 0
+    return 1
 
 
 def cmd_analyze(args: argparse.Namespace) -> int:
@@ -377,7 +413,11 @@ def build_parser() -> argparse.ArgumentParser:
     p = sub.add_parser("presets", help="list presets")
     p.set_defaults(func=cmd_presets)
 
-    p = sub.add_parser("models", help="list model zoo")
+    p = sub.add_parser("models", help="model zoo: list/port/download")
+    p.add_argument("action", nargs="?", choices=["list", "port", "download"],
+                   default="list")
+    p.add_argument("name", nargs="?", default="")
+    p.add_argument("--path", default="", help="explicit .pth path for port")
     p.add_argument("--verbose", "-v", action="store_true")
     p.set_defaults(func=cmd_models)
 

@@ -133,3 +133,24 @@ class TestProfileFlags:
         from framewright_tpu.profiles import load_profile
 
         assert load_profile("lowcrf").crf == 12
+
+
+class TestModelsVerbs:
+    def test_models_port(self, tmp_path, monkeypatch, capsys):
+        torch = pytest.importorskip("torch")
+        monkeypatch.setenv("FRAMEWRIGHT_WEIGHTS_DIR", str(tmp_path / "w"))
+        import sys as _sys
+
+        _sys.path.insert(0, str(__import__("pathlib").Path(__file__).parent))
+        from test_models import TorchSRVGG
+
+        (tmp_path / "w").mkdir()
+        tm = TorchSRVGG(num_conv=16, upscale=4)
+        torch.save({"params": tm.state_dict()},
+                   tmp_path / "w" / "realesr-animevideov3.pth")
+        rc = main(["models", "port", "realesr-animevideov3"])
+        assert rc == 0
+        assert (tmp_path / "w" / "realesr-animevideov3.npz").exists()
+        capsys.readouterr()
+        rc = main(["models", "list"])
+        assert "cached" in capsys.readouterr().out
