@@ -376,6 +376,26 @@ def cmd_export_presets(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_wizard(args: argparse.Namespace) -> int:
+    from framewright_tpu.wizard import Wizard
+
+    cfg = Wizard().run(project_dir=str(args.project_dir))
+    if args.save_profile:
+        from framewright_tpu.profiles import save_profile
+
+        save_profile(args.save_profile, cfg)
+        print(f"saved profile {args.save_profile!r}", file=sys.stderr)
+    if not args.source:
+        print(json.dumps(cfg.to_dict(), indent=2))
+        return 0
+    from framewright_tpu.restorer import VideoRestorer
+
+    result = VideoRestorer(cfg).restore_video(args.source, output=args.output)
+    print(json.dumps({"output": str(result.output_path),
+                      "frames": result.frames_out}, indent=2))
+    return 0
+
+
 def cmd_audio(args: argparse.Namespace) -> int:
     from framewright_tpu.audio import AudioEnhanceConfig, AudioEnhancer
 
@@ -486,6 +506,13 @@ def build_parser() -> argparse.ArgumentParser:
     p = sub.add_parser("export-presets", help="list encode/export presets")
     p.set_defaults(func=cmd_export_presets)
 
+    p = sub.add_parser("wizard", help="interactive setup wizard")
+    p.add_argument("source", nargs="?", default="")
+    p.add_argument("-o", "--output", type=Path, default=None)
+    p.add_argument("--project-dir", default="./framewright_project")
+    p.add_argument("--save-profile", default="")
+    p.set_defaults(func=cmd_wizard)
+
     p = sub.add_parser("audio", help="enhance a WAV audio file")
     p.add_argument("source")
     p.add_argument("output")
@@ -514,7 +541,7 @@ def main(argv: Optional[List[str]] = None) -> int:
     # `framewright video.mp4` sugar: treat a path-like first arg as restore
     known = {"restore", "probe", "check", "presets", "models", "analyze",
              "bench", "suite", "recipes", "recipe", "auto", "do", "batch",
-             "watch", "qa-report", "export-presets", "audio",
+             "watch", "qa-report", "export-presets", "audio", "wizard",
              "-h", "--help", "--version"}
     if argv and argv[0] not in known and not argv[0].startswith("-"):
         argv = ["restore"] + argv

@@ -71,6 +71,30 @@ def ssim(a: jnp.ndarray, b: jnp.ndarray, max_val: float = 1.0) -> jnp.ndarray:
     return jnp.mean(num / den)
 
 
+def ms_ssim(a: jnp.ndarray, b: jnp.ndarray, max_val: float = 1.0,
+            levels: int = 3) -> jnp.ndarray:
+    """Multi-scale SSIM (reduced-level variant of Wang et al. MS-SSIM;
+    the reference exposes VMAF/SSIM via ffmpeg filters — this is the
+    in-process multi-scale structural metric)."""
+    a = jnp.asarray(a, jnp.float32)
+    b = jnp.asarray(b, jnp.float32)
+    if a.ndim == 3:
+        a = a[None]
+        b = b[None]
+    weights = {3: (0.25, 0.35, 0.40), 2: (0.4, 0.6), 1: (1.0,)}[levels]
+    total = 1.0
+    for lv in range(levels):
+        s = ssim(a, b, max_val=max_val)
+        total = total * (jnp.clip(s, 1e-6, 1.0) ** weights[lv])
+        if lv < levels - 1:
+            # 2x downsample via average pooling
+            a = jax.lax.reduce_window(a, 0.0, jax.lax.add, (1, 2, 2, 1),
+                                      (1, 2, 2, 1), "VALID") / 4.0
+            b = jax.lax.reduce_window(b, 0.0, jax.lax.add, (1, 2, 2, 1),
+                                      (1, 2, 2, 1), "VALID") / 4.0
+    return total
+
+
 def psnr_np(a: np.ndarray, b: np.ndarray, max_val: float = 255.0) -> float:
     """Host-side PSNR for uint8 frames."""
     a = a.astype(np.float64)
