@@ -44,12 +44,25 @@ def conv_wide_weights(w_hwio: np.ndarray, bias: np.ndarray,
 
 def _kernel(x_hbm, w_ref, b_ref, o_ref, xf_ref, acc_ref, sem, *,
             cin, wp, npx_in, npx_out, r, act):
+    # double-buffered band fetch: start band i+1's DMA before computing
+    # band i so HBM reads overlap the matmuls
     i = pl.program_id(0)
-    cp = pltpu.make_async_copy(
-        x_hbm.at[:, pl.ds(i * r * wp, npx_in)], xf_ref, sem)
-    cp.start()
-    cp.wait()
-    xf = xf_ref[:].astype(jnp.float32)   # pltpu.roll requires 32-bit
+    nb = pl.num_programs(0)
+
+    def dma(slot, band):
+        return pltpu.make_async_copy(
+            x_hbm.at[:, pl.ds(band * r * wp, npx_in)], xf_ref.at[slot], sem.at[slot])
+
+    @pl.when(i == 0)
+    def _():
+        dma(0, 0).start()
+
+    @pl.when(i + 1 < nb)
+    def _():
+        dma((i + 1) % 2, i + 1).start()
+
+    dma(i % 2, i).wait()
+    xf = xf_ref[i % 2].astype(jnp.float32)  # pltpu.roll requires 32-bit
     t = 0
     k = 0
     while t < len(TAPS):
@@ -78,7 +91,8 @@ def _kernel(x_hbm, w_ref, b_ref, o_ref, xf_ref, acc_ref, sem, *,
 
 
 def band_conv3x3(x_cm: jnp.ndarray, w_wide: jnp.ndarray, b: jnp.ndarray,
-                 act: Optional[str] = "lrelu", r: int = _R) -> jnp.ndarray:
+                 act: Optional[str] = "lrelu", r: int = 8,
+                 interpret: bool = False) -> jnp.ndarray:
     """conv3x3 over a channel-major image. x_cm: (Cin, H, W) bf16;
     w_wide: (Cout', 9*Cin) from conv_wide_weights. Returns
     (Cout', H, W) bf16 (caller crops padded output channels)."""
@@ -87,6 +101,10 @@ def band_conv3x3(x_cm: jnp.ndarray, w_wide: jnp.ndarray, b: jnp.ndarray,
     # Wp must be a multiple of 128 (pallas block lane constraint); keep
     # at least 64 zero columns each side for tap wrap absorption
     wp = wd + _PADC + (-wd % 128)
+    # adapt band height to the VMEM budget: per-row cost ~ wp*cin*14 B
+    # (double-buffered bf16 input, f32 cast + roll temps, f32 acc)
+    r_fit = int((15_000_000 / (wp * cin) - 32) // 14)
+    r = max(1, min(r, r_fit, 8))
     hp = -(-h // r) * r
     nb = hp // r
     xp = jnp.zeros((cin, hp + 2, wp), jnp.bfloat16)
@@ -107,10 +125,11 @@ def band_conv3x3(x_cm: jnp.ndarray, w_wide: jnp.ndarray, b: jnp.ndarray,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((cout, nb * npx_out), jnp.bfloat16),
         scratch_shapes=[
-            pltpu.VMEM((cin, npx_in), jnp.bfloat16),
+            pltpu.VMEM((2, cin, npx_in), jnp.bfloat16),
             pltpu.VMEM((cout, npx_out), jnp.float32),
-            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA((2,)),
         ],
+        interpret=interpret,
     )(flat, w_wide, b)
     return out.reshape(cout, hp, wp)[:, :h, _PADC // 2:_PADC // 2 + wd]
 
@@ -120,7 +139,8 @@ class FastTail:
     + lrelu) + conv_hr + conv_last through band_conv3x3 kernels.
     Batch entries processed independently (B is 1 for large frames)."""
 
-    def __init__(self, params, dtype=jnp.bfloat16):
+    def __init__(self, params, dtype=jnp.bfloat16, interpret: bool = False):
+        self.interpret = interpret
         def cw(p):
             w, b, cpad = conv_wide_weights(np.asarray(p["w"], np.float32),
                                            np.asarray(p["b"], np.float32), dtype)
@@ -141,15 +161,21 @@ class FastTail:
         return jnp.stack(outs)
 
     def _one(self, feat, body_out):
+        it = self.interpret
         f = feat.transpose(2, 0, 1).astype(jnp.bfloat16)        # (64, H, W)
         bo = body_out.transpose(2, 0, 1).astype(jnp.bfloat16)
-        f = f + band_conv3x3(bo, self.body["w"], self.body["b"], act=None)
+        f = f + band_conv3x3(bo, self.body["w"], self.body["b"], act=None,
+                             interpret=it)
         f = _up2x_cm(f)
-        f = band_conv3x3(f, self.up1["w"], self.up1["b"], act="lrelu")
+        f = band_conv3x3(f, self.up1["w"], self.up1["b"], act="lrelu",
+                         interpret=it)
         f = _up2x_cm(f)
-        f = band_conv3x3(f, self.up2["w"], self.up2["b"], act="lrelu")
-        f = band_conv3x3(f, self.hr["w"], self.hr["b"], act="lrelu")
-        out = band_conv3x3(f, self.last["w"], self.last["b"], act=None)
+        f = band_conv3x3(f, self.up2["w"], self.up2["b"], act="lrelu",
+                         interpret=it)
+        f = band_conv3x3(f, self.hr["w"], self.hr["b"], act="lrelu",
+                         interpret=it)
+        out = band_conv3x3(f, self.last["w"], self.last["b"], act=None,
+                           interpret=it)
         out = out[: self.last["cout"]]                          # unpad channels
         return out.transpose(1, 2, 0)
 
