@@ -32,7 +32,9 @@ def _source_path() -> Path:
 
 
 def _lib_path() -> Path:
-    return Path(__file__).resolve().parent / "_fwcore.so"
+    # keep the built artifact OUT of the python package so import
+    # scanners don't mistake it for an extension module
+    return Path(__file__).resolve().parents[2] / "native" / "libfwcore.so"
 
 
 def build(force: bool = False) -> Optional[Path]:
