@@ -1,0 +1,112 @@
+"""Missing-frame detection and gap filling.
+
+Capability parity with the reference's frame generation stack
+(processors/frame_generation.py:147 MissingFrameGenerator,
+restoration/frame_generator.py GapFiller:1114): detect dropped frames
+(abrupt motion discontinuities in otherwise-smooth motion) and
+synthesize replacements with the IFNet interpolator.
+"""
+
+from __future__ import annotations
+
+import logging
+from dataclasses import dataclass, field
+from typing import Iterator, List, Optional
+
+import numpy as np
+
+from framewright_tpu.processors.base import to_float, to_uint8
+from framewright_tpu.processors.scene_detection import frame_pair_scores
+
+logger = logging.getLogger(__name__)
+
+
+@dataclass
+class GapReport:
+    gaps: List[int] = field(default_factory=list)   # index of frame AFTER the gap
+    frames_inserted: int = 0
+
+
+class GapFiller:
+    """Detect single-frame drops and insert synthesized frames.
+
+    Heuristic (reference MissingFrameGenerator): in smooth motion the
+    frame-to-frame difference is roughly constant; a dropped frame shows
+    as one difference ~2x its neighbors (and not a scene cut).
+    """
+
+    def __init__(self, jump_ratio: float = 1.8,
+                 scene_change_threshold: float = 0.30):
+        self.jump_ratio = jump_ratio
+        self.scene_threshold = scene_change_threshold
+        self._fn = None
+        self._params = None
+        self._arch = None
+        self.report = GapReport()
+
+    def setup(self, height: int, width: int) -> None:
+        import jax
+
+        from framewright_tpu.models import ifnet
+
+        arch = ifnet.IFNetConfig(channels=(96, 64), scales=(4, 2), num_res_convs=4)
+        self._params = ifnet.init(jax.random.PRNGKey(5), arch)
+        self._arch = arch
+
+        @jax.jit
+        def mid(p, a, b):
+            return ifnet.interpolate_padded(p, a, b, 0.5, arch)
+
+        self._fn = mid
+
+    def _synth(self, a: np.ndarray, b: np.ndarray) -> np.ndarray:
+        import jax.numpy as jnp
+
+        out = self._fn(self._params, jnp.asarray(to_float(a[None])),
+                       jnp.asarray(to_float(b[None])))
+        return to_uint8(np.asarray(out)[0])
+
+    def detect_gaps(self, frames: List[np.ndarray]) -> List[int]:
+        """Indices i where a frame seems missing between i-1 and i."""
+        if len(frames) < 4:
+            return []
+        diffs = [float(frame_pair_scores(frames[i][None], frames[i + 1][None])[0])
+                 for i in range(len(frames) - 1)]
+        gaps = []
+        for i in range(1, len(diffs) - 1):
+            d = diffs[i]
+            neighbors = (diffs[i - 1] + diffs[i + 1]) / 2.0
+            if neighbors < 1e-4:
+                continue
+            if (d > self.jump_ratio * neighbors
+                    and d < self.scene_threshold
+                    and diffs[i - 1] > 1e-4):
+                gaps.append(i + 1)
+        return gaps
+
+    def process_stream(self, frames_iter: Iterator[np.ndarray]) -> Iterator[np.ndarray]:
+        """Streaming gap fill: when the motion step prev->cur is ~2x the
+        previous step (and below the scene-cut threshold), a frame was
+        dropped — synthesize the midpoint and insert it before cur."""
+        started = False
+        prev: Optional[np.ndarray] = None
+        prev_diff: Optional[float] = None
+        idx = 0
+        for frame in frames_iter:
+            if not started:
+                self.setup(frame.shape[0], frame.shape[1])
+                started = True
+            if prev is not None:
+                d = float(frame_pair_scores(prev[None], frame[None])[0])
+                if (prev_diff is not None and prev_diff > 1e-4
+                        and d > self.jump_ratio * prev_diff
+                        and d < self.scene_threshold):
+                    self.report.gaps.append(idx)
+                    self.report.frames_inserted += 1
+                    yield self._synth(prev, frame)
+                    # after filling, the effective step halves
+                    d = d / 2.0
+                prev_diff = d
+            yield frame
+            prev = frame
+            idx += 1
