@@ -105,6 +105,90 @@ def infer_srvgg_convs(sd: Mapping[str, Any]) -> int:
     return (max(idx) - 2) // 2 if idx else 0
 
 
+
+
+# ---------------------------------------------------------------------------
+# GFPGAN (clean) port
+# ---------------------------------------------------------------------------
+
+def port_gfpgan(sd: Mapping[str, Any]) -> Dict:
+    """GFPGANv1Clean state_dict -> gfpgan.init-compatible pytree."""
+
+    def lin(prefix):
+        return {"w": _to_np(sd[prefix + ".weight"]).T,
+                "b": _to_np(sd[prefix + ".bias"])}
+
+    def modconv(prefix):
+        w = _to_np(sd[prefix + ".weight"])          # (1, cout, cin, k, k)
+        return {"weight": np.transpose(w[0], (2, 3, 1, 0)),
+                "modulation": lin(prefix + ".modulation")}
+
+    def styleconv(prefix):
+        return {"modulated_conv": modconv(prefix + ".modulated_conv"),
+                "noise_weight": _to_np(sd[prefix + ".weight"]).reshape(()),
+                "bias": _to_np(sd[prefix + ".bias"]).reshape(-1)}
+
+    def torgb(prefix):
+        return {"modulated_conv": modconv(prefix + ".modulated_conv"),
+                "bias": _to_np(sd[prefix + ".bias"]).reshape(-1)}
+
+    out: Dict = {
+        "conv_body_first": _conv(sd, "conv_body_first"),
+        "final_conv": _conv(sd, "final_conv"),
+        "final_linear": lin("final_linear"),
+        "conv_body_down": [], "conv_body_up": [],
+        "condition_scale": [], "condition_shift": [], "toRGB": [],
+        "style_mlp": [],
+    }
+    i = 0
+    while f"conv_body_down.{i}.conv1.weight" in sd:
+        out["conv_body_down"].append({
+            "conv1": _conv(sd, f"conv_body_down.{i}.conv1"),
+            "conv2": _conv(sd, f"conv_body_down.{i}.conv2"),
+            "skip": _conv(sd, f"conv_body_down.{i}.skip"),
+        })
+        i += 1
+    i = 0
+    while f"conv_body_up.{i}.conv1.weight" in sd:
+        out["conv_body_up"].append({
+            "conv1": _conv(sd, f"conv_body_up.{i}.conv1"),
+            "conv2": _conv(sd, f"conv_body_up.{i}.conv2"),
+            "skip": _conv(sd, f"conv_body_up.{i}.skip"),
+        })
+        # condition Sequentials: [conv, lrelu, conv]
+        out["condition_scale"].append({
+            "c1": _conv(sd, f"condition_scale.{i}.0"),
+            "c2": _conv(sd, f"condition_scale.{i}.2"),
+        })
+        out["condition_shift"].append({
+            "c1": _conv(sd, f"condition_shift.{i}.0"),
+            "c2": _conv(sd, f"condition_shift.{i}.2"),
+        })
+        out["toRGB"].append(_conv(sd, f"toRGB.{i}"))
+        i += 1
+    i = 0
+    while f"stylegan_decoder.style_mlp.{i}.weight" in sd:
+        out["style_mlp"].append(lin(f"stylegan_decoder.style_mlp.{i}"))
+        i += 1
+    sg = {
+        "constant_input": np.transpose(
+            _to_np(sd["stylegan_decoder.constant_input.weight"]), (0, 2, 3, 1)),
+        "style_conv1": styleconv("stylegan_decoder.style_conv1"),
+        "to_rgb1": torgb("stylegan_decoder.to_rgb1"),
+        "style_convs": [], "to_rgbs": [],
+    }
+    i = 0
+    while f"stylegan_decoder.style_convs.{i}.modulated_conv.weight" in sd:
+        sg["style_convs"].append(styleconv(f"stylegan_decoder.style_convs.{i}"))
+        i += 1
+    i = 0
+    while f"stylegan_decoder.to_rgbs.{i}.modulated_conv.weight" in sd:
+        sg["to_rgbs"].append(torgb(f"stylegan_decoder.to_rgbs.{i}"))
+        i += 1
+    out["stylegan_decoder"] = sg
+    return out
+
+
 # ---------------------------------------------------------------------------
 # Generic helpers
 # ---------------------------------------------------------------------------

@@ -5,12 +5,12 @@ UnifiedFaceRestorer with GFPGAN/CodeFormer/RestoreFormer backends):
 detect faces, crop-align, run a restoration model per face, paste back
 with feathered blending.
 
-Round-1 implementation: a dependency-free skin-region detector
-(YCbCr chroma gating + connected components — the classical approach)
-and a restoration backend that runs the SR model zoo on face crops and
-blends at original scale, sharpening facial detail. The GFPGAN-class
-generative prior backend slots into ``FaceRestorer._enhance_crop``
-when its weights/arch land (weight port tracked for round 2).
+Implementation: a dependency-free skin-region detector (YCbCr chroma
+gating + connected components — the classical approach) and two crop
+restoration backends: "sr" (model-zoo SR on the crop) and "gfpgan"
+(models/gfpgan.py GFPGANv1Clean generative prior; released .pth loads
+through torch_port.port_gfpgan). Enhanced crops blend back with
+feathered masks.
 """
 
 from __future__ import annotations
@@ -125,6 +125,46 @@ class FaceRestorer:
         import jax
         import jax.numpy as jnp
 
+        if self.config.backend == "gfpgan":
+            from pathlib import Path
+
+            from framewright_tpu.models import gfpgan, torch_port
+
+            arch = gfpgan.GFPGANConfig()
+            params = None
+            if self.config.weights_dir:
+                wdir = Path(self.config.weights_dir)
+                npz = wdir / "GFPGANv1.4.npz"
+                pth = wdir / "GFPGANv1.4.pth"
+                if npz.exists():
+                    params = torch_port.import_npz(npz)
+                elif pth.exists():
+                    sd = torch_port.load_state_dict(pth)
+                    params = torch_port.port_gfpgan(sd)
+                    torch_port.export_npz(params, npz)
+            if params is None:
+                # tiny random-init stand-in (tests / missing weights):
+                # quality comes from released weights
+                arch = gfpgan.GFPGANConfig(out_size=64, num_style_feat=64,
+                                           channel_multiplier=1, num_mlp=2,
+                                           narrow=0.25)
+                params = gfpgan.init(jax.random.PRNGKey(6), arch)
+            params = jax.tree_util.tree_map(
+                lambda v: jnp.asarray(v) if hasattr(v, "shape") else v, params)
+            self._params = params
+            self.config.crop_size = arch.out_size
+            self._gfpgan_arch = arch
+
+            @jax.jit
+            def run_g(p, x):
+                # x in [0,1] -> official [-1,1] normalization and back
+                y = gfpgan.apply(p, x * 2.0 - 1.0, arch)
+                return jnp.clip((y + 1.0) / 2.0, 0.0, 1.0)
+
+            self._fn = run_g
+            self._gfpgan = True
+            return
+
         from framewright_tpu.models.registry import init_model
 
         spec, params = init_model(
@@ -133,6 +173,7 @@ class FaceRestorer:
         )
         self._spec = spec
         self._params = params
+        self._gfpgan = False
 
         @jax.jit
         def run(p, x):
@@ -151,7 +192,7 @@ class FaceRestorer:
         ch, cw = crop.shape[:2]
         s = self.config.crop_size
         x = resize_bicubic(jnp.asarray(to_float(crop[None])), (s, s))
-        y = self._fn(self._params, x)          # (1, s*scale, s*scale, 3)
+        y = self._fn(self._params, x)          # sr: (1,s*scale,...); gfpgan: (1,s,s,3)
         y = resize_bicubic(y, (ch, cw))
         return to_uint8(np.asarray(y))[0]
 
