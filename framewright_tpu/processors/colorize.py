@@ -44,7 +44,8 @@ def ycbcr_to_rgb(y: np.ndarray, cb: np.ndarray, cr: np.ndarray) -> np.ndarray:
 
 @dataclass
 class ColorizeConfig:
-    method: str = "palette"          # palette | exemplar | ddcolor (slot)
+    method: str = "palette"          # palette | exemplar | eccv16 | ddcolor (slot)
+    weights_dir: Optional[str] = None
     keyframe_interval: int = 24
     scene_change_threshold: float = 0.30
     saturation: float = 0.5
@@ -80,6 +81,33 @@ class Colorizer:
 
         self._flow_fn = flow
 
+        self._net_fn = None
+        if self.config.method == "eccv16":
+            from framewright_tpu.models import colorizer_net as cn
+
+            ncfg = cn.ECCV16Config(width_mult=0.125)
+            params = None
+            if self.config.weights_dir:
+                from pathlib import Path
+
+                from framewright_tpu.models import torch_port
+
+                npz = Path(self.config.weights_dir) / "eccv16.npz"
+                if npz.exists():
+                    params = torch_port.import_npz(npz)
+                    ncfg = cn.ECCV16Config()
+            if params is None:
+                params = cn.init(jax.random.PRNGKey(7), ncfg)
+            self._net_params = jax.tree_util.tree_map(
+                lambda v: jnp.asarray(v) if hasattr(v, "shape") else v, params)
+            self._net_cfg = ncfg
+
+            @jax.jit
+            def colorize_l(p, l):
+                return cn.apply(p, l, ncfg)
+
+            self._net_fn = colorize_l
+
     # ------------------------------------------------------------------
     def _colorize_keyframe(self, frame: np.ndarray) -> np.ndarray:
         """Produce chroma for a keyframe. palette: luma-indexed anchor
@@ -87,6 +115,22 @@ class Colorizer:
         cfg = self.config
         f = frame.astype(np.float32)
         y, _, _ = rgb_to_ycbcr(f)
+        if cfg.method == "eccv16" and self._net_fn is not None:
+            import jax.numpy as jnp
+
+            from framewright_tpu.models import colorizer_net as cn
+            from framewright_tpu.models.layers import resize_bilinear
+
+            rgb01 = jnp.asarray(f[None] / 255.0)
+            lab = cn.rgb_to_lab(rgb01)
+            # official working size 256x256 on L
+            l_small = resize_bilinear(lab[..., :1], (256, 256))
+            ab = self._net_fn(self._net_params, l_small)
+            h, w = f.shape[:2]
+            ab = resize_bilinear(ab, (h, w)) * (cfg.saturation * 2.0)
+            out = cn.lab_to_rgb(jnp.concatenate([lab[..., :1], ab], -1))
+            return np.asarray(np.clip(np.asarray(out)[0] * 255.0 + 0.5, 0, 255),
+                              np.uint8)
         if cfg.method == "exemplar" and cfg.reference_image is not None:
             ref = cfg.reference_image.astype(np.float32)
             ry, rcb, rcr = rgb_to_ycbcr(ref)

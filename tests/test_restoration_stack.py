@@ -228,3 +228,38 @@ class TestGFPGAN:
         a = gfpgan.apply(params, x, cfg)
         b = gfpgan.apply(jax.tree_util.tree_map(jnp.asarray, back), x, cfg)
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+class TestECCV16:
+    def test_net_shapes_and_range(self, rng):
+        import jax
+        import jax.numpy as jnp
+
+        from framewright_tpu.models import colorizer_net as cn
+
+        cfg = cn.ECCV16Config(width_mult=0.125)
+        params = cn.init(jax.random.PRNGKey(0), cfg)
+        l = jnp.asarray(rng.random((1, 64, 64, 1)).astype(np.float32) * 100)
+        ab = cn.apply(params, l, cfg)
+        assert ab.shape == (1, 64, 64, 2)
+        assert float(jnp.abs(ab).max()) <= 110.0 + 1e-3
+
+    def test_lab_roundtrip(self, rng):
+        import jax.numpy as jnp
+
+        from framewright_tpu.models import colorizer_net as cn
+
+        rgb = jnp.asarray(rng.random((4, 4, 3)).astype(np.float32))
+        back = cn.lab_to_rgb(cn.rgb_to_lab(rgb))
+        np.testing.assert_allclose(np.asarray(back), np.asarray(rgb), atol=2e-3)
+
+    def test_colorizer_eccv16_method(self, rng):
+        gray = np.stack([(rng.random((32, 48)) * 255)] * 3, -1).astype(np.uint8)
+        col = Colorizer(ColorizeConfig(method="eccv16", saturation=0.6))
+        col.setup(32, 48)
+        out = col._colorize_keyframe(gray)
+        assert out.shape == gray.shape
+        # luma approximately preserved (Lab L fixed)
+        y_in, _, _ = rgb_to_ycbcr(gray.astype(np.float32))
+        y_out, _, _ = rgb_to_ycbcr(out.astype(np.float32))
+        assert np.abs(y_in - y_out).mean() < 8.0
