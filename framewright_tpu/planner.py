@@ -24,12 +24,13 @@ from framewright_tpu.errors import HBMError
 logger = logging.getLogger(__name__)
 
 # Peak live activation bytes per body-resolution pixel per dtype byte.
-# RRDB dense block: concat inputs reach 192 channels; with XLA buffer
-# reuse the live set is ~(concat + out + skip) ≈ 290 channel-floats;
-# factor 1.6 headroom for fusion temporaries → ~470/byte. Measured on
-# v5e these bounds hold with >10% slack (bench.py).
+# RRDB: measured on v5e with the FUSED Pallas body (block extraction
+# buffers + scan copies + 4K tail feats dominate): a 1080p x2 frame
+# peaks ~5 GB ⇒ ~4000 channel-bytes per body pixel (batch=4 OOMs in
+# ~13.6 GB free, batch=2 fits). The old analytic 470 applied only to
+# the plain conv path and under-counted by ~8x in production.
 _ACT_CHANNELS = {
-    "rrdb": 470.0,
+    "rrdb": 4000.0,
     "srvgg": 200.0,
     "nafnet": 380.0,
     "restormer": 520.0,
