@@ -125,11 +125,31 @@ def init_model(
         params = spec.port_fn(sd)
         torch_port.export_npz(params, npz)  # cache the ported form
     elif allow_random:
-        params = spec.init(jax.random.PRNGKey(seed), dtype=dtype)
+        # Run random init on the host CPU backend: init is hundreds of
+        # tiny RNG programs, and on remote-compile TPU stacks each one
+        # is a separate compile round-trip (measured: minutes of
+        # startup). Params move to the accelerator on first use.
+        try:
+            cpu = jax.local_devices(backend="cpu")[0]
+        except RuntimeError:
+            cpu = None
+        if cpu is not None:
+            with jax.default_device(cpu):
+                params = spec.init(jax.random.PRNGKey(seed), dtype=dtype)
+        else:
+            params = spec.init(jax.random.PRNGKey(seed), dtype=dtype)
     else:
         raise ModelError(
             f"No weights for {name!r} in {wdir} (looked for .npz/.pth). "
             f"Download from {spec.url}"
         )
-    params = jax.tree_util.tree_map(lambda p: jnp.asarray(p, dtype=dtype), params)
-    return spec, params
+    # Cast on the host (ml_dtypes handles bf16 in numpy) and ship with
+    # ONE bulk device_put: pure transfers. The old per-leaf
+    # jnp.asarray(..., dtype) compiled a convert program per unique
+    # shape — minutes of remote-compile stall on the axon stack.
+    import numpy as np
+
+    nd = np.dtype(dtype)
+    params = jax.tree_util.tree_map(
+        lambda p: np.asarray(p).astype(nd, copy=False), params)
+    return spec, jax.device_put(params)

@@ -138,10 +138,16 @@ class SuperResolution(FrameProcessor):
                 return spec.apply_fn(params, t, spec.arch_config)
 
         @jax.jit
-        def run(x):
-            x = x.astype(dtype)
+        def run(x_u8):
+            # uint8 in, uint8 out: normalize/denormalize ON DEVICE so the
+            # host link carries 1 byte/px each way instead of 4 out (the
+            # axon tunnel moves ~18 MiB/s; a 4K f32 batch was ~10 s of
+            # pure transfer) and the host never touches float pixels.
+            x = x_u8.astype(dtype) / jnp.asarray(255.0, dtype)
             y = tiling.tiled_apply(model_fn, x, plan)
-            return jnp.clip(y.astype(jnp.float32), 0.0, 1.0)
+            y = jnp.clip(y.astype(jnp.float32), 0.0, 1.0)
+            # round-half-away like to_uint8 (max 255.5 floors to 255)
+            return jnp.floor(y * 255.0 + 0.5).astype(jnp.uint8)
 
         self._fn = run
 
@@ -151,7 +157,7 @@ class SuperResolution(FrameProcessor):
         import jax
 
         cfg = self.config
-        x = to_float(frames)
+        x = frames if frames.dtype == np.uint8 else to_uint8(frames)
         n = x.shape[0]
         if self._mesh is not None:
             from framewright_tpu.parallel.mesh import pad_batch_for_mesh
@@ -166,7 +172,7 @@ class SuperResolution(FrameProcessor):
                 if self._mesh is not None:
                     xin = jax.device_put(x, self._frame_sharding)
                 y = self._fn(xin)
-                out = to_uint8(y)[:n]
+                out = np.asarray(y)[:n]
                 break
             except Exception as exc:  # noqa: BLE001
                 err = classify_error(exc)
