@@ -95,8 +95,20 @@ _VALID_SR_MODELS = (
     "RealESRGAN_x2plus",
     "realesr-animevideov3",
     "realesr-general-x4v3",
+    "BasicVSR",
     "none",
 )
+
+
+def _sr_model_known(name: str) -> bool:
+    if name in _VALID_SR_MODELS:
+        return True
+    try:  # custom models registered at runtime (plugins, tests)
+        from framewright_tpu.models.registry import MODEL_SPECS
+
+        return name in MODEL_SPECS
+    except Exception:  # noqa: BLE001
+        return False
 
 _VALID_DTYPES = ("bfloat16", "float32", "int8")
 _VALID_DENOISERS = ("nafnet", "restormer", "temporal", "bilateral", "none")
@@ -233,7 +245,7 @@ class Config:
     def _validate(self) -> None:
         if self.scale_factor not in (1, 2, 3, 4):
             raise ConfigError(f"scale_factor must be 1-4, got {self.scale_factor}")
-        if self.sr_model not in _VALID_SR_MODELS:
+        if not _sr_model_known(self.sr_model):
             raise ConfigError(
                 f"Unknown sr_model {self.sr_model!r}; valid: {_VALID_SR_MODELS}"
             )

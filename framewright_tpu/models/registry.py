@@ -24,7 +24,7 @@ import jax
 import jax.numpy as jnp
 
 from framewright_tpu.errors import ModelError
-from framewright_tpu.models import rrdb, srvgg
+from framewright_tpu.models import rrdb, srvgg, vsr
 from framewright_tpu.models import torch_port
 
 
@@ -92,6 +92,15 @@ _register(ModelSpec(
     url="https://github.com/xinntao/Real-ESRGAN/releases/download/v0.2.5.0/realesr-general-x4v3.pth",
     apply_fn=srvgg.apply, init_fn=srvgg.init,
     port_fn=lambda sd: torch_port.port_srvgg(sd, 32),
+))
+
+
+_register(ModelSpec(
+    name="BasicVSR", family="vsr", scale=4,
+    arch_config=vsr.BasicVSRConfig(),
+    url="https://download.openmmlab.com/mmediting/restorers/basicvsr/basicvsr_reds4_20120409-0e599677.pth",
+    apply_fn=vsr.apply, init_fn=vsr.init,
+    port_fn=lambda sd: torch_port.port_basicvsr(sd),
 ))
 
 

@@ -189,6 +189,60 @@ def port_gfpgan(sd: Mapping[str, Any]) -> Dict:
     return out
 
 
+def port_basicvsr(sd: Mapping[str, Any], num_blocks: int = 30,
+                  spynet_levels: int = 6) -> Dict:
+    """mmediting BasicVSR state_dict -> models/vsr.py pytree.
+
+    Accepts both ``generator.``-prefixed checkpoints and bare ones, and
+    both SpyNet layer namings seen in the wild
+    (``basic_module.{j}.conv`` ConvModule wrapping vs plain Sequential
+    indices 0/2/4/6/8)."""
+    if any(k.startswith("generator.") for k in sd):
+        sd = {k[len("generator."):]: v for k, v in sd.items() if
+              k.startswith("generator.")}
+
+    def conv_any(*prefixes):
+        for p in prefixes:
+            if p + ".weight" in sd:
+                return _conv(sd, p)
+        raise ModelError(f"Missing conv (tried {prefixes}) while porting BasicVSR")
+
+    spynet = []
+    for lv in range(spynet_levels):
+        mods = []
+        for j in range(5):
+            mods.append(conv_any(
+                f"spynet.basic_module.{lv}.basic_module.{j}.conv",
+                f"spynet.basic_module.{lv}.basic_module.{2 * j}",
+                f"spynet.basic_module.{lv}.basic_module.{j}",
+            ))
+        spynet.append(mods)
+
+    def trunk(prefix):
+        c1w, c1b, c2w, c2b = [], [], [], []
+        for i in range(num_blocks):
+            b1 = _conv(sd, f"{prefix}.main.2.{i}.conv1")
+            b2 = _conv(sd, f"{prefix}.main.2.{i}.conv2")
+            c1w.append(b1["w"]); c1b.append(b1["b"])
+            c2w.append(b2["w"]); c2b.append(b2["b"])
+        return {
+            "head": _conv(sd, f"{prefix}.main.0"),
+            "conv1": {"w": np.stack(c1w), "b": np.stack(c1b)},
+            "conv2": {"w": np.stack(c2w), "b": np.stack(c2b)},
+        }
+
+    return {
+        "spynet": spynet,
+        "backward": trunk("backward_resblocks"),
+        "forward": trunk("forward_resblocks"),
+        "fusion": _conv(sd, "fusion"),
+        "upsample1": conv_any("upsample1.upsample_conv", "upsample1"),
+        "upsample2": conv_any("upsample2.upsample_conv", "upsample2"),
+        "conv_hr": _conv(sd, "conv_hr"),
+        "conv_last": _conv(sd, "conv_last"),
+    }
+
+
 # ---------------------------------------------------------------------------
 # Generic helpers
 # ---------------------------------------------------------------------------

@@ -242,15 +242,33 @@ class VideoRestorer:
             sr = None
             oh, ow = meta.height, meta.width
         else:
-            sr = SuperResolution(SRConfig(
-                model_name=cfg.sr_model,
-                compute_dtype=cfg.compute_dtype,
-                tile_size=cfg.tile_size,
-                tile_overlap=cfg.tile_overlap,
-                batch_size=cfg.batch_size,
-                hbm_utilization=cfg.hbm_utilization,
-                outscale=cfg.outscale,
-            ))
+            from framewright_tpu.models.registry import get_model
+
+            if get_model(cfg.sr_model).family == "vsr":
+                # recurrent video SR: temporal order matters, so the
+                # dedup frame mapping is bypassed (duplicates are free
+                # for a recurrent model anyway — static flow)
+                from framewright_tpu.processors.video_sr import (
+                    VideoSuperResolution,
+                    VSRConfig,
+                )
+
+                sr = VideoSuperResolution(VSRConfig(
+                    model_name=cfg.sr_model,
+                    chunk=cfg.batch_size or 8,
+                    compute_dtype=cfg.compute_dtype,
+                ))
+                dedup = None
+            else:
+                sr = SuperResolution(SRConfig(
+                    model_name=cfg.sr_model,
+                    compute_dtype=cfg.compute_dtype,
+                    tile_size=cfg.tile_size,
+                    tile_overlap=cfg.tile_overlap,
+                    batch_size=cfg.batch_size,
+                    hbm_utilization=cfg.hbm_utilization,
+                    outscale=cfg.outscale,
+                ))
             sr.setup(meta.height, meta.width)
             oh, ow = sr.output_size(meta.height, meta.width)
 
@@ -260,7 +278,14 @@ class VideoRestorer:
             if resume_from:
                 logger.info("resuming enhance at frame %d", resume_from)
 
-        batch_size = sr._plan.batch if (sr and not sr._plan.tiled) else 8
+        plan = getattr(sr, "_plan", None)
+        if plan is not None and not plan.tiled:
+            batch_size = plan.batch
+        elif sr is not None and hasattr(sr, "config") and \
+                hasattr(sr.config, "chunk"):
+            batch_size = sr.config.chunk      # VSR: ring batches = chunks
+        else:
+            batch_size = 8
         validator = QualityValidator(cfg.min_psnr, cfg.min_ssim) \
             if cfg.validate_output else None
 
