@@ -411,6 +411,74 @@ def cmd_audio(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_farm(args: argparse.Namespace) -> int:
+    """Distributed render farm / cloud burst over a shared directory."""
+    from framewright_tpu.parallel.multihost import (
+        RenderJob,
+        SharedDirCoordinator,
+        run_coordinator,
+        run_worker,
+    )
+
+    if args.device != "auto":
+        import jax
+
+        jax.config.update("jax_platforms", args.device)
+    work_dir = Path(args.work_dir)
+    if args.farm_cmd == "work":
+        done = run_worker(work_dir, worker_id=args.worker_id or None)
+        print(json.dumps({"worker_chunks_done": done}))
+        return 0
+    if args.farm_cmd == "status":
+        coord = SharedDirCoordinator(work_dir)
+        job = coord.load_job()
+        status = coord.chunk_status(len(job.chunks()))
+        print(json.dumps({
+            "chunks": status, "workers": coord.live_workers(),
+            "complete": coord.is_complete(len(job.chunks())),
+        }, indent=2))
+        return 0
+    # farm run: coordinate (optionally bursting to a cloud provider)
+    from framewright_tpu.io.video import probe
+
+    meta = probe(Path(args.source))
+    config = {
+        "sr_model": args.model, "compute_dtype": args.dtype,
+        "scale_factor": args.scale,
+    }
+    job = RenderJob(
+        job_id=args.job_id, source=str(Path(args.source).resolve()),
+        output=str(work_dir / "merged.y4m"), config=config,
+        total_frames=meta.nb_frames, chunk_frames=args.chunk_frames,
+    )
+    if args.burst != "none":
+        from framewright_tpu.cloud import (
+            PROVIDERS,
+            BurstPolicy,
+            CloudBurstManager,
+            InstanceSpec,
+            LocalDirStorage,
+        )
+
+        provider_cls = PROVIDERS[args.burst]
+        provider = (provider_cls(job_dir=work_dir) if args.burst == "local"
+                    else provider_cls(api_key=args.api_key))
+        mgr = CloudBurstManager(
+            provider, LocalDirStorage(work_dir),
+            BurstPolicy(max_instances=args.workers))
+        out = mgr.run(Path(args.source), Path(args.output), meta.nb_frames,
+                      config=config, spec=InstanceSpec(),
+                      chunk_frames=args.chunk_frames, timeout=args.timeout)
+    else:
+        out = run_coordinator(work_dir, job, timeout=args.timeout)
+        import shutil as _sh
+
+        _sh.copyfile(out, args.output)
+        out = args.output
+    print(json.dumps({"output": str(out)}))
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     parser = argparse.ArgumentParser(
         prog="framewright",
@@ -513,6 +581,32 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--save-profile", default="")
     p.set_defaults(func=cmd_wizard)
 
+    p = sub.add_parser("farm", help="distributed render farm / cloud burst")
+    fsub = p.add_subparsers(dest="farm_cmd", required=True)
+    fw = fsub.add_parser("work", help="run a worker against a shared job dir")
+    fw.add_argument("work_dir")
+    fw.add_argument("--worker-id", default="")
+    fw.add_argument("--device", choices=["auto", "tpu", "cpu"], default="auto")
+    fs = fsub.add_parser("status", help="show chunk/worker status")
+    fs.add_argument("work_dir")
+    fs.add_argument("--device", choices=["auto", "tpu", "cpu"], default="auto")
+    fr = fsub.add_parser("run", help="coordinate a farm/burst job")
+    fr.add_argument("source")
+    fr.add_argument("work_dir")
+    fr.add_argument("-o", "--output", required=True)
+    fr.add_argument("--model", default="realesr-animevideov3")
+    fr.add_argument("--dtype", default="bfloat16")
+    fr.add_argument("--scale", type=int, default=4)
+    fr.add_argument("--chunk-frames", type=int, default=100)
+    fr.add_argument("--job-id", default="farm")
+    fr.add_argument("--burst", default="none",
+                    choices=["none", "local", "runpod", "vastai", "gcp-tpu"])
+    fr.add_argument("--api-key", default="")
+    fr.add_argument("--workers", type=int, default=2)
+    fr.add_argument("--timeout", type=float, default=86400.0)
+    fr.add_argument("--device", choices=["auto", "tpu", "cpu"], default="auto")
+    p.set_defaults(func=cmd_farm)
+
     p = sub.add_parser("audio", help="enhance a WAV audio file")
     p.add_argument("source")
     p.add_argument("output")
@@ -542,7 +636,7 @@ def main(argv: Optional[List[str]] = None) -> int:
     known = {"restore", "probe", "check", "presets", "models", "analyze",
              "bench", "suite", "recipes", "recipe", "auto", "do", "batch",
              "watch", "qa-report", "export-presets", "audio", "wizard",
-             "-h", "--help", "--version"}
+             "farm", "-h", "--help", "--version"}
     if argv and argv[0] not in known and not argv[0].startswith("-"):
         argv = ["restore"] + argv
     parser = build_parser()

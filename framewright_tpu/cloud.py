@@ -1,0 +1,616 @@
+"""Cloud burst: rent remote accelerators when local capacity runs out.
+
+Re-creates the reference's cloud layer (cloud/base.py:284 CloudProvider
+ABC, runpod.py:53, vastai.py:54 providers, burst.py:83
+CloudBurstManager, storage.py:11-482 S3/GCS storage) with a TPU-native
+twist: alongside the GPU marketplaces (RunPod, Vast.ai) there is a GCP
+TPU-VM provider, since this framework's compute path is TPU-first.
+
+Design differences from the reference:
+
+- Every provider takes an injectable ``transport(method, url, headers,
+  body) -> (status, dict)``. The default uses urllib; tests (and
+  air-gapped hosts) inject a fake. Provider logic — payload
+  construction, offer selection, lifecycle — is fully exercisable
+  offline.
+- Storage is the handoff mechanism (upload source chunk + job manifest,
+  worker produces a part, controller downloads). ``LocalDirStorage``
+  covers shared-FS clusters and tests; ``S3Storage`` implements real
+  AWS SigV4 request signing in-process (hmac/hashlib; the reference
+  shelled out to rclone); ``GCSStorage`` uses bearer-token JSON API.
+- ``LocalSubprocessProvider`` "provisions" worker processes on this
+  host running the CLI — the live path that needs no cloud account,
+  and the one the burst manager's tests drive end to end.
+- Chunking/merge reuses parallel/distributor + io/y4m append semantics
+  (same machinery as the multi-host render farm, parallel/multihost.py).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import hmac
+import json
+import logging
+import shutil
+import subprocess
+import sys
+import threading
+import time
+import urllib.parse
+from abc import ABC, abstractmethod
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Callable, Dict, List, Optional, Sequence, Tuple
+
+from framewright_tpu.errors import FramewrightError
+
+logger = logging.getLogger(__name__)
+
+Transport = Callable[[str, str, Dict[str, str], Optional[bytes]],
+                     Tuple[int, Dict]]
+
+
+class CloudError(FramewrightError):
+    pass
+
+
+def _urllib_transport(method: str, url: str, headers: Dict[str, str],
+                      body: Optional[bytes]) -> Tuple[int, Dict]:
+    import urllib.request
+
+    req = urllib.request.Request(url, data=body, headers=headers,
+                                 method=method)
+    try:
+        with urllib.request.urlopen(req, timeout=30) as resp:
+            raw = resp.read()
+            try:
+                return resp.status, json.loads(raw) if raw else {}
+            except json.JSONDecodeError:
+                return resp.status, {"raw": raw.decode("utf-8", "replace")}
+    except Exception as exc:  # noqa: BLE001
+        raise CloudError(f"{method} {url} failed: {exc}") from exc
+
+
+# ---------------------------------------------------------------------------
+# Provider model
+# ---------------------------------------------------------------------------
+
+@dataclass
+class InstanceSpec:
+    """What to rent. accelerator examples: 'RTX4090', 'A100', 'v5e-8'."""
+
+    accelerator: str = "RTX4090"
+    count: int = 1
+    max_usd_per_hour: float = 1.0
+    disk_gb: int = 60
+    image: str = "framewright/worker:latest"
+    region: Optional[str] = None
+    env: Dict[str, str] = field(default_factory=dict)
+
+
+@dataclass
+class CloudInstance:
+    provider: str
+    instance_id: str
+    status: str = "provisioning"      # provisioning|running|stopped|failed
+    usd_per_hour: float = 0.0
+    started_at: float = 0.0
+    meta: Dict = field(default_factory=dict)
+
+    def cost_so_far(self, now: Optional[float] = None) -> float:
+        if not self.started_at:
+            return 0.0
+        hours = ((now or time.time()) - self.started_at) / 3600.0
+        return round(hours * self.usd_per_hour, 4)
+
+
+class CloudProvider(ABC):
+    """Lifecycle of rented instances (reference cloud/base.py:284)."""
+
+    name = "abstract"
+
+    def __init__(self, api_key: str = "", transport: Optional[Transport] = None):
+        self.api_key = api_key
+        self.transport = transport or _urllib_transport
+
+    @abstractmethod
+    def provision(self, spec: InstanceSpec) -> CloudInstance: ...
+
+    @abstractmethod
+    def status(self, instance: CloudInstance) -> str: ...
+
+    @abstractmethod
+    def terminate(self, instance: CloudInstance) -> None: ...
+
+    def wait_running(self, instance: CloudInstance, timeout: float = 600.0,
+                     poll: float = 5.0) -> CloudInstance:
+        t0 = time.time()
+        while time.time() - t0 < timeout:
+            st = self.status(instance)
+            instance.status = st
+            if st == "running":
+                if not instance.started_at:
+                    instance.started_at = time.time()
+                return instance
+            if st == "failed":
+                raise CloudError(f"{self.name} instance {instance.instance_id} failed")
+            time.sleep(poll)
+        raise CloudError(f"timeout waiting for {instance.instance_id}")
+
+
+class RunPodProvider(CloudProvider):
+    """RunPod GraphQL API (reference cloud/runpod.py:53)."""
+
+    name = "runpod"
+    endpoint = "https://api.runpod.io/graphql"
+
+    def _gql(self, query: str) -> Dict:
+        status, data = self.transport(
+            "POST", f"{self.endpoint}?api_key={self.api_key}",
+            {"Content-Type": "application/json"},
+            json.dumps({"query": query}).encode())
+        if status != 200 or "errors" in data:
+            raise CloudError(f"runpod API error ({status}): {data}")
+        return data.get("data", {})
+
+    def provision(self, spec: InstanceSpec) -> CloudInstance:
+        q = (
+            'mutation { podFindAndDeployOnDemand(input: {'
+            f'cloudType: COMMUNITY, gpuCount: {spec.count}, '
+            f'volumeInGb: {spec.disk_gb}, containerDiskInGb: 10, '
+            f'gpuTypeId: "{spec.accelerator}", name: "framewright-burst", '
+            f'imageName: "{spec.image}", '
+            f'env: {json.dumps([{"key": k, "value": v} for k, v in spec.env.items()]).replace(chr(34), chr(39))}'
+            '}) { id costPerHr desiredStatus } }'
+        )
+        data = self._gql(q)
+        pod = data.get("podFindAndDeployOnDemand") or {}
+        if not pod.get("id"):
+            raise CloudError(f"runpod returned no pod: {data}")
+        return CloudInstance(self.name, pod["id"],
+                             usd_per_hour=float(pod.get("costPerHr", 0.0)))
+
+    def status(self, instance: CloudInstance) -> str:
+        data = self._gql(
+            f'query {{ pod(input: {{podId: "{instance.instance_id}"}}) '
+            '{ desiredStatus runtime { uptimeInSeconds } } }')
+        pod = data.get("pod") or {}
+        st = (pod.get("desiredStatus") or "").upper()
+        if st == "RUNNING" and (pod.get("runtime") or {}).get("uptimeInSeconds"):
+            return "running"
+        if st in ("EXITED", "TERMINATED"):
+            return "stopped"
+        return "provisioning"
+
+    def terminate(self, instance: CloudInstance) -> None:
+        self._gql(f'mutation {{ podTerminate(input: {{podId: "{instance.instance_id}"}}) }}')
+        instance.status = "stopped"
+
+
+class VastAIProvider(CloudProvider):
+    """Vast.ai REST API (reference cloud/vastai.py:54): search offers,
+    rent the cheapest match, destroy when done."""
+
+    name = "vastai"
+    endpoint = "https://console.vast.ai/api/v0"
+
+    def _call(self, method: str, path: str, body: Optional[Dict] = None) -> Dict:
+        status, data = self.transport(
+            method, f"{self.endpoint}{path}?api_key={self.api_key}",
+            {"Content-Type": "application/json"},
+            json.dumps(body).encode() if body is not None else None)
+        if status not in (200, 201):
+            raise CloudError(f"vast.ai API error ({status}): {data}")
+        return data
+
+    def search_offers(self, spec: InstanceSpec) -> List[Dict]:
+        q = {
+            "gpu_name": {"eq": spec.accelerator},
+            "num_gpus": {"gte": spec.count},
+            "dph_total": {"lte": spec.max_usd_per_hour},
+            "rentable": {"eq": True},
+        }
+        data = self._call(
+            "GET", "/bundles/",
+            {"q": q, "order": [["dph_total", "asc"]], "limit": 16})
+        return data.get("offers", [])
+
+    def provision(self, spec: InstanceSpec) -> CloudInstance:
+        offers = self.search_offers(spec)
+        if not offers:
+            raise CloudError(
+                f"no vast.ai offers for {spec.accelerator} "
+                f"<= ${spec.max_usd_per_hour}/h")
+        offer = offers[0]
+        data = self._call("PUT", f"/asks/{offer['id']}/", {
+            "client_id": "me", "image": spec.image,
+            "disk": spec.disk_gb, "env": spec.env,
+        })
+        if not data.get("success"):
+            raise CloudError(f"vast.ai rent failed: {data}")
+        return CloudInstance(self.name, str(data.get("new_contract")),
+                             usd_per_hour=float(offer.get("dph_total", 0.0)))
+
+    def status(self, instance: CloudInstance) -> str:
+        data = self._call("GET", f"/instances/{instance.instance_id}/")
+        st = ((data.get("instances") or data).get("actual_status") or "")
+        return {"running": "running", "exited": "stopped",
+                "created": "provisioning", "loading": "provisioning"}.get(
+                    st, "provisioning")
+
+    def terminate(self, instance: CloudInstance) -> None:
+        self._call("DELETE", f"/instances/{instance.instance_id}/")
+        instance.status = "stopped"
+
+
+class TPUPodProvider(CloudProvider):
+    """GCP TPU VM API (tpu.googleapis.com v2) — the TPU-native burst
+    target this framework is designed for. api_key is an OAuth bearer
+    token; accelerator is a TPU type like 'v5litepod-8'."""
+
+    name = "gcp-tpu"
+    endpoint = "https://tpu.googleapis.com/v2"
+
+    def __init__(self, api_key: str = "", project: str = "",
+                 zone: str = "us-central2-b",
+                 transport: Optional[Transport] = None):
+        super().__init__(api_key, transport)
+        self.project = project
+        self.zone = zone
+
+    def _call(self, method: str, path: str, body: Optional[Dict] = None) -> Dict:
+        status, data = self.transport(
+            method, f"{self.endpoint}{path}",
+            {"Authorization": f"Bearer {self.api_key}",
+             "Content-Type": "application/json"},
+            json.dumps(body).encode() if body is not None else None)
+        if status not in (200, 201):
+            raise CloudError(f"TPU API error ({status}): {data}")
+        return data
+
+    def provision(self, spec: InstanceSpec) -> CloudInstance:
+        node_id = f"framewright-burst-{int(time.time())}"
+        parent = f"/projects/{self.project}/locations/{self.zone}"
+        self._call("POST", f"{parent}/nodes?nodeId={node_id}", {
+            "acceleratorType": spec.accelerator or "v5litepod-8",
+            "runtimeVersion": "tpu-ubuntu2204-base",
+            "metadata": spec.env,
+        })
+        return CloudInstance(self.name, node_id,
+                             meta={"parent": parent})
+
+    def status(self, instance: CloudInstance) -> str:
+        data = self._call(
+            "GET", f"{instance.meta['parent']}/nodes/{instance.instance_id}")
+        return {"READY": "running", "CREATING": "provisioning",
+                "STOPPED": "stopped"}.get(data.get("state", ""), "provisioning")
+
+    def terminate(self, instance: CloudInstance) -> None:
+        self._call("DELETE",
+                   f"{instance.meta['parent']}/nodes/{instance.instance_id}")
+        instance.status = "stopped"
+
+
+class LocalSubprocessProvider(CloudProvider):
+    """'Provisions' worker processes on this machine running the
+    framewright CLI — the zero-account burst target, and what the burst
+    manager's end-to-end tests exercise. Each instance is a multihost
+    SharedDirWorker consuming chunks from the job directory."""
+
+    name = "local"
+
+    def __init__(self, job_dir: Optional[Path] = None):
+        super().__init__("", lambda *a: (_ for _ in ()).throw(
+            CloudError("local provider makes no HTTP calls")))
+        self.job_dir = job_dir
+        self._procs: Dict[str, subprocess.Popen] = {}
+
+    def provision(self, spec: InstanceSpec) -> CloudInstance:
+        if self.job_dir is None:
+            raise CloudError("LocalSubprocessProvider needs a job_dir")
+        proc = subprocess.Popen(
+            [sys.executable, "-m", "framewright_tpu.cli", "farm", "work",
+             str(self.job_dir), "--device", "cpu"],
+            stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+            env={**spec.env, "PATH": "/usr/bin:/bin",
+                 "PYTHONPATH": ":".join(sys.path)},
+        )
+        inst = CloudInstance(self.name, str(proc.pid), status="running",
+                             started_at=time.time())
+        self._procs[inst.instance_id] = proc
+        return inst
+
+    def status(self, instance: CloudInstance) -> str:
+        proc = self._procs.get(instance.instance_id)
+        if proc is None:
+            return "stopped"
+        return "running" if proc.poll() is None else "stopped"
+
+    def terminate(self, instance: CloudInstance) -> None:
+        proc = self._procs.pop(instance.instance_id, None)
+        if proc is not None and proc.poll() is None:
+            proc.terminate()
+            try:
+                proc.wait(timeout=10)
+            except subprocess.TimeoutExpired:
+                proc.kill()
+        instance.status = "stopped"
+
+
+PROVIDERS = {
+    "runpod": RunPodProvider,
+    "vastai": VastAIProvider,
+    "gcp-tpu": TPUPodProvider,
+    "local": LocalSubprocessProvider,
+}
+
+
+# ---------------------------------------------------------------------------
+# Storage (reference cloud/storage.py:11-482)
+# ---------------------------------------------------------------------------
+
+class CloudStorage(ABC):
+    @abstractmethod
+    def upload(self, local: Path, remote_key: str) -> None: ...
+
+    @abstractmethod
+    def download(self, remote_key: str, local: Path) -> None: ...
+
+    @abstractmethod
+    def exists(self, remote_key: str) -> bool: ...
+
+
+class LocalDirStorage(CloudStorage):
+    """Shared-directory storage (NFS/gcsfuse mounts; also the test
+    backend)."""
+
+    def __init__(self, root: Path):
+        self.root = Path(root)
+        self.root.mkdir(parents=True, exist_ok=True)
+
+    def upload(self, local: Path, remote_key: str) -> None:
+        dst = self.root / remote_key
+        dst.parent.mkdir(parents=True, exist_ok=True)
+        tmp = dst.with_suffix(dst.suffix + ".tmp")
+        shutil.copyfile(local, tmp)
+        tmp.rename(dst)
+
+    def download(self, remote_key: str, local: Path) -> None:
+        local.parent.mkdir(parents=True, exist_ok=True)
+        shutil.copyfile(self.root / remote_key, local)
+
+    def exists(self, remote_key: str) -> bool:
+        return (self.root / remote_key).exists()
+
+
+def sigv4_headers(method: str, url: str, region: str, service: str,
+                  access_key: str, secret_key: str, payload: bytes,
+                  amz_date: str) -> Dict[str, str]:
+    """AWS Signature Version 4 (hmac/hashlib only, no boto3). amz_date
+    is 'YYYYMMDDTHHMMSSZ' — injected for determinism/testability."""
+    parsed = urllib.parse.urlparse(url)
+    host = parsed.netloc
+    canonical_uri = urllib.parse.quote(parsed.path or "/")
+    canonical_query = "&".join(sorted(parsed.query.split("&"))) if parsed.query else ""
+    payload_hash = hashlib.sha256(payload).hexdigest()
+    datestamp = amz_date[:8]
+    canonical_headers = (f"host:{host}\nx-amz-content-sha256:{payload_hash}\n"
+                         f"x-amz-date:{amz_date}\n")
+    signed_headers = "host;x-amz-content-sha256;x-amz-date"
+    canonical_request = "\n".join([
+        method, canonical_uri, canonical_query, canonical_headers,
+        signed_headers, payload_hash])
+    scope = f"{datestamp}/{region}/{service}/aws4_request"
+    string_to_sign = "\n".join([
+        "AWS4-HMAC-SHA256", amz_date, scope,
+        hashlib.sha256(canonical_request.encode()).hexdigest()])
+
+    def _hmac(key: bytes, msg: str) -> bytes:
+        return hmac.new(key, msg.encode(), hashlib.sha256).digest()
+
+    k = _hmac(("AWS4" + secret_key).encode(), datestamp)
+    k = _hmac(k, region)
+    k = _hmac(k, service)
+    k = _hmac(k, "aws4_request")
+    signature = hmac.new(k, string_to_sign.encode(), hashlib.sha256).hexdigest()
+    return {
+        "x-amz-date": amz_date,
+        "x-amz-content-sha256": payload_hash,
+        "Authorization": (
+            f"AWS4-HMAC-SHA256 Credential={access_key}/{scope}, "
+            f"SignedHeaders={signed_headers}, Signature={signature}"),
+    }
+
+
+class S3Storage(CloudStorage):
+    """S3 REST with in-process SigV4 (reference shelled to rclone)."""
+
+    def __init__(self, bucket: str, region: str = "us-east-1",
+                 access_key: str = "", secret_key: str = "",
+                 transport: Optional[Transport] = None,
+                 now: Callable[[], str] = None):
+        self.bucket = bucket
+        self.region = region
+        self.access_key = access_key
+        self.secret_key = secret_key
+        self.transport = transport or _urllib_transport
+        self.now = now or (lambda: time.strftime("%Y%m%dT%H%M%SZ", time.gmtime()))
+
+    def _url(self, key: str) -> str:
+        return (f"https://{self.bucket}.s3.{self.region}.amazonaws.com/"
+                f"{urllib.parse.quote(key)}")
+
+    def _request(self, method: str, key: str, payload: bytes = b"") -> Tuple[int, Dict]:
+        url = self._url(key)
+        headers = sigv4_headers(method, url, self.region, "s3",
+                                self.access_key, self.secret_key, payload,
+                                self.now())
+        return self.transport(method, url, headers, payload or None)
+
+    def upload(self, local: Path, remote_key: str) -> None:
+        status, data = self._request("PUT", remote_key, Path(local).read_bytes())
+        if status != 200:
+            raise CloudError(f"S3 upload {remote_key} failed ({status}): {data}")
+
+    def download(self, remote_key: str, local: Path) -> None:
+        status, data = self._request("GET", remote_key)
+        if status != 200:
+            raise CloudError(f"S3 download {remote_key} failed ({status})")
+        Path(local).parent.mkdir(parents=True, exist_ok=True)
+        Path(local).write_bytes(data.get("raw", "").encode()
+                                if isinstance(data.get("raw"), str)
+                                else data.get("raw", b""))
+
+    def exists(self, remote_key: str) -> bool:
+        status, _ = self._request("HEAD", remote_key)
+        return status == 200
+
+
+class GCSStorage(CloudStorage):
+    """GCS JSON API with a bearer token."""
+
+    def __init__(self, bucket: str, token: str = "",
+                 transport: Optional[Transport] = None):
+        self.bucket = bucket
+        self.token = token
+        self.transport = transport or _urllib_transport
+
+    def _headers(self) -> Dict[str, str]:
+        return {"Authorization": f"Bearer {self.token}"}
+
+    def upload(self, local: Path, remote_key: str) -> None:
+        url = (f"https://storage.googleapis.com/upload/storage/v1/b/"
+               f"{self.bucket}/o?uploadType=media&name="
+               f"{urllib.parse.quote(remote_key, safe='')}")
+        status, data = self.transport("POST", url, self._headers(),
+                                      Path(local).read_bytes())
+        if status != 200:
+            raise CloudError(f"GCS upload failed ({status}): {data}")
+
+    def download(self, remote_key: str, local: Path) -> None:
+        url = (f"https://storage.googleapis.com/storage/v1/b/{self.bucket}"
+               f"/o/{urllib.parse.quote(remote_key, safe='')}?alt=media")
+        status, data = self.transport("GET", url, self._headers(), None)
+        if status != 200:
+            raise CloudError(f"GCS download failed ({status})")
+        Path(local).parent.mkdir(parents=True, exist_ok=True)
+        raw = data.get("raw", b"")
+        Path(local).write_bytes(raw.encode() if isinstance(raw, str) else raw)
+
+    def exists(self, remote_key: str) -> bool:
+        url = (f"https://storage.googleapis.com/storage/v1/b/{self.bucket}"
+               f"/o/{urllib.parse.quote(remote_key, safe='')}")
+        status, _ = self.transport("GET", url, self._headers(), None)
+        return status == 200
+
+
+# ---------------------------------------------------------------------------
+# Burst manager (reference cloud/burst.py:83)
+# ---------------------------------------------------------------------------
+
+@dataclass
+class BurstPolicy:
+    """When to burst and how much (reference: local-capacity-triggered)."""
+
+    max_instances: int = 4
+    min_chunks_per_instance: int = 2       # don't rent for tiny jobs
+    budget_usd: float = 10.0
+    local_fps_threshold: float = 0.0       # burst if local fps below this
+
+
+class CloudBurstManager:
+    """Split a restore into chunks, run some remotely, merge.
+
+    Flow: stage the source + per-chunk manifests through storage, rent
+    instances (each boots a worker that claims chunks — the multihost
+    shared-dir protocol, parallel/multihost.py), watch part completion,
+    download and concatenate, always terminate instances (the
+    reference's auto-destroy guarantee)."""
+
+    def __init__(self, provider: CloudProvider, storage: CloudStorage,
+                 policy: Optional[BurstPolicy] = None):
+        self.provider = provider
+        self.storage = storage
+        self.policy = policy or BurstPolicy()
+        self.instances: List[CloudInstance] = []
+        self._lock = threading.Lock()
+
+    def should_burst(self, total_chunks: int, local_fps: float = 1e9) -> bool:
+        p = self.policy
+        if total_chunks < 2 * p.min_chunks_per_instance:
+            return False
+        if local_fps < p.local_fps_threshold:
+            return True
+        return total_chunks >= 2 * p.min_chunks_per_instance
+
+    def instances_for(self, total_chunks: int) -> int:
+        p = self.policy
+        return max(1, min(p.max_instances,
+                          total_chunks // p.min_chunks_per_instance))
+
+    def provision_fleet(self, spec: InstanceSpec, n: int) -> List[CloudInstance]:
+        for _ in range(n):
+            est = sum(i.usd_per_hour for i in self.instances)
+            if est + spec.max_usd_per_hour > self.policy.budget_usd:
+                logger.warning("burst budget reached at %d instances",
+                               len(self.instances))
+                break
+            inst = self.provider.provision(spec)
+            with self._lock:
+                self.instances.append(inst)
+        return self.instances
+
+    def teardown(self) -> float:
+        """Terminate everything; returns total cost estimate."""
+        cost = 0.0
+        with self._lock:
+            insts, self.instances = self.instances, []
+        for inst in insts:
+            cost += inst.cost_so_far()
+            try:
+                self.provider.terminate(inst)
+            except CloudError:
+                logger.exception("terminate %s failed", inst.instance_id)
+        return round(cost, 4)
+
+    def run(self, source: Path, output: Path, total_frames: int,
+            config: Optional[Dict] = None, spec: Optional[InstanceSpec] = None,
+            chunk_frames: int = 100, timeout: float = 3600.0) -> Path:
+        """Full burst job over the shared-dir worker protocol: stage the
+        source through storage, rent a fleet sized to the chunk count,
+        coordinate until parts complete, merge, always tear down."""
+        import threading as _t
+
+        from framewright_tpu.parallel.multihost import (
+            RenderJob,
+            run_coordinator,
+        )
+
+        if not isinstance(self.storage, LocalDirStorage):
+            raise CloudError(
+                "burst execution currently requires LocalDirStorage (a "
+                "shared mount); S3/GCS staging is upload/download only")
+        job_dir = self.storage.root
+        job_dir.mkdir(parents=True, exist_ok=True)
+        self.storage.upload(Path(source), "source.y4m")
+        job = RenderJob(
+            job_id="burst", source=str(job_dir / "source.y4m"),
+            output=str(job_dir / "merged.y4m"), config=config or {},
+            total_frames=total_frames, chunk_frames=chunk_frames,
+        )
+        if isinstance(self.provider, LocalSubprocessProvider):
+            self.provider.job_dir = job_dir
+        n = self.instances_for(len(job.chunks()))
+        try:
+            # provision AFTER a short delay so job.json exists when
+            # workers boot; run_coordinator submits it first thing
+            timer = _t.Timer(0.2, self.provision_fleet,
+                             args=(spec or InstanceSpec(), n))
+            timer.start()
+            merged = run_coordinator(job_dir, job, timeout=timeout)
+            timer.join()
+            shutil.copyfile(merged, output)
+            return Path(output)
+        finally:
+            cost = self.teardown()
+            logger.info("burst complete; estimated cost $%.4f", cost)

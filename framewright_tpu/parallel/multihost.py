@@ -63,8 +63,11 @@ class SharedDirCoordinator:
         (self.work_dir / "job.json").write_text(json.dumps(asdict(job), indent=2))
 
     def load_job(self) -> RenderJob:
-        d = json.loads((self.work_dir / "job.json").read_text())
-        return RenderJob(**d)
+        p = self.work_dir / "job.json"
+        if not p.exists():
+            raise FramewrightError(
+                f"no farm job published in {self.work_dir} (missing job.json)")
+        return RenderJob(**json.loads(p.read_text()))
 
     # ------------------------------------------------------------------
     def chunk_status(self, n_chunks: int) -> Dict[int, str]:
@@ -201,3 +204,80 @@ class SharedDirWorker:
                 self.report(c, ok=False, error=str(exc))
                 raise
         return done
+
+
+# ---------------------------------------------------------------------------
+# Live chunk execution (what remote/burst workers actually run)
+# ---------------------------------------------------------------------------
+
+def make_chunk_processor(job: RenderJob):
+    """Build the ``process_chunk(chunk, part_path)`` callable that farm
+    and cloud-burst workers run: extract the chunk's frame range from
+    the (shared-mount) source, restore it with the job's config, and
+    write the part. The reference's RenderWorker did the same via
+    ffmpeg segment extraction (distributed/worker.py:438)."""
+    from framewright_tpu.config import Config
+    from framewright_tpu.io.y4m import Y4MReader, Y4MWriter
+
+    def process_chunk(chunk: FrameChunk, part_path: Path) -> None:
+        import tempfile
+
+        from framewright_tpu.restorer import VideoRestorer
+
+        part_path.parent.mkdir(parents=True, exist_ok=True)
+        with tempfile.TemporaryDirectory(prefix="fw_chunk_") as td:
+            slice_path = Path(td) / f"slice_{chunk.index}.y4m"
+            with Y4MReader(job.source) as r:
+                w = Y4MWriter(slice_path, r.width, r.height, fps=r.fps)
+                for i, frame in enumerate(r):
+                    if i >= chunk.end:
+                        break
+                    if i >= chunk.start:
+                        w.write_frame(frame)
+                w.close()
+            cfg_dict = dict(job.config)
+            cfg_dict.setdefault("checkpoint_enabled", False)
+            cfg_dict.setdefault("validate_output", False)
+            cfg_dict["project_dir"] = str(Path(td) / "proj")
+            cfg = Config(**cfg_dict)
+            VideoRestorer(cfg).restore_video(slice_path, output=part_path)
+
+    return process_chunk
+
+
+def run_worker(work_dir: Path, worker_id: Optional[str] = None,
+               poll_s: float = 0.5, wait_job_s: float = 30.0) -> int:
+    """Entry point for a farm/burst worker process: wait for job.json,
+    then claim-and-restore chunks until the job is drained."""
+    coord = SharedDirCoordinator(work_dir)
+    t0 = time.time()
+    while not (Path(work_dir) / "job.json").exists():
+        if time.time() - t0 > wait_job_s:
+            raise FramewrightError(f"no job.json in {work_dir}")
+        time.sleep(poll_s)
+    job = coord.load_job()
+    worker = SharedDirWorker(work_dir, worker_id)
+    return worker.work_loop(job, make_chunk_processor(job), poll_s=poll_s)
+
+
+def run_coordinator(work_dir: Path, job: RenderJob,
+                    timeout: float = 86400.0, poll_s: float = 1.0,
+                    progress: Optional[Callable[[Dict[int, str]], None]] = None,
+                    ) -> Path:
+    """Publish the job, watch/reassign until all chunks are done, merge.
+    Workers (farm hosts or burst instances) attach to work_dir."""
+    coord = SharedDirCoordinator(work_dir)
+    coord.submit(job)
+    n = len(job.chunks())
+    t0 = time.time()
+    while True:
+        if coord.is_complete(n):
+            break
+        coord.reassign_stale()
+        if progress is not None:
+            progress(coord.chunk_status(n))
+        if time.time() - t0 > timeout:
+            raise FramewrightError(
+                f"farm job timed out with {coord.chunk_status(n)}")
+        time.sleep(poll_s)
+    return coord.merge(job)
