@@ -42,6 +42,9 @@ def _add_restore_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--interpolate", dest="interpolation", action="store_true", default=None)
     p.add_argument("--target-fps", dest="target_fps", type=float)
     p.add_argument("--face-restore", dest="face_restore", action="store_true", default=None)
+    p.add_argument("--colorize", action="store_true", default=None)
+    p.add_argument("--colorize-method", dest="colorize_model",
+                   choices=["palette", "exemplar", "eccv16", "ddcolor"])
     p.add_argument("--crf", type=int)
     p.add_argument("--codec")
     p.add_argument("--no-checkpoint", dest="checkpoint_enabled",

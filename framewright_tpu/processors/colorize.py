@@ -82,6 +82,30 @@ class Colorizer:
         self._flow_fn = flow
 
         self._net_fn = None
+        if self.config.method == "ddcolor":
+            from pathlib import Path
+
+            from framewright_tpu.models import ddcolor as ddn
+            from framewright_tpu.models import torch_port
+
+            dcfg = ddn.DDColorConfig()
+            params = None
+            if self.config.weights_dir:
+                npz = Path(self.config.weights_dir) / "ddcolor.npz"
+                if npz.exists():
+                    params = torch_port.import_npz(npz)
+                    dcfg = ddn.large_config()
+            if params is None:
+                params = ddn.init(jax.random.PRNGKey(9), dcfg)
+            self._net_params = jax.tree_util.tree_map(
+                lambda v: jnp.asarray(v) if hasattr(v, "shape") else v, params)
+            self._net_cfg = dcfg
+
+            @jax.jit
+            def colorize_l_dd(p, l):
+                return ddn.apply(p, l, dcfg)
+
+            self._net_fn = colorize_l_dd
         if self.config.method == "eccv16":
             from framewright_tpu.models import colorizer_net as cn
 
@@ -115,7 +139,7 @@ class Colorizer:
         cfg = self.config
         f = frame.astype(np.float32)
         y, _, _ = rgb_to_ycbcr(f)
-        if cfg.method == "eccv16" and self._net_fn is not None:
+        if cfg.method in ("eccv16", "ddcolor") and self._net_fn is not None:
             import jax.numpy as jnp
 
             from framewright_tpu.models import colorizer_net as cn

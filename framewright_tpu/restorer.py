@@ -357,6 +357,7 @@ class VideoRestorer:
             from framewright_tpu.processors.colorize import ColorizeConfig, Colorizer
 
             src_iter = Colorizer(ColorizeConfig(
+                method=cfg.colorize_model,
                 scene_change_threshold=cfg.scene_threshold,
             )).colorize_stream(src_iter)
         if cfg.denoise:

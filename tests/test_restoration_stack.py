@@ -253,6 +253,41 @@ class TestECCV16:
         back = cn.lab_to_rgb(cn.rgb_to_lab(rgb))
         np.testing.assert_allclose(np.asarray(back), np.asarray(rgb), atol=2e-3)
 
+    def test_ddcolor_net_shapes_and_range(self, rng):
+        import jax
+        import jax.numpy as jnp
+
+        from framewright_tpu.models import ddcolor as dd
+
+        cfg = dd.DDColorConfig(dims=(8, 16, 24, 32), depths=(1, 1, 1, 1),
+                               num_queries=16, embed_dim=32, pixel_dim=8,
+                               num_heads=2)
+        p = dd.init(jax.random.PRNGKey(0), cfg)
+        l = jnp.asarray(rng.random((1, 64, 32, 1)).astype(np.float32)) * 100
+        ab = dd.apply(p, l, cfg)
+        assert ab.shape == (1, 64, 32, 2)
+        assert float(jnp.abs(ab).max()) <= 110.0 + 1e-3
+        # deterministic
+        np.testing.assert_array_equal(np.asarray(ab),
+                                      np.asarray(dd.apply(p, l, cfg)))
+
+    def test_ddcolor_large_config_dims(self):
+        from framewright_tpu.models import ddcolor as dd
+
+        big = dd.large_config()
+        assert big.num_queries == 100 and big.embed_dim == 256
+        assert big.dims == (96, 192, 384, 768)
+
+    def test_colorizer_ddcolor_method(self, rng):
+        gray = np.stack([(rng.random((32, 48)) * 255)] * 3, -1).astype(np.uint8)
+        col = Colorizer(ColorizeConfig(method="ddcolor", saturation=0.6))
+        col.setup(32, 48)
+        out = col._colorize_keyframe(gray)
+        assert out.shape == gray.shape
+        y_in, _, _ = rgb_to_ycbcr(gray.astype(np.float32))
+        y_out, _, _ = rgb_to_ycbcr(out.astype(np.float32))
+        assert np.abs(y_in - y_out).mean() < 8.0
+
     def test_colorizer_eccv16_method(self, rng):
         gray = np.stack([(rng.random((32, 48)) * 255)] * 3, -1).astype(np.uint8)
         col = Colorizer(ColorizeConfig(method="eccv16", saturation=0.6))
