@@ -96,6 +96,7 @@ _VALID_SR_MODELS = (
     "realesr-animevideov3",
     "realesr-general-x4v3",
     "BasicVSR",
+    "HAT_SRx4",
     "none",
 )
 

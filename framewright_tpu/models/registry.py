@@ -24,7 +24,7 @@ import jax
 import jax.numpy as jnp
 
 from framewright_tpu.errors import ModelError
-from framewright_tpu.models import rrdb, srvgg, vsr
+from framewright_tpu.models import hat, rrdb, srvgg, vsr
 from framewright_tpu.models import torch_port
 
 
@@ -95,6 +95,13 @@ _register(ModelSpec(
 ))
 
 
+_register(ModelSpec(
+    name="HAT_SRx4", family="hat", scale=4,
+    arch_config=hat.official_config(),
+    url="https://github.com/XPixelGroup/HAT/releases/download/v0.1.0/HAT_SRx4.pth",
+    apply_fn=hat.apply, init_fn=hat.init,
+    port_fn=lambda sd: torch_port.port_hat(sd, depths=(6,) * 6, scale=4),
+))
 _register(ModelSpec(
     name="BasicVSR", family="vsr", scale=4,
     arch_config=vsr.BasicVSRConfig(),

@@ -243,6 +243,81 @@ def port_basicvsr(sd: Mapping[str, Any], num_blocks: int = 30,
     }
 
 
+def _lin_t(sd: Mapping[str, Any], prefix: str) -> Dict[str, np.ndarray]:
+    """torch Linear (out,in) -> {w:(in,out), b}."""
+    return {"w": np.transpose(_to_np(sd[prefix + ".weight"])),
+            "b": _to_np(sd[prefix + ".bias"])}
+
+
+def _ln_t(sd: Mapping[str, Any], prefix: str) -> Dict[str, np.ndarray]:
+    return {"g": _to_np(sd[prefix + ".weight"]),
+            "b": _to_np(sd[prefix + ".bias"])}
+
+
+def port_hat(sd: Mapping[str, Any], depths=(6, 6, 6, 6, 6, 6),
+             scale: int = 4) -> Dict:
+    """Official HAT state_dict -> models/hat.py pytree. Key layout per
+    the released HAT checkpoints (hat_upscaler backend in the
+    reference): layers.{g}.residual_group.blocks.{b}.*,
+    layers.{g}.overlap_attn.*, conv_first/conv_after_body/
+    conv_before_upsample.0/upsample.{0,2}/conv_last."""
+    if any(k.startswith("params_ema.") for k in sd):
+        sd = {k[len("params_ema."):]: v for k, v in sd.items()}
+
+    def attn(prefix):
+        return {
+            "qkv": _lin_t(sd, f"{prefix}.qkv"),
+            "proj": _lin_t(sd, f"{prefix}.proj"),
+            "rpb": _to_np(sd[f"{prefix}.relative_position_bias_table"]),
+        }
+
+    def conv1x1_as_lin(prefix):
+        w = _to_np(sd[prefix + ".weight"])  # (O,I,1,1)
+        return {"w": np.transpose(w[:, :, 0, 0]),
+                "b": _to_np(sd[prefix + ".bias"])}
+
+    def block(prefix):
+        return {
+            "norm1": _ln_t(sd, f"{prefix}.norm1"),
+            "attn": attn(f"{prefix}.attn"),
+            "cab": {
+                "conv1": _conv(sd, f"{prefix}.conv_block.cab.0"),
+                "conv2": _conv(sd, f"{prefix}.conv_block.cab.2"),
+                "att_down": conv1x1_as_lin(f"{prefix}.conv_block.cab.3.attention.1"),
+                "att_up": conv1x1_as_lin(f"{prefix}.conv_block.cab.3.attention.3"),
+            },
+            "norm2": _ln_t(sd, f"{prefix}.norm2"),
+            "fc1": _lin_t(sd, f"{prefix}.mlp.fc1"),
+            "fc2": _lin_t(sd, f"{prefix}.mlp.fc2"),
+        }
+
+    layers = []
+    for g, depth in enumerate(depths):
+        base = f"layers.{g}"
+        oc = f"{base}.overlap_attn"
+        layers.append({
+            "blocks": [block(f"{base}.residual_group.blocks.{b}")
+                       for b in range(depth)],
+            "ocab": {
+                "norm1": _ln_t(sd, f"{oc}.norm1"),
+                "attn": attn(oc),
+                "norm2": _ln_t(sd, f"{oc}.norm2"),
+                "fc1": _lin_t(sd, f"{oc}.mlp.fc1"),
+                "fc2": _lin_t(sd, f"{oc}.mlp.fc2"),
+            },
+            "conv": _conv(sd, f"{base}.conv"),
+        })
+    return {
+        "conv_first": _conv(sd, "conv_first"),
+        "layers": layers,
+        "conv_after_body": _conv(sd, "conv_after_body"),
+        "conv_before_upsample": _conv(sd, "conv_before_upsample.0"),
+        "upsample": [_conv(sd, f"upsample.{i}")
+                     for i in range(0, max(2, scale), 2)][: max(1, scale // 2)],
+        "conv_last": _conv(sd, "conv_last"),
+    }
+
+
 # ---------------------------------------------------------------------------
 # Generic helpers
 # ---------------------------------------------------------------------------

@@ -35,6 +35,8 @@ _ACT_CHANNELS = {
     "nafnet": 380.0,
     "restormer": 520.0,
     "ifnet": 260.0,
+    # HAT: window attention stores qkv + logits per window; ~dim*16
+    "hat": 2900.0,
     "default": 512.0,
 }
 

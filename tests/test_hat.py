@@ -1,0 +1,166 @@
+"""HAT (window-attention SR): net contracts, port mapping, processor."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from framewright_tpu.models import hat
+from framewright_tpu.models.registry import MODEL_SPECS, ModelSpec, get_model
+from framewright_tpu.models.torch_port import port_hat
+
+TINY = hat.HATConfig(embed_dim=16, depths=(1, 1), num_heads=2, window=8,
+                     scale=4)
+
+
+@pytest.fixture(scope="module")
+def tiny_params():
+    return hat.init(jax.random.PRNGKey(0), TINY)
+
+
+def test_forward_shape_any_size(tiny_params):
+    # 20x28 is not a multiple of the window: exercises pad + crop
+    x = jax.random.uniform(jax.random.PRNGKey(1), (2, 20, 28, 3))
+    y = hat.apply(tiny_params, x, TINY)
+    assert y.shape == (2, 80, 112, 3)
+    assert np.isfinite(np.asarray(y)).all()
+
+
+def test_x2_tail():
+    cfg = hat.HATConfig(embed_dim=16, depths=(1,), num_heads=2, window=8,
+                        scale=2)
+    p = hat.init(jax.random.PRNGKey(0), cfg)
+    x = jnp.ones((1, 16, 16, 3)) * 0.5
+    assert hat.apply(p, x, cfg).shape == (1, 32, 32, 3)
+
+
+def test_window_partition_roundtrip():
+    x = jax.random.uniform(jax.random.PRNGKey(2), (2, 16, 24, 5))
+    w = hat._windows(x, 8)
+    assert w.shape == (2 * 2 * 3, 64, 5)
+    back = hat._unwindows(w, 8, 2, 16, 24)
+    np.testing.assert_array_equal(np.asarray(back), np.asarray(x))
+
+
+def test_shift_mask_blocks_cross_region():
+    m = hat._shift_mask(16, 16, 8, 4, jnp.float32)
+    assert m.shape == (4, 1, 64, 64)
+    m = np.asarray(m)
+    # the corner window (wrapped content) must mask some pairs; the
+    # top-left window (contiguous) masks none
+    assert (m[0] == 0).all()
+    assert (m[-1] < -1e8).any()
+
+
+def test_translation_consistency(tiny_params):
+    """Window attention is content-dependent, but a full-window (8 px)
+    translation of a periodic input must commute with the network on
+    the interior (window grid realigns exactly)."""
+    base = jax.random.uniform(jax.random.PRNGKey(3), (1, 8, 8, 3))
+    x = jnp.tile(base, (1, 4, 4, 1))
+    y = np.asarray(hat.apply(tiny_params, x, TINY))
+    xs = jnp.roll(x, 8, axis=1)
+    ys = np.asarray(hat.apply(tiny_params, xs, TINY))
+    s = 8 * TINY.scale
+    np.testing.assert_allclose(np.roll(y, s, axis=1)[:, 2 * s:-2 * s],
+                               ys[:, 2 * s:-2 * s], atol=2e-4)
+
+
+def _synthetic_hat_sd(dim=16, depths=(1,), heads=2, win=8, overlap=0.5):
+    rng = np.random.default_rng(0)
+
+    def t(*shape):
+        return rng.standard_normal(shape).astype(np.float32) * 0.02
+
+    kv = int(win * (1 + overlap))
+    sd = {"conv_first.weight": t(dim, 3, 3, 3), "conv_first.bias": t(dim)}
+    for g, depth in enumerate(depths):
+        for b in range(depth):
+            pre = f"layers.{g}.residual_group.blocks.{b}"
+            sd[f"{pre}.norm1.weight"] = t(dim); sd[f"{pre}.norm1.bias"] = t(dim)
+            sd[f"{pre}.attn.qkv.weight"] = t(dim * 3, dim)
+            sd[f"{pre}.attn.qkv.bias"] = t(dim * 3)
+            sd[f"{pre}.attn.proj.weight"] = t(dim, dim)
+            sd[f"{pre}.attn.proj.bias"] = t(dim)
+            sd[f"{pre}.attn.relative_position_bias_table"] = t((2 * win - 1) ** 2, heads)
+            mid = max(1, dim // 3)
+            sd[f"{pre}.conv_block.cab.0.weight"] = t(mid, dim, 3, 3)
+            sd[f"{pre}.conv_block.cab.0.bias"] = t(mid)
+            sd[f"{pre}.conv_block.cab.2.weight"] = t(dim, mid, 3, 3)
+            sd[f"{pre}.conv_block.cab.2.bias"] = t(dim)
+            sq = max(1, dim // 4)
+            sd[f"{pre}.conv_block.cab.3.attention.1.weight"] = t(sq, dim, 1, 1)
+            sd[f"{pre}.conv_block.cab.3.attention.1.bias"] = t(sq)
+            sd[f"{pre}.conv_block.cab.3.attention.3.weight"] = t(dim, sq, 1, 1)
+            sd[f"{pre}.conv_block.cab.3.attention.3.bias"] = t(dim)
+            sd[f"{pre}.norm2.weight"] = t(dim); sd[f"{pre}.norm2.bias"] = t(dim)
+            sd[f"{pre}.mlp.fc1.weight"] = t(dim * 2, dim)
+            sd[f"{pre}.mlp.fc1.bias"] = t(dim * 2)
+            sd[f"{pre}.mlp.fc2.weight"] = t(dim, dim * 2)
+            sd[f"{pre}.mlp.fc2.bias"] = t(dim)
+        oc = f"layers.{g}.overlap_attn"
+        sd[f"{oc}.norm1.weight"] = t(dim); sd[f"{oc}.norm1.bias"] = t(dim)
+        sd[f"{oc}.qkv.weight"] = t(dim * 3, dim)
+        sd[f"{oc}.qkv.bias"] = t(dim * 3)
+        sd[f"{oc}.proj.weight"] = t(dim, dim)
+        sd[f"{oc}.proj.bias"] = t(dim)
+        sd[f"{oc}.relative_position_bias_table"] = t((win + kv - 1) ** 2, heads)
+        sd[f"{oc}.norm2.weight"] = t(dim); sd[f"{oc}.norm2.bias"] = t(dim)
+        sd[f"{oc}.mlp.fc1.weight"] = t(dim * 2, dim)
+        sd[f"{oc}.mlp.fc1.bias"] = t(dim * 2)
+        sd[f"{oc}.mlp.fc2.weight"] = t(dim, dim * 2)
+        sd[f"{oc}.mlp.fc2.bias"] = t(dim)
+        sd[f"layers.{g}.conv.weight"] = t(dim, dim, 3, 3)
+        sd[f"layers.{g}.conv.bias"] = t(dim)
+    sd["conv_after_body.weight"] = t(dim, dim, 3, 3)
+    sd["conv_after_body.bias"] = t(dim)
+    sd["conv_before_upsample.0.weight"] = t(64, dim, 3, 3)
+    sd["conv_before_upsample.0.bias"] = t(64)
+    sd["upsample.0.weight"] = t(256, 64, 3, 3)
+    sd["upsample.0.bias"] = t(256)
+    sd["upsample.2.weight"] = t(256, 64, 3, 3)
+    sd["upsample.2.bias"] = t(256)
+    sd["conv_last.weight"] = t(3, 64, 3, 3)
+    sd["conv_last.bias"] = t(3)
+    return sd
+
+
+def test_port_hat_runs():
+    sd = _synthetic_hat_sd(dim=16, depths=(1,))
+    params = port_hat(sd, depths=(1,), scale=4)
+    assert params["layers"][0]["blocks"][0]["attn"]["qkv"]["w"].shape == (16, 48)
+    assert len(params["upsample"]) == 2
+    cfg = hat.HATConfig(embed_dim=16, depths=(1,), num_heads=2, window=8,
+                        scale=4, mlp_ratio=2.0)
+    jp = jax.tree_util.tree_map(jnp.asarray, params)
+    y = hat.apply(jp, jnp.ones((1, 16, 16, 3)) * 0.4, cfg)
+    assert y.shape == (1, 64, 64, 3)
+
+
+def test_registry_has_hat():
+    spec = get_model("HAT_SRx4")
+    assert spec.family == "hat" and spec.scale == 4
+    assert spec.arch_config.embed_dim == 180
+
+
+def test_sr_processor_with_tiny_hat(tmp_path):
+    from framewright_tpu.processors.super_resolution import (
+        SRConfig,
+        SuperResolution,
+    )
+
+    name = "hat-test-tiny"
+    MODEL_SPECS[name] = ModelSpec(
+        name=name, family="hat", scale=4, arch_config=TINY,
+        apply_fn=hat.apply, init_fn=hat.init, port_fn=port_hat)
+    try:
+        sr = SuperResolution(SRConfig(model_name=name,
+                                      compute_dtype="float32",
+                                      weights_dir=str(tmp_path)))
+        sr.setup(24, 32)
+        frames = np.full((2, 24, 32, 3), 100, np.uint8)
+        out = sr.process_batch(frames)
+        assert out.shape == (2, 96, 128, 3) and out.dtype == np.uint8
+    finally:
+        MODEL_SPECS.pop(name, None)
