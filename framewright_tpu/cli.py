@@ -112,9 +112,21 @@ def cmd_restore(args: argparse.Namespace) -> int:
             end="", file=sys.stderr,
         )
 
+    source = args.source
+    if isinstance(source, str) and source.startswith(("http://", "https://")):
+        # URL sources download first (reference: yt-dlp front end)
+        from framewright_tpu.io.download import download_video
+
+        try:
+            source = download_video(source,
+                                    cfg.project_dir / "downloads" / "source.mp4")
+        except FramewrightError as exc:
+            print(f"error: {exc}", file=sys.stderr)
+            return 1
+
     restorer = VideoRestorer(cfg, progress_callback=on_progress)
     try:
-        result = restorer.restore_video(args.source, output=args.output)
+        result = restorer.restore_video(source, output=args.output)
     except FramewrightError as exc:
         print(f"\nerror: {exc}", file=sys.stderr)
         return 1

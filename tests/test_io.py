@@ -1,6 +1,7 @@
 """I/O layer tests: Y4M container, PNG sequences, unified API, ring buffer."""
 
 import io
+from pathlib import Path
 
 import numpy as np
 import pytest
@@ -185,3 +186,32 @@ class TestRing:
         drain.close()
         assert len(out) == 6
         np.testing.assert_array_equal(out[4], tiny_clip[4])
+
+
+class TestDownload:
+    def test_build_command_flags(self):
+        from framewright_tpu.io.download import build_command
+
+        cmd = build_command("yt-dlp", "https://example.com/v", Path("/tmp/o.mp4"),
+                            rate_limit="2M")
+        assert cmd[0] == "yt-dlp" and cmd[-1] == "https://example.com/v"
+        assert "--no-playlist" in cmd and "--limit-rate" in cmd
+
+    def test_build_command_rejects_bad_scheme(self):
+        import pytest as _pytest
+
+        from framewright_tpu.errors import InputError
+        from framewright_tpu.io.download import build_command
+
+        with _pytest.raises(InputError):
+            build_command("yt-dlp", "file:///etc/passwd", Path("/tmp/o"))
+
+    def test_download_without_binary_is_clean_error(self, tmp_path, monkeypatch):
+        import pytest as _pytest
+
+        from framewright_tpu.errors import FramewrightError
+        from framewright_tpu.io import download as dl
+
+        monkeypatch.setattr(dl, "find_downloader", lambda: None)
+        with _pytest.raises(FramewrightError, match="yt-dlp"):
+            dl.download_video("https://example.com/v", tmp_path / "o.mp4")
