@@ -97,6 +97,7 @@ _VALID_SR_MODELS = (
     "realesr-general-x4v3",
     "BasicVSR",
     "HAT_SRx4",
+    "DiffusionSR_x4",
     "none",
 )
 

@@ -24,7 +24,7 @@ import jax
 import jax.numpy as jnp
 
 from framewright_tpu.errors import ModelError
-from framewright_tpu.models import hat, rrdb, srvgg, vsr
+from framewright_tpu.models import diffusion_sr, hat, rrdb, srvgg, vsr
 from framewright_tpu.models import torch_port
 
 
@@ -101,6 +101,13 @@ _register(ModelSpec(
     url="https://github.com/XPixelGroup/HAT/releases/download/v0.1.0/HAT_SRx4.pth",
     apply_fn=hat.apply, init_fn=hat.init,
     port_fn=lambda sd: torch_port.port_hat(sd, depths=(6,) * 6, scale=4),
+))
+_register(ModelSpec(
+    name="DiffusionSR_x4", family="diffusion", scale=4,
+    arch_config=diffusion_sr.DiffusionSRConfig(),
+    apply_fn=diffusion_sr.apply, init_fn=diffusion_sr.init,
+    port_fn=None,  # no portable released pixel-space checkpoint; see
+                   # models/diffusion_sr.py docstring
 ))
 _register(ModelSpec(
     name="BasicVSR", family="vsr", scale=4,
