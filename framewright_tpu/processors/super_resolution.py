@@ -152,11 +152,15 @@ class SuperResolution(FrameProcessor):
         self._fn = run
 
     # ------------------------------------------------------------------
-    def process_batch(self, frames: np.ndarray) -> np.ndarray:
+    def dispatch(self, frames: np.ndarray):
+        """Enqueue a batch on the device WITHOUT blocking (jax async
+        dispatch) and return an opaque handle for ``materialize``. The
+        restorer dispatches batch N+1 before fetching batch N so device
+        compute overlaps the device→host transfer — the transfer is the
+        larger cost on slow host links (PERF.md e2e section)."""
         require_shape(frames, self.name)
         import jax
 
-        cfg = self.config
         x = frames if frames.dtype == np.uint8 else to_uint8(frames)
         n = x.shape[0]
         if self._mesh is not None:
@@ -166,20 +170,32 @@ class SuperResolution(FrameProcessor):
             if n_pad != n:
                 x = np.concatenate(
                     [x, np.broadcast_to(x[-1:], (n_pad - n,) + x.shape[1:])], 0)
+        try:
+            xin = x
+            if self._mesh is not None:
+                xin = jax.device_put(x, self._frame_sharding)
+            y, exc = self._fn(xin), None
+        except Exception as e:  # noqa: BLE001 — surfaces at materialize
+            y, exc = None, e
+        return {"y": y, "exc": exc, "x": x, "n": n}
+
+    def materialize(self, handle) -> np.ndarray:
+        """Block on a dispatched batch; device OOM triggers the plan
+        downshift + recompile + synchronous retry here (async errors
+        surface at fetch time)."""
+        cfg = self.config
         for attempt in range(cfg.max_oom_retries + 1):
             try:
-                xin = x
-                if self._mesh is not None:
-                    xin = jax.device_put(x, self._frame_sharding)
-                y = self._fn(xin)
-                out = np.asarray(y)[:n]
+                if handle["y"] is None:
+                    raise handle["exc"]
+                out = np.asarray(handle["y"])[: handle["n"]]
                 break
             except Exception as exc:  # noqa: BLE001
                 err = classify_error(exc)
                 if not isinstance(err, HBMError) or attempt == cfg.max_oom_retries:
                     raise err from exc
                 # device OOM: downshift the plan and recompile (the
-                # reference's adaptive tile fallback)
+                # reference's adaptive tile fallback), then rerun
                 self._plan = self._plan.downshift()
                 logger.warning("HBM OOM; downshifted plan to %s", self._plan)
                 import jax.numpy as jnp
@@ -188,9 +204,13 @@ class SuperResolution(FrameProcessor):
                     cfg.compute_dtype, jnp.bfloat16
                 )
                 self._compile(dtype, self._fast_params is not None)
+                handle = self.dispatch(handle["x"][: handle["n"]])
         if cfg.outscale and cfg.outscale != self.scale:
             out = self._resize(out, cfg.outscale)
         return out
+
+    def process_batch(self, frames: np.ndarray) -> np.ndarray:
+        return self.materialize(self.dispatch(frames))
 
     def _resize(self, frames: np.ndarray, outscale: float) -> np.ndarray:
         import jax.numpy as jnp

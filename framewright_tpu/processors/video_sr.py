@@ -99,12 +99,21 @@ class VideoSuperResolution:
     def output_size(self, height: int, width: int):
         return height * self.scale, width * self.scale
 
-    def process_batch(self, frames: np.ndarray) -> np.ndarray:
+    def dispatch(self, frames: np.ndarray):
+        """Async half: build the window, update the recurrent carry,
+        enqueue the device step (jax async dispatch). The restorer
+        overlaps this batch's compute with the previous batch's
+        device->host fetch."""
         require_shape(frames, self.name)
         if frames.dtype != np.uint8:
             frames = to_uint8(frames)
         n = frames.shape[0]
         ov = self.config.overlap
+        if n > self.config.chunk:
+            # caller sent a larger batch than chunk: process in slices
+            outs = [self.process_batch(frames[i : i + self.config.chunk])
+                    for i in range(0, n, self.config.chunk)]
+            return {"out": np.concatenate(outs, axis=0)}
         if self._tail is None:
             # first chunk: edge-repeat the opening frame as context
             self._tail = np.repeat(frames[:1], ov, axis=0)
@@ -112,14 +121,21 @@ class VideoSuperResolution:
         if window.shape[0] < self._win:
             pad = np.repeat(window[-1:], self._win - window.shape[0], axis=0)
             window = np.concatenate([window, pad], axis=0)
-        elif window.shape[0] > self._win:
-            # caller sent a larger batch than chunk: process in slices
-            outs = []
-            for i in range(0, n, self.config.chunk):
-                outs.append(self.process_batch(frames[i : i + self.config.chunk]))
-            return np.concatenate(outs, axis=0)
+        real = window[: ov + n]           # context + new frames (no pad)
+        self._tail = real[-ov:] if ov else real[:0]
         try:
-            y = self._fn(window[None])
+            y, exc = self._fn(window[None]), None
+        except Exception as e:  # noqa: BLE001
+            y, exc = None, e
+        return {"y": y, "exc": exc, "n": n, "ov": ov}
+
+    def materialize(self, handle) -> np.ndarray:
+        if "out" in handle:
+            return handle["out"]
+        try:
+            if handle["y"] is None:
+                raise handle["exc"]
+            y = np.asarray(handle["y"][0])
         except Exception as exc:  # noqa: BLE001
             err = classify_error(exc)
             if isinstance(err, HBMError):
@@ -129,10 +145,10 @@ class VideoSuperResolution:
                     f"resolution"
                 ) from exc
             raise
-        out = np.asarray(y[0])[ov : ov + n]
-        real = window[: ov + n]           # context + new frames (no pad)
-        self._tail = real[-ov:] if ov else real[:0]
-        return out
+        return y[handle["ov"] : handle["ov"] + handle["n"]]
+
+    def process_batch(self, frames: np.ndarray) -> np.ndarray:
+        return self.materialize(self.dispatch(frames))
 
     def teardown(self) -> None:
         self._fn = None

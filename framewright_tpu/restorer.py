@@ -385,6 +385,71 @@ class VideoRestorer:
                             skip_frames=resume_from, start_frame=resume_from)
         last_out: Optional[np.ndarray] = None
         last_unique_idx = -1
+        # one-deep device pipeline: batch N+1 is dispatched before batch
+        # N's result is fetched, overlapping compute with device->host
+        # transfer (jax async dispatch; see PERF.md e2e section)
+        pipelined = sr is not None and hasattr(sr, "dispatch")
+        pending = None
+
+        def _run_guarded(fn, work):
+            nonlocal frame_errors
+            try:
+                return fn()
+            except StageError:
+                raise
+            except Exception:  # noqa: BLE001
+                if not self.config.continue_on_error:
+                    raise
+                # copy-original fallback (reference restorer.py:1786)
+                logger.exception("enhance batch failed; copying originals")
+                frame_errors += len(work)
+                return self._upscale_fallback(work, (oh, ow))
+
+        def _finish(frames, idxs, unique_sel, work, result):
+            """result: ('handle', h) -> materialize; ('out', arr) ->
+            precomputed; None -> pass-through/empty."""
+            nonlocal last_out, written
+            if result is not None and result[0] == "handle":
+                out_unique = _run_guarded(lambda: sr.materialize(result[1]), work)
+            elif result is not None:
+                out_unique = result[1]
+            elif len(work) and sr is None:
+                out_unique = work
+            else:
+                out_unique = frames[:0]
+
+            # expand back to original frame positions
+            out_pos = 0
+            outs = []
+            for pos in range(len(idxs)):
+                if pos in unique_sel:
+                    last_out = out_unique[out_pos]
+                    out_pos += 1
+                if last_out is None:
+                    # first frame marked duplicate (can't happen via
+                    # dedup analyze, but guard anyway)
+                    last_out = self._upscale_fallback(frames[pos:pos+1], (oh, ow))[0]
+                outs.append(last_out)
+            out_arr = np.stack(outs)
+
+            if face_restorer is not None:
+                out_arr = np.stack([
+                    face_restorer.restore_frame(out_arr[pos])
+                    for pos in range(len(idxs))
+                ])
+
+            if validator is not None:
+                for pos in range(len(idxs)):
+                    validator.observe(frames[pos], out_arr[pos])
+
+            drain.submit(out_arr, len(idxs))
+            written += len(idxs)
+            tracker.tick(len(idxs))
+            if cfg.checkpoint_enabled and "checkpoint" in data:
+                self.checkpoints.frames_completed("enhance", written)
+            self.events.emit(EventType.FRAME_PROCESSED, frames=written)
+            self._progress("enhance", written, meta.nb_frames, tracker)
+
         try:
             for batch in ring:
                 if ctx is not None:
@@ -405,53 +470,24 @@ class VideoRestorer:
                     work = frames
 
                 if sr is not None and len(work):
-                    try:
-                        out_unique = sr.process_batch(work)
-                    except StageError:
-                        raise
-                    except Exception as exc:  # noqa: BLE001
-                        if not self.config.continue_on_error:
-                            raise
-                        # copy-original fallback (reference restorer.py:1786)
-                        logger.exception("enhance batch failed; copying originals")
-                        frame_errors += len(work)
-                        out_unique = self._upscale_fallback(work, (oh, ow))
-                elif len(work):
-                    out_unique = work
+                    if pipelined:
+                        result = ("handle", sr.dispatch(work))
+                    else:
+                        # non-async processors (VSR is stateful): run now
+                        result = ("out", _run_guarded(
+                            lambda: sr.process_batch(work), work))
                 else:
-                    out_unique = frames[:0]
+                    result = None
 
-                # expand back to original frame positions
-                out_pos = 0
-                outs = []
-                for pos in range(len(idxs)):
-                    if pos in unique_sel:
-                        last_out = out_unique[out_pos]
-                        out_pos += 1
-                    if last_out is None:
-                        # first frame marked duplicate (can't happen via
-                        # dedup analyze, but guard anyway)
-                        last_out = self._upscale_fallback(frames[pos:pos+1], (oh, ow))[0]
-                    outs.append(last_out)
-                out_arr = np.stack(outs)
-
-                if face_restorer is not None:
-                    out_arr = np.stack([
-                        face_restorer.restore_frame(out_arr[pos])
-                        for pos in range(len(idxs))
-                    ])
-
-                if validator is not None:
-                    for pos in range(len(idxs)):
-                        validator.observe(frames[pos], out_arr[pos])
-
-                drain.submit(out_arr, len(idxs))
-                written += len(idxs)
-                tracker.tick(len(idxs))
-                if cfg.checkpoint_enabled and "checkpoint" in data:
-                    self.checkpoints.frames_completed("enhance", written)
-                self.events.emit(EventType.FRAME_PROCESSED, frames=written)
-                self._progress("enhance", written, meta.nb_frames, tracker)
+                if pipelined:
+                    if pending is not None:
+                        _finish(*pending)
+                    pending = (frames, idxs, unique_sel, work, result)
+                else:
+                    _finish(frames, idxs, unique_sel, work, result)
+            if pending is not None:
+                _finish(*pending)
+                pending = None
         finally:
             ring.close()
             drain.close()
