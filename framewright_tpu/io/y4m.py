@@ -257,6 +257,27 @@ class Y4MWriter:
             self._f.write(v.tobytes())
         self.frames_written += 1
 
+    def write_yuv_frame(self, y: np.ndarray, u: np.ndarray,
+                        v: np.ndarray) -> None:
+        """Write pre-converted planar YUV420 (device-side CSC fast
+        path: the SR tail emits planes directly, halving the
+        device→host transfer and skipping the host conversion)."""
+        h, w = self.header.height, self.header.width
+        if not self.header.colorspace.startswith("420"):
+            raise MediaFormatError(
+                f"write_yuv_frame needs a 420 colorspace, have "
+                f"{self.header.colorspace}")
+        if y.shape != (h, w) or u.shape != (h // 2, w // 2) \
+                or v.shape != (h // 2, w // 2):
+            raise MediaFormatError(
+                f"YUV plane shapes {y.shape}/{u.shape}/{v.shape} do not "
+                f"match {w}x{h} 4:2:0")
+        self._f.write(b"FRAME\n")
+        self._f.write(np.ascontiguousarray(y, np.uint8).tobytes())
+        self._f.write(np.ascontiguousarray(u, np.uint8).tobytes())
+        self._f.write(np.ascontiguousarray(v, np.uint8).tobytes())
+        self.frames_written += 1
+
     def close(self) -> None:
         self._f.flush()
         if self._owns:

@@ -43,6 +43,10 @@ class SRConfig:
     use_fused_kernel: Optional[bool] = None  # None = auto (TPU yes)
     outscale: float = 0.0         # final resize; 0 = model scale
     max_oom_retries: int = 3
+    output_color: str = "rgb"     # rgb | yuv420 (device-side CSC; the
+                                  # restorer enables this when writing
+                                  # straight to Y4M — 1.5 B/px D2H)
+    yuv_full_range: bool = False  # BT.601 limited (Y4M default)
 
 
 class SuperResolution(FrameProcessor):
@@ -115,7 +119,21 @@ class SuperResolution(FrameProcessor):
                     self._fast_params, replicate(self._mesh))
             logger.info("SR sharded over %d devices (frames axis)",
                         self._mesh.shape["frames"])
+        self._jit_dtype = dtype
+        self._jit_fused = use_fused
+        if cfg.output_color == "yuv420" and cfg.outscale:
+            # post-model resize operates in RGB; CSC fast path is only
+            # for the straight-to-writer case
+            self.config.output_color = "rgb"
         self._compile(dtype, use_fused)
+
+    def set_output_color(self, color: str) -> None:
+        """Switch rgb <-> yuv420 after setup (compile is lazy; calling
+        before the first batch costs nothing)."""
+        if color == self.config.output_color:
+            return
+        self.config.output_color = color
+        self._compile(self._jit_dtype, self._jit_fused)
 
     def _compile(self, dtype, use_fused: bool) -> None:
         import jax
@@ -137,6 +155,9 @@ class SuperResolution(FrameProcessor):
             def model_fn(t):
                 return spec.apply_fn(params, t, spec.arch_config)
 
+        yuv = self.config.output_color == "yuv420"
+        full_range = self.config.yuv_full_range
+
         @jax.jit
         def run(x_u8):
             # uint8 in, uint8 out: normalize/denormalize ON DEVICE so the
@@ -145,9 +166,27 @@ class SuperResolution(FrameProcessor):
             # pure transfer) and the host never touches float pixels.
             x = x_u8.astype(dtype) / jnp.asarray(255.0, dtype)
             y = tiling.tiled_apply(model_fn, x, plan)
-            y = jnp.clip(y.astype(jnp.float32), 0.0, 1.0)
-            # round-half-away like to_uint8 (max 255.5 floors to 255)
-            return jnp.floor(y * 255.0 + 0.5).astype(jnp.uint8)
+            y = jnp.clip(y.astype(jnp.float32), 0.0, 1.0) * 255.0
+            if not yuv:
+                # round-half-away like to_uint8 (max 255.5 floors to 255)
+                return jnp.floor(y + 0.5).astype(jnp.uint8)
+            # fused RGB->YUV420 (BT.601, io/color.py math): the SR tail
+            # ships 1.5 B/px planes instead of 3 B/px RGB
+            kr, kg, kb = 0.299, 0.587, 0.114
+            r, g, b = y[..., 0], y[..., 1], y[..., 2]
+            yy = kr * r + kg * g + kb * b
+            uu = (b - yy) / (2.0 * (1.0 - kb))
+            vv = (r - yy) / (2.0 * (1.0 - kr))
+            if not full_range:
+                yy = yy * (219.0 / 255.0) + 16.0
+                uu = uu * (224.0 / 255.0)
+                vv = vv * (224.0 / 255.0)
+            n, hh, ww = yy.shape
+            uu = uu.reshape(n, hh // 2, 2, ww // 2, 2).mean(axis=(2, 4))
+            vv = vv.reshape(n, hh // 2, 2, ww // 2, 2).mean(axis=(2, 4))
+            return (jnp.clip(jnp.floor(yy + 0.5), 0, 255).astype(jnp.uint8),
+                    jnp.clip(jnp.floor(uu + 128.5), 0, 255).astype(jnp.uint8),
+                    jnp.clip(jnp.floor(vv + 128.5), 0, 255).astype(jnp.uint8))
 
         self._fn = run
 
@@ -188,7 +227,11 @@ class SuperResolution(FrameProcessor):
             try:
                 if handle["y"] is None:
                     raise handle["exc"]
-                out = np.asarray(handle["y"])[: handle["n"]]
+                res, n = handle["y"], handle["n"]
+                if isinstance(res, tuple):   # yuv420 planes
+                    out = tuple(np.asarray(p)[:n] for p in res)
+                else:
+                    out = np.asarray(res)[:n]
                 break
             except Exception as exc:  # noqa: BLE001
                 err = classify_error(exc)

@@ -380,7 +380,27 @@ class VideoRestorer:
             from framewright_tpu.processors.temporal_denoise import FlickerReducer
 
             src_iter = FlickerReducer().reduce_stream(src_iter)
-        drain = WriterDrain(writer.write_frame, depth=4)
+        # device-side YUV420 fast path: when SR output goes straight to
+        # a 4:2:0 Y4M writer (no faces/validation/dedup-expansion in
+        # RGB), fuse the colorspace conversion into the SR tail — the
+        # host link then carries 1.5 B/px instead of 3 (PERF.md)
+        from framewright_tpu.io.y4m import Y4MWriter as _Y4MW
+
+        yuv_direct = (
+            sr is not None and hasattr(sr, "set_output_color")
+            and isinstance(writer, _Y4MW)
+            and writer.header.colorspace.startswith("420")
+            and face_restorer is None and validator is None
+            and mapping is None and not cfg.outscale
+            and ow % 2 == 0 and oh % 2 == 0
+        )
+        if yuv_direct:
+            sr.config.yuv_full_range = writer.full_range
+            sr.set_output_color("yuv420")
+            logger.info("SR tail emits YUV420 directly (device CSC)")
+            drain = WriterDrain(lambda t: writer.write_yuv_frame(*t), depth=4)
+        else:
+            drain = WriterDrain(writer.write_frame, depth=4)
         ring = PrefetchRing(src_iter, batch_size=batch_size,
                             skip_frames=resume_from, start_frame=resume_from)
         last_out: Optional[np.ndarray] = None
@@ -417,6 +437,26 @@ class VideoRestorer:
                 out_unique = work
             else:
                 out_unique = frames[:0]
+
+            if yuv_direct:
+                if isinstance(out_unique, tuple):     # (y, u, v) batched
+                    outs = [tuple(p[i] for p in out_unique)
+                            for i in range(len(idxs))]
+                else:
+                    # RGB fallback batch (continue-on-error): convert
+                    from framewright_tpu.io.color import rgb_to_yuv420
+
+                    outs = [rgb_to_yuv420(out_unique[i],
+                                          full_range=writer.full_range)
+                            for i in range(len(idxs))]
+                drain.submit(outs, len(idxs))
+                written += len(idxs)
+                tracker.tick(len(idxs))
+                if cfg.checkpoint_enabled and "checkpoint" in data:
+                    self.checkpoints.frames_completed("enhance", written)
+                self.events.emit(EventType.FRAME_PROCESSED, frames=written)
+                self._progress("enhance", written, meta.nb_frames, tracker)
+                return
 
             # expand back to original frame positions
             out_pos = 0

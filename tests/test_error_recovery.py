@@ -66,13 +66,14 @@ class TestContinueOnError:
 
         # break the compiled fn: fallback should produce bicubic output
         restorer = VideoRestorer(cfg)
-        orig_setup = srmod.SuperResolution.setup
 
-        def broken_setup(self, h, w):
-            orig_setup(self, h, w)
-            self._fn = lambda x: (_ for _ in ()).throw(RuntimeError("dead model"))
+        def broken_dispatch(self, frames):
+            # injected at dispatch level: survives internal recompiles
+            # (e.g. the YUV fast-path recompile in the restorer)
+            return {"y": None, "exc": RuntimeError("dead model"),
+                    "x": frames, "n": len(frames)}
 
-        monkeypatch.setattr(srmod.SuperResolution, "setup", broken_setup)
+        monkeypatch.setattr(srmod.SuperResolution, "dispatch", broken_dispatch)
         result = restorer.restore_video(src, output=tmp_path / "o.y4m")
         assert result.frames_out == 6
         assert result.errors > 0   # recorded, not fatal
@@ -89,12 +90,13 @@ class TestContinueOnError:
                      continue_on_error=False, validate_output=False)
         from framewright_tpu.processors import super_resolution as srmod
 
-        orig_setup = srmod.SuperResolution.setup
 
-        def broken_setup(self, h, w):
-            orig_setup(self, h, w)
-            self._fn = lambda x: (_ for _ in ()).throw(RuntimeError("dead model"))
+        def broken_dispatch(self, frames):
+            # injected at dispatch level: survives internal recompiles
+            # (e.g. the YUV fast-path recompile in the restorer)
+            return {"y": None, "exc": RuntimeError("dead model"),
+                    "x": frames, "n": len(frames)}
 
-        monkeypatch.setattr(srmod.SuperResolution, "setup", broken_setup)
+        monkeypatch.setattr(srmod.SuperResolution, "dispatch", broken_dispatch)
         with pytest.raises(Exception):
             VideoRestorer(cfg).restore_video(src, output=tmp_path / "o.y4m")

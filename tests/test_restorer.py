@@ -105,9 +105,11 @@ class TestCheckpointResume:
         out = tmp_path / "o.y4m"
 
         # first run: cancel after ~8 frames by failing the writer
+        # (both write paths — the SR fast path emits YUV planes)
         calls = {"n": 0}
         restorer = VideoRestorer(cfg)
         orig = Y4MWriter.write_frame
+        orig_yuv = Y4MWriter.write_yuv_frame
 
         def flaky(self, frame):
             calls["n"] += 1
@@ -115,10 +117,18 @@ class TestCheckpointResume:
                 raise IOError("disk gone")
             return orig(self, frame)
 
+        def flaky_yuv(self, y, u, v):
+            calls["n"] += 1
+            if calls["n"] > 8:
+                raise IOError("disk gone")
+            return orig_yuv(self, y, u, v)
+
         monkeypatch.setattr(Y4MWriter, "write_frame", flaky)
+        monkeypatch.setattr(Y4MWriter, "write_yuv_frame", flaky_yuv)
         with pytest.raises(Exception):
             restorer.restore_video(tiny_y4m, output=out)
         monkeypatch.setattr(Y4MWriter, "write_frame", orig)
+        monkeypatch.setattr(Y4MWriter, "write_yuv_frame", orig_yuv)
 
         # checkpoint recorded progress
         cm = restorer.checkpoints

@@ -188,3 +188,53 @@ def test_restorer_end_to_end_vsr(tiny_registered, tmp_path, monkeypatch):
     with Y4MReader(out) as rd:
         assert (rd.width, rd.height) == (192, 128)
         assert rd.count_frames() == 6
+
+
+def test_yuv_direct_fast_path_matches_rgb_path(tmp_path, monkeypatch):
+    """Device-side YUV420 SR output must match the host-converted RGB
+    path within CSC rounding (both end at 4:2:0 in the Y4M)."""
+    from framewright_tpu.config import Config
+    from framewright_tpu.io.y4m import Y4MReader, Y4MWriter
+    from framewright_tpu.restorer import VideoRestorer
+
+    monkeypatch.setenv("FRAMEWRIGHT_WEIGHTS_DIR", str(tmp_path / "w"))
+    src = tmp_path / "in.y4m"
+    rng = np.random.default_rng(3)
+    with Y4MWriter(src, 32, 24, fps=24) as w:
+        for _ in range(4):
+            w.write_frame(rng.integers(0, 256, (24, 32, 3), dtype=np.uint8))
+
+    def run(out, **kw):
+        cfg = Config(project_dir=tmp_path / f"proj_{out.stem}",
+                     sr_model="realesr-animevideov3", compute_dtype="float32",
+                     validate_output=False, checkpoint_enabled=False, **kw)
+        VideoRestorer(cfg).restore_video(src, output=out)
+        with Y4MReader(out) as r:
+            return np.stack(list(r))
+
+    fast = run(tmp_path / "fast.y4m")                      # yuv_direct on
+    slow = run(tmp_path / "slow.y4m", face_restore=False,
+               outscale=4.0)                               # outscale -> rgb path
+    assert fast.shape == slow.shape == (4, 96, 128, 3)
+    diff = np.abs(fast.astype(np.int16) - slow.astype(np.int16))
+    assert diff.max() <= 3, f"max diff {diff.max()}"
+
+
+def test_write_yuv_frame_roundtrip(tmp_path):
+    from framewright_tpu.io.color import rgb_to_yuv420
+    from framewright_tpu.io.y4m import Y4MReader, Y4MWriter
+
+    rng = np.random.default_rng(4)
+    rgb = rng.integers(0, 256, (16, 24, 3), dtype=np.uint8)
+    a, b = tmp_path / "a.y4m", tmp_path / "b.y4m"
+    with Y4MWriter(a, 24, 16, fps=24) as w:
+        # match the writer's range (default colorspace 420jpeg = full)
+        w.write_yuv_frame(*rgb_to_yuv420(rgb, full_range=w.full_range))
+        assert w.frames_written == 1
+    with Y4MWriter(b, 24, 16, fps=24) as w:
+        w.write_frame(rgb)
+    # pre-converted planes must byte-match the RGB write path (within
+    # the native fixed-point vs float rounding of the CSC)
+    with Y4MReader(a) as ra, Y4MReader(b) as rb:
+        fa, fb = next(iter(ra)), next(iter(rb))
+    assert np.abs(fa.astype(np.int16) - fb.astype(np.int16)).max() <= 2
