@@ -109,6 +109,23 @@ class VideoRestorer:
             self.config.checkpoint_dir, self.config.checkpoint_interval
         )
         self.context: Optional[PipelineContext] = None
+        self._enable_xla_cache()
+
+    def _enable_xla_cache(self) -> None:
+        """Persistent XLA compilation cache (the TensorRT-engine-cache
+        analog, reference trt backend): first run pays the compile,
+        repeats load the serialized executable. Defaults to
+        <project_dir>/xla_cache; config.xla_cache_dir overrides."""
+        try:
+            import jax
+
+            cache = self.config.xla_cache_dir or \
+                (self.config.project_dir / "xla_cache")
+            Path(cache).mkdir(parents=True, exist_ok=True)
+            jax.config.update("jax_compilation_cache_dir", str(cache))
+            jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
+        except Exception:  # noqa: BLE001 — cache is best-effort
+            logger.debug("XLA compilation cache unavailable", exc_info=True)
 
     # ------------------------------------------------------------------
     def _progress(self, stage: str, done: int, total: int, tracker: _EtaTracker):
