@@ -148,19 +148,32 @@ def init_model(
         params = spec.port_fn(sd)
         torch_port.export_npz(params, npz)  # cache the ported form
     elif allow_random:
-        # Run random init on the host CPU backend: init is hundreds of
-        # tiny RNG programs, and on remote-compile TPU stacks each one
-        # is a separate compile round-trip (measured: minutes of
-        # startup). Params move to the accelerator on first use.
-        try:
-            cpu = jax.local_devices(backend="cpu")[0]
-        except RuntimeError:
-            cpu = None
-        if cpu is not None:
-            with jax.default_device(cpu):
-                params = spec.init(jax.random.PRNGKey(seed), dtype=dtype)
+        # Seeded random init is deterministic, so cache it as npz: the
+        # eager init is ~400 small RNG dispatches (~15 s for RRDB on
+        # CPU) that every weightless run would otherwise repeat.
+        rand_npz = wdir / f"{name}.rand{seed}.npz"
+        if rand_npz.exists():
+            params = torch_port.import_npz(rand_npz)
         else:
-            params = spec.init(jax.random.PRNGKey(seed), dtype=dtype)
+            # Run init on the host CPU backend: on remote-compile TPU
+            # stacks each RNG op is a compile round-trip (measured:
+            # minutes of startup). Params move to device on first use.
+            # Generated in f32 (npz can't round-trip bf16); the final
+            # cast below produces the requested dtype.
+            try:
+                cpu = jax.local_devices(backend="cpu")[0]
+            except RuntimeError:
+                cpu = None
+            if cpu is not None:
+                with jax.default_device(cpu):
+                    params = spec.init(jax.random.PRNGKey(seed),
+                                       dtype=jnp.float32)
+            else:
+                params = spec.init(jax.random.PRNGKey(seed), dtype=jnp.float32)
+            try:
+                torch_port.export_npz(params, rand_npz)
+            except OSError:
+                pass  # read-only weights dir: just skip the cache
     else:
         raise ModelError(
             f"No weights for {name!r} in {wdir} (looked for .npz/.pth). "

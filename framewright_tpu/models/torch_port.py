@@ -14,6 +14,8 @@ import re
 from pathlib import Path
 from typing import Any, Dict, Mapping
 
+import os
+
 import numpy as np
 
 from framewright_tpu.errors import ModelError
@@ -337,8 +339,12 @@ def export_npz(params: Dict, path: Path) -> None:
             flat[prefix] = np.asarray(node)
 
     walk(params, "")
-    Path(path).parent.mkdir(parents=True, exist_ok=True)
-    np.savez_compressed(path, **flat)
+    path = Path(path)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    # atomic publish: concurrent farm workers may export the same cache
+    tmp = path.with_suffix(f".tmp{os.getpid()}.npz")
+    np.savez_compressed(tmp, **flat)
+    os.replace(tmp, path)
 
 
 def import_npz(path: Path) -> Dict:
