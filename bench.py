@@ -36,9 +36,15 @@ def main() -> int:
         h, w, blocks, reps = 128, 160, 2, 2
 
     cfg = rrdb.RRDBConfig(num_block=blocks, scale=2)
-    params = rrdb.init(jax.random.PRNGKey(0), cfg, dtype=jnp.bfloat16)
-    fast = rrdb.make_fast_params(params)
-    params = rrdb.stack_body(params)
+    # init + param reshaping on the host CPU backend: hundreds of tiny
+    # programs that would each be a remote-compile round-trip on TPU
+    cpu = jax.local_devices(backend="cpu")[0]
+    with jax.default_device(cpu):
+        params = rrdb.init(jax.random.PRNGKey(0), cfg, dtype=jnp.bfloat16)
+        fast = rrdb.make_fast_params(params)
+        params = rrdb.stack_body(params)
+    params, fast = jax.device_put(
+        (params, fast), jax.devices(platform)[0] if on_tpu else cpu)
 
     x = jnp.asarray(np.random.rand(1, h, w, 3).astype(np.float32)).astype(jnp.bfloat16)
 
@@ -47,13 +53,23 @@ def main() -> int:
     else:
         fwd = jax.jit(lambda p, fp, t: rrdb.apply(p, t, cfg))
 
-    y = fwd(params, fast, x)
-    jax.block_until_ready(y)
+    def sync(t):
+        # On the axon stack block_until_ready can return early for
+        # committed arrays (observed: a ~2 min compile + 10 queued
+        # forwards "completed" in 1 ms). Materializing a scalar always
+        # waits for the producing execution.
+        return float(jnp.mean(t[0, ::731, ::731, 0]))
 
+    y = fwd(params, fast, x)
+    sync(y)                       # warmup: wait out compile + first run
+
+    # queue all reps, then sync on the LAST output: device execution is
+    # in-order, so its scalar arriving implies every rep completed —
+    # amortizes the ~25 ms host round-trip out of the measurement
     t0 = time.time()
     for _ in range(reps):
         y = fwd(params, fast, x)
-    jax.block_until_ready(y)
+    sync(y)
     dt = (time.time() - t0) / reps
 
     fps = 1.0 / dt
