@@ -1,9 +1,8 @@
 """BasicVSR-class recurrent video super-resolution in functional JAX.
 
-Fills the reference's video-SR slot (SURVEY §2.D lists VSR/temporal SR
-among the model families the pipeline exposes; the reference reaches it
-through per-frame RealESRGAN plus temporal consistency passes —
-restoration/ has no true VSR net). Architecture follows BasicVSR
+Fills the reference's video-SR slot (its SR facade lists BasicVSR++
+among the backends, processors/enhancement/super_resolution.py:85-1194;
+SURVEY §2.D). Architecture follows BasicVSR
 (Chan et al., CVPR 2021): SpyNet optical flow between neighbouring
 low-res frames, bidirectional recurrent feature propagation with
 flow-warped hidden states, 30 residual blocks per direction, and a

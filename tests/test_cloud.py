@@ -254,3 +254,28 @@ class TestFarmLive:
         with Y4MReader(out) as r:
             assert (r.width, r.height) == (192, 128)
             assert r.count_frames() == 8
+
+
+class TestLifecycle:
+    def test_wait_running_transitions(self):
+        tr = FakeTransport([
+            (200, {"data": {"pod": {"desiredStatus": "RUNNING", "runtime": None}}}),
+            (200, {"data": {"pod": {"desiredStatus": "RUNNING",
+                                    "runtime": {"uptimeInSeconds": 3}}}}),
+        ])
+        p = RunPodProvider("k", tr)
+        inst = CloudInstance("runpod", "p1")
+        out = p.wait_running(inst, timeout=5.0, poll=0.01)
+        assert out.status == "running" and out.started_at > 0
+
+    def test_wait_running_timeout(self):
+        tr = FakeTransport([(200, {"data": {"pod": {"desiredStatus": "RUNNING",
+                                                    "runtime": None}}})] * 50)
+        p = RunPodProvider("k", tr)
+        with pytest.raises(CloudError, match="timeout"):
+            p.wait_running(CloudInstance("runpod", "p2"), timeout=0.05, poll=0.01)
+
+    def test_cost_accrues_with_time(self):
+        inst = CloudInstance("x", "1", usd_per_hour=1.2,
+                             started_at=time.time() - 1800)
+        assert abs(inst.cost_so_far() - 0.6) < 0.01
