@@ -25,6 +25,7 @@ from __future__ import annotations
 import json
 import logging
 import threading
+import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from pathlib import Path
 from typing import Optional
@@ -46,18 +47,39 @@ progress{width:140px}</style></head><body>
 <table id="jobs"><tr><th>Job</th><th>Source</th><th>State</th>
 <th>Progress</th></tr></table>
 <script>
-async function refresh(){
-  const r = await fetch('/api/jobs'); const jobs = await r.json();
+function render(jobs){
   const t = document.getElementById('jobs');
-  t.innerHTML = '<tr><th>Job</th><th>Source</th><th>State</th><th>Progress</th></tr>';
+  t.textContent = '';
+  const hdr = t.insertRow();
+  for(const h of ['Job','Source','State','Progress']){
+    const th = document.createElement('th'); th.textContent = h;
+    hdr.appendChild(th);
+  }
   for(const j of jobs){
     const pct = j.total_frames ? Math.round(100*j.frames_done/j.total_frames) : 0;
-    t.innerHTML += `<tr><td>${j.job_id}</td><td>${j.source}</td>
-      <td class="state-${j.state}">${j.state}</td>
-      <td><progress max="100" value="${pct}"></progress> ${j.frames_done}f</td></tr>`;
+    const row = t.insertRow();
+    // textContent only — job fields are user input (stored-XSS surface)
+    row.insertCell().textContent = j.job_id;
+    row.insertCell().textContent = j.source;
+    const st = row.insertCell();
+    st.textContent = j.state;
+    st.className = 'state-' + String(j.state).replace(/[^a-z]/g, '');
+    const pc = row.insertCell();
+    const bar = document.createElement('progress');
+    bar.max = 100; bar.value = pct;
+    pc.appendChild(bar);
+    pc.appendChild(document.createTextNode(' ' + j.frames_done + 'f'));
   }
 }
-refresh(); setInterval(refresh, 2000);
+async function refresh(){
+  const r = await fetch('/api/jobs'); render(await r.json());
+}
+// push channel: server-sent events stream job updates; fall back to
+// polling when the stream drops
+const es = new EventSource('/api/events');
+es.onmessage = (e) => { render(JSON.parse(e.data)); };
+es.onerror = () => { setTimeout(refresh, 2000); };
+refresh();
 </script></body></html>"""
 
 
@@ -139,6 +161,8 @@ class APIServer:
                 if path == "/api/jobs":
                     return self._send(200, [self._job_dict(j)
                                             for j in server.store.list_jobs()])
+                if path == "/api/events":
+                    return self._sse_events()
                 if path.startswith("/api/jobs/"):
                     job = server.store.get_job(path.split("/")[-1])
                     if job is None:
@@ -192,6 +216,32 @@ class APIServer:
                     server.store.set_state(jid, "cancelled")
                     return self._send(200, {"job_id": jid, "state": "cancelled"})
                 self._send(404, {"error": "unknown endpoint"})
+
+            def _sse_events(self):
+                """Server-sent-events push channel: streams the job list
+                whenever it changes (the reference dashboard's WebSocket
+                push, _ui_pkg/dashboard/server.py:427, as stdlib SSE).
+                One handler thread per client (ThreadingHTTPServer)."""
+                self.send_response(200)
+                self.send_header("Content-Type", "text/event-stream")
+                self.send_header("Cache-Control", "no-cache")
+                self.send_header("Connection", "keep-alive")
+                self.end_headers()
+                last = None
+                beats = 0
+                try:
+                    while not server._stop.is_set():
+                        payload = json.dumps(
+                            [self._job_dict(j) for j in server.store.list_jobs()])
+                        if payload != last or beats >= 30:  # 15s heartbeat
+                            self.wfile.write(f"data: {payload}\n\n".encode())
+                            self.wfile.flush()
+                            last, beats = payload, 0
+                        else:
+                            beats += 1
+                        time.sleep(0.5)
+                except (BrokenPipeError, ConnectionResetError, OSError):
+                    pass  # client went away
 
             @staticmethod
             def _job_dict(j):

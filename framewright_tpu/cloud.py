@@ -46,8 +46,12 @@ from framewright_tpu.errors import FramewrightError
 
 logger = logging.getLogger(__name__)
 
+# Transports return the RAW response body (bytes); callers decode.
+# (JSON decoding in the transport would corrupt binary media downloads.)
+# Fake transports in tests may return ready-made dicts — the _as_json /
+# _as_bytes helpers accept both.
 Transport = Callable[[str, str, Dict[str, str], Optional[bytes]],
-                     Tuple[int, Dict]]
+                     Tuple[int, object]]
 
 
 class CloudError(FramewrightError):
@@ -55,20 +59,47 @@ class CloudError(FramewrightError):
 
 
 def _urllib_transport(method: str, url: str, headers: Dict[str, str],
-                      body: Optional[bytes]) -> Tuple[int, Dict]:
+                      body: Optional[bytes]) -> Tuple[int, bytes]:
     import urllib.request
 
     req = urllib.request.Request(url, data=body, headers=headers,
                                  method=method)
     try:
         with urllib.request.urlopen(req, timeout=30) as resp:
-            raw = resp.read()
-            try:
-                return resp.status, json.loads(raw) if raw else {}
-            except json.JSONDecodeError:
-                return resp.status, {"raw": raw.decode("utf-8", "replace")}
+            return resp.status, resp.read()
     except Exception as exc:  # noqa: BLE001
         raise CloudError(f"{method} {url} failed: {exc}") from exc
+
+
+def _as_json(data) -> Dict:
+    """Decode a transport body as JSON (tolerates dict-returning fakes)."""
+    if isinstance(data, dict):
+        return data
+    if isinstance(data, (bytes, bytearray)):
+        if not data:
+            return {}
+        try:
+            return json.loads(data)
+        except json.JSONDecodeError:
+            return {"raw": bytes(data).decode("utf-8", "replace")}
+    if isinstance(data, str):
+        try:
+            return json.loads(data) if data else {}
+        except json.JSONDecodeError:
+            return {"raw": data}
+    return {}
+
+
+def _as_bytes(data) -> bytes:
+    """Binary body from a transport (tolerates dict/str-returning fakes)."""
+    if isinstance(data, (bytes, bytearray)):
+        return bytes(data)
+    if isinstance(data, str):
+        return data.encode()
+    if isinstance(data, dict):
+        raw = data.get("raw", b"")
+        return raw.encode() if isinstance(raw, str) else bytes(raw)
+    return b""
 
 
 # ---------------------------------------------------------------------------
@@ -144,26 +175,37 @@ class RunPodProvider(CloudProvider):
     name = "runpod"
     endpoint = "https://api.runpod.io/graphql"
 
-    def _gql(self, query: str) -> Dict:
-        status, data = self.transport(
-            "POST", f"{self.endpoint}?api_key={self.api_key}",
-            {"Content-Type": "application/json"},
-            json.dumps({"query": query}).encode())
+    def _gql(self, query: str, variables: Optional[Dict] = None) -> Dict:
+        # GraphQL variables (never string-built payloads: user-controlled
+        # accelerator/image/env would be query injection); API key rides
+        # in a header, not the URL, so it can't leak into request logs.
+        status, raw = self.transport(
+            "POST", self.endpoint,
+            {"Content-Type": "application/json",
+             "Authorization": f"Bearer {self.api_key}"},
+            json.dumps({"query": query, "variables": variables or {}}).encode())
+        data = _as_json(raw)
         if status != 200 or "errors" in data:
             raise CloudError(f"runpod API error ({status}): {data}")
         return data.get("data", {})
 
     def provision(self, spec: InstanceSpec) -> CloudInstance:
         q = (
-            'mutation { podFindAndDeployOnDemand(input: {'
-            f'cloudType: COMMUNITY, gpuCount: {spec.count}, '
-            f'volumeInGb: {spec.disk_gb}, containerDiskInGb: 10, '
-            f'gpuTypeId: "{spec.accelerator}", name: "framewright-burst", '
-            f'imageName: "{spec.image}", '
-            f'env: {json.dumps([{"key": k, "value": v} for k, v in spec.env.items()]).replace(chr(34), chr(39))}'
-            '}) { id costPerHr desiredStatus } }'
+            "mutation Deploy($input: PodFindAndDeployOnDemandInput) {"
+            " podFindAndDeployOnDemand(input: $input)"
+            " { id costPerHr desiredStatus } }"
         )
-        data = self._gql(q)
+        variables = {"input": {
+            "cloudType": "COMMUNITY",
+            "gpuCount": spec.count,
+            "volumeInGb": spec.disk_gb,
+            "containerDiskInGb": 10,
+            "gpuTypeId": spec.accelerator,
+            "name": "framewright-burst",
+            "imageName": spec.image,
+            "env": [{"key": k, "value": v} for k, v in spec.env.items()],
+        }}
+        data = self._gql(q, variables)
         pod = data.get("podFindAndDeployOnDemand") or {}
         if not pod.get("id"):
             raise CloudError(f"runpod returned no pod: {data}")
@@ -172,8 +214,9 @@ class RunPodProvider(CloudProvider):
 
     def status(self, instance: CloudInstance) -> str:
         data = self._gql(
-            f'query {{ pod(input: {{podId: "{instance.instance_id}"}}) '
-            '{ desiredStatus runtime { uptimeInSeconds } } }')
+            "query Pod($input: PodFilter) { pod(input: $input)"
+            " { desiredStatus runtime { uptimeInSeconds } } }",
+            {"input": {"podId": instance.instance_id}})
         pod = data.get("pod") or {}
         st = (pod.get("desiredStatus") or "").upper()
         if st == "RUNNING" and (pod.get("runtime") or {}).get("uptimeInSeconds"):
@@ -183,7 +226,10 @@ class RunPodProvider(CloudProvider):
         return "provisioning"
 
     def terminate(self, instance: CloudInstance) -> None:
-        self._gql(f'mutation {{ podTerminate(input: {{podId: "{instance.instance_id}"}}) }}')
+        self._gql(
+            "mutation Terminate($input: PodTerminateInput!)"
+            " { podTerminate(input: $input) }",
+            {"input": {"podId": instance.instance_id}})
         instance.status = "stopped"
 
 
@@ -195,10 +241,12 @@ class VastAIProvider(CloudProvider):
     endpoint = "https://console.vast.ai/api/v0"
 
     def _call(self, method: str, path: str, body: Optional[Dict] = None) -> Dict:
-        status, data = self.transport(
-            method, f"{self.endpoint}{path}?api_key={self.api_key}",
-            {"Content-Type": "application/json"},
+        status, raw = self.transport(
+            method, f"{self.endpoint}{path}",
+            {"Content-Type": "application/json",
+             "Authorization": f"Bearer {self.api_key}"},
             json.dumps(body).encode() if body is not None else None)
+        data = _as_json(raw)
         if status not in (200, 201):
             raise CloudError(f"vast.ai API error ({status}): {data}")
         return data
@@ -259,11 +307,12 @@ class TPUPodProvider(CloudProvider):
         self.zone = zone
 
     def _call(self, method: str, path: str, body: Optional[Dict] = None) -> Dict:
-        status, data = self.transport(
+        status, raw = self.transport(
             method, f"{self.endpoint}{path}",
             {"Authorization": f"Bearer {self.api_key}",
              "Content-Type": "application/json"},
             json.dumps(body).encode() if body is not None else None)
+        data = _as_json(raw)
         if status not in (200, 201):
             raise CloudError(f"TPU API error ({status}): {data}")
         return data
@@ -390,8 +439,16 @@ def sigv4_headers(method: str, url: str, region: str, service: str,
     is 'YYYYMMDDTHHMMSSZ' — injected for determinism/testability."""
     parsed = urllib.parse.urlparse(url)
     host = parsed.netloc
-    canonical_uri = urllib.parse.quote(parsed.path or "/")
-    canonical_query = "&".join(sorted(parsed.query.split("&"))) if parsed.query else ""
+    # the URL path arrives already percent-encoded; keep '%' safe so the
+    # encoded sequences aren't double-encoded, but escape anything raw
+    canonical_uri = urllib.parse.quote(parsed.path or "/", safe="/%")
+    if parsed.query:
+        pairs = urllib.parse.parse_qsl(parsed.query, keep_blank_values=True)
+        enc = [(urllib.parse.quote(k, safe="-_.~"),
+                urllib.parse.quote(v, safe="-_.~")) for k, v in pairs]
+        canonical_query = "&".join(f"{k}={v}" for k, v in sorted(enc))
+    else:
+        canonical_query = ""
     payload_hash = hashlib.sha256(payload).hexdigest()
     datestamp = amz_date[:8]
     canonical_headers = (f"host:{host}\nx-amz-content-sha256:{payload_hash}\n"
@@ -457,9 +514,7 @@ class S3Storage(CloudStorage):
         if status != 200:
             raise CloudError(f"S3 download {remote_key} failed ({status})")
         Path(local).parent.mkdir(parents=True, exist_ok=True)
-        Path(local).write_bytes(data.get("raw", "").encode()
-                                if isinstance(data.get("raw"), str)
-                                else data.get("raw", b""))
+        Path(local).write_bytes(_as_bytes(data))
 
     def exists(self, remote_key: str) -> bool:
         status, _ = self._request("HEAD", remote_key)
@@ -494,8 +549,7 @@ class GCSStorage(CloudStorage):
         if status != 200:
             raise CloudError(f"GCS download failed ({status})")
         Path(local).parent.mkdir(parents=True, exist_ok=True)
-        raw = data.get("raw", b"")
-        Path(local).write_bytes(raw.encode() if isinstance(raw, str) else raw)
+        Path(local).write_bytes(_as_bytes(data))
 
     def exists(self, remote_key: str) -> bool:
         url = (f"https://storage.googleapis.com/storage/v1/b/{self.bucket}"

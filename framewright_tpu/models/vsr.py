@@ -219,7 +219,9 @@ def apply(params: Dict, frames: jnp.ndarray,
     feat_bw = _propagate(params["backward"], frames_t, flow_bw, reverse=True)
     feat_fw = _propagate(params["forward"], frames_t, flow_fw, reverse=False)
 
-    feats = jnp.concatenate([feat_fw, feat_bw], axis=-1)  # (T,B,H,W,2*mid)
+    # mmediting BasicVSR fuses cat([backward, forward]) — keep that input
+    # channel order so ported pretrained fusion weights line up
+    feats = jnp.concatenate([feat_bw, feat_fw], axis=-1)  # (T,B,H,W,2*mid)
     feats = feats.transpose(1, 0, 2, 3, 4).reshape(b * t, h, w, -1)
 
     y = jax.nn.leaky_relu(conv2d(params["fusion"], feats), 0.1)

@@ -50,13 +50,30 @@ class TestRunPod:
             (200, {"data": {"podTerminate": None}}),
         ])
         p = RunPodProvider(api_key="k", transport=tr)
-        inst = p.provision(InstanceSpec(accelerator="NVIDIA RTX 4090"))
+        inst = p.provision(InstanceSpec(accelerator="NVIDIA RTX 4090",
+                                        env={"A": 'va"l'}))
         assert inst.instance_id == "pod1" and inst.usd_per_hour == 0.44
         assert p.status(inst) == "running"
         p.terminate(inst)
         assert inst.status == "stopped"
-        assert all("api_key=k" in c[1] for c in tr.calls)
-        assert "podFindAndDeployOnDemand" in json.loads(tr.calls[0][3])["query"]
+        # API key rides in a header (never the URL — it would leak to logs)
+        assert all("api_key" not in c[1] for c in tr.calls)
+        assert all(c[2]["Authorization"] == "Bearer k" for c in tr.calls)
+        payload = json.loads(tr.calls[0][3])
+        assert "podFindAndDeployOnDemand" in payload["query"]
+        # values travel as GraphQL variables, not string-built queries
+        inp = payload["variables"]["input"]
+        assert inp["gpuTypeId"] == "NVIDIA RTX 4090"
+        assert inp["env"] == [{"key": "A", "value": 'va"l'}]
+
+    def test_json_bytes_transport(self):
+        """Providers decode raw-bytes bodies (the default urllib path)."""
+        tr = FakeTransport([
+            (200, json.dumps({"data": {"podFindAndDeployOnDemand":
+                                       {"id": "p2", "costPerHr": 0.2}}}).encode()),
+        ])
+        inst = RunPodProvider("k", tr).provision(InstanceSpec())
+        assert inst.instance_id == "p2"
 
     def test_api_error_raises(self):
         tr = FakeTransport([(200, {"errors": [{"message": "nope"}]})])
@@ -156,6 +173,37 @@ class TestStorage:
         assert m == "PUT"
         assert url == "https://bkt.s3.eu-west-1.amazonaws.com/parts/c.y4m"
         assert body == b"YUV" and "Authorization" in headers
+
+    def test_s3_download_binary_exact(self, tmp_path):
+        """Raw-bytes transport bodies reach disk bit-exact (binary media
+        must not pass through any text decode)."""
+        blob = bytes(range(256)) * 4 + b"\xff\xfe\x00Y4M"
+        tr = FakeTransport([(200, blob)])
+        st = S3Storage("bkt", "us-east-1", "AK", "SK", transport=tr,
+                       now=lambda: "20260816T120000Z")
+        dst = tmp_path / "out.bin"
+        st.download("parts/x.y4m", dst)
+        assert dst.read_bytes() == blob
+
+    def test_sigv4_encoded_key_not_double_encoded(self):
+        """A pre-encoded path signs over the once-encoded form; query
+        pairs are key/value-encoded and sorted."""
+        h1 = sigv4_headers("GET",
+                           "https://b.s3.r.amazonaws.com/a%20b/c.y4m?b=2&a=1",
+                           "r", "s3", "AK", "SK", b"", "20260816T120000Z")
+        h2 = sigv4_headers("GET",
+                           "https://b.s3.r.amazonaws.com/a%2520b/c.y4m?a=1&b=2",
+                           "r", "s3", "AK", "SK", b"", "20260816T120000Z")
+        # if '%' were re-quoted, the first URL would sign as the second
+        assert h1["Authorization"] != h2["Authorization"]
+
+    def test_gcs_download_binary_exact(self, tmp_path):
+        blob = b"\x00\x01\xfe\xffRAW"
+        tr = FakeTransport([(200, blob)])
+        st = GCSStorage("bkt", token="tok", transport=tr)
+        dst = tmp_path / "g.bin"
+        st.download("a/b.bin", dst)
+        assert dst.read_bytes() == blob
 
     def test_gcs_upload_url(self, tmp_path):
         tr = FakeTransport([(200, {})])
