@@ -45,6 +45,20 @@ def _add_restore_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--colorize", action="store_true", default=None)
     p.add_argument("--colorize-method", dest="colorize_model",
                    choices=["palette", "exemplar", "eccv16", "ddcolor"])
+    p.add_argument("--stabilize", action="store_true", default=None,
+                   help="full-frame stabilization (camera shake removal)")
+    p.add_argument("--stabilize-smoothing", dest="stabilize_smoothing",
+                   type=int, help="trajectory smoothing radius, frames")
+    p.add_argument("--stabilize-crop", dest="stabilize_crop", type=float,
+                   help="retained frame fraction after crop-zoom")
+    p.add_argument("--long-form", dest="long_form",
+                   choices=["auto", "on", "off"],
+                   help="global anchor drift correction for long videos")
+    p.add_argument("--defect-repair", dest="defect_repair",
+                   action="store_true", default=None)
+    p.add_argument("--temporal-consistency", dest="temporal_consistency",
+                   action="store_true", default=None,
+                   help="flicker reduction pass")
     p.add_argument("--crf", type=int)
     p.add_argument("--codec")
     p.add_argument("--no-checkpoint", dest="checkpoint_enabled",

@@ -166,6 +166,12 @@ class Config:
     scene_threshold: float = 0.30         # scene-change detector sensitivity
     grain_preserve: bool = False
     grain_strength: float = 0.3
+    # long-form global consistency (anchors + drift correction,
+    # engine/temporal.py; reference engine/temporal_consistency.py:993)
+    long_form: str = "auto"               # auto|on|off
+    long_form_threshold: int = 1500       # auto engages at >= this many frames
+    anchor_interval: int = 50             # frames between global anchors
+    long_form_strength: float = 0.5       # drift-correction blend
 
     # --- Deduplication / interpolation ----------------------------------------
     deduplicate: bool = False
@@ -196,6 +202,9 @@ class Config:
     crop_letterbox: bool = False
     aspect_correction: bool = False
     stabilize: bool = False
+    stabilize_smoothing: int = 15         # trajectory smoothing radius (frames)
+    stabilize_crop: float = 0.95          # retained frame fraction (crop-zoom)
+    stabilize_rotation: bool = True       # estimate roll as well as translation
     defect_repair: bool = False
     hdr_output: str = "none"              # none|hdr10|hlg
 
@@ -278,6 +287,12 @@ class Config:
             raise ConfigError("interpolation_passes must be 1-3")
         if self.mesh_shape and any(d < 1 for d in self.mesh_shape):
             raise ConfigError("mesh_shape entries must be >= 1")
+        if self.long_form not in ("auto", "on", "off"):
+            raise ConfigError("long_form must be auto|on|off")
+        if not (0.0 < self.stabilize_crop <= 1.0):
+            raise ConfigError("stabilize_crop must be in (0, 1]")
+        if self.stabilize_smoothing < 1:
+            raise ConfigError("stabilize_smoothing must be >= 1")
 
     # ------------------------------------------------------------------
     # Serialization

@@ -130,6 +130,20 @@ def _tail(params: Dict, feat: jnp.ndarray, body_out: jnp.ndarray) -> jnp.ndarray
     return conv2d(params["conv_last"], lrelu(conv2d(params["conv_hr"], feat)))
 
 
+def _tail_folded(params: Dict, fast_params: Dict, feat: jnp.ndarray,
+                 body_out: jnp.ndarray) -> jnp.ndarray:
+    """Tail with the upsample convs folded to low-res phase convs
+    (ops.fused_rrdb.fold_upconv_nearest2): numerically the same math as
+    ``_tail`` with 2.25x fewer upsample-conv FLOPs at MXU-friendly
+    widths. lrelu commutes with pixel_shuffle (elementwise)."""
+    from framewright_tpu.models.layers import pixel_shuffle
+
+    feat = feat + conv2d(params["conv_body"], body_out.astype(feat.dtype))
+    feat = pixel_shuffle(lrelu(conv2d(fast_params["conv_up1_folded"], feat)), 2)
+    feat = pixel_shuffle(lrelu(conv2d(fast_params["conv_up2_folded"], feat)), 2)
+    return conv2d(params["conv_last"], lrelu(conv2d(params["conv_hr"], feat)))
+
+
 def _head(params: Dict, x: jnp.ndarray, cfg: RRDBConfig) -> jnp.ndarray:
     if cfg.scale == 2:
         feat = pixel_unshuffle(x, 2)
@@ -164,6 +178,10 @@ def apply_fast(params: Dict, fast_params: Dict, x: jnp.ndarray,
     body_out = rrdb_body_fast(feat, fast_params, interpret=interpret)
     if fast_tail is not None:
         return fast_tail(feat, body_out)
+    # NOTE: _tail_folded (exact 4/9-FLOP upsample-conv rewrite) measured
+    # SLOWER on v5e than XLA's fused nearest+conv (66.7 -> 78.1 ms tail;
+    # scripts/bench_tail.py) — the pixel_shuffle transposes cost more
+    # than the saved MACs. Kept for int8/experiments; not the default.
     return _tail(params, feat, body_out)
 
 

@@ -100,9 +100,98 @@ def rdb_wide_weights(rdb_params: Dict, dtype=jnp.bfloat16) -> Dict:
     }
 
 
+def fold_upconv_nearest2(p: Dict) -> Dict:
+    """Fold conv3x3-after-nearest-2x into ONE conv at LOW resolution.
+
+    Identity: for nearest-2x upsampled input, output pixel (2i+a, 2j+b)
+    reads only low-res rows {i-1+a, i+a} x cols {j-1+b, j+b}, with taps
+    that share a low-res pixel summed. Expressed as a single 3x3 conv
+    with 4x the output channels (one block per phase, pixel_shuffle
+    ordering) whose per-phase weights are structurally zero outside the
+    phase's 2x2 support. Exact (weight fold only); 4/9 the tap-FLOPs of
+    the high-res conv and — decisively on TPU — C_out=256 fills the
+    128-wide MXU that C_out=64 leaves 50% idle (measured 10.6 vs 62
+    TFLOP/s on v5e; PERF.md roadmap item 6).
+    """
+    w = np.asarray(p["w"], np.float32)   # (3,3,Cin,Cout) HWIO
+    b = np.asarray(p["b"], np.float32)
+    cin, cout = w.shape[2], w.shape[3]
+    # phase a: high tap row di lands on folded kernel row map_a[di]
+    rowmap = {0: (0, 1, 1), 1: (1, 1, 2)}
+    wf = np.zeros((3, 3, cin, cout * 4), np.float32)
+    for a in (0, 1):
+        for bb in (0, 1):
+            ph = a * 2 + bb
+            for di in range(3):
+                for dj in range(3):
+                    li, lj = rowmap[a][di], rowmap[bb][dj]
+                    wf[li, lj, :, ph::4] += w[di, dj]
+    return {"w": wf, "b": np.repeat(b, 4)}
+
+
+def fold_conv_after_ps2(p: Dict) -> Dict:
+    """Fold a 3x3 conv APPLIED AFTER pixel_shuffle(x, 2) into ONE dense
+    2x2 conv over the pre-shuffle 4C-channel tensor + a phase-shifted
+    shuffle (conv_after_ps2_apply).
+
+    High-res output (2i+a, 2j+b) tap (di, dj) reads high pixel
+    (2i+a+di-1, ...) = low pixel (i+ly, j+lx) of phase (p, q) with
+    r = a+di-1, p = r mod 2, ly = floor(r/2). Each output phase's
+    support spans 2 low rows/cols STARTING at (i+a-1, j+b-1), so one
+    2x2 conv evaluated at position (i+a, j+b) covers every phase:
+    kernel index ki = ly + 1 - a (always in {0, 1}). The per-phase
+    evaluation offset is absorbed by the shifted shuffle. Exact; 16/9
+    more MACs than the high-res 3x3 but at K=4C/N=4C_out MXU widths
+    instead of C=64 at 4x the pixels.
+    """
+    w = np.asarray(p["w"], np.float32)   # (3,3,C,Cout)
+    b = np.asarray(p["b"], np.float32)
+    c_in, c_out = w.shape[2], w.shape[3]
+    wf = np.zeros((2, 2, c_in * 4, c_out * 4), np.float32)
+    for a in (0, 1):
+        for bb in (0, 1):
+            for di in range(3):
+                r = a + di - 1
+                ph_p = r % 2
+                ly = (r - ph_p) // 2
+                for dj in range(3):
+                    s = bb + dj - 1
+                    ph_q = s % 2
+                    lx = (s - ph_q) // 2
+                    ki, kj = ly + 1 - a, lx + 1 - bb
+                    wf[ki, kj, ph_p * 2 + ph_q::4,
+                       (a * 2 + bb)::4] += w[di, dj]
+    return {"w": wf, "b": np.repeat(b, 4)}
+
+
+def conv_after_ps2_apply(folded: Dict, x: jnp.ndarray) -> jnp.ndarray:
+    """Apply a fold_conv_after_ps2 conv: x (N,H,W,4C) pre-shuffle ->
+    (N,2H,2W,C_out), numerically equal to conv3x3(pixel_shuffle(x, 2)).
+    """
+    import jax.lax as lax
+
+    w = folded["w"].astype(x.dtype)
+    y = lax.conv_general_dilated(
+        x, w, window_strides=(1, 1), padding=((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32,
+    )
+    y = (y + folded["b"].astype(jnp.float32)).astype(x.dtype)
+    n, h1, w1, c4 = y.shape  # (H+1, W+1) positions
+    h, wd = h1 - 1, w1 - 1
+    c = c4 // 4
+    # phase (a,b) reads its conv at position (i+a, j+b)
+    parts = [y[:, a:h + a, bb:wd + bb, (a * 2 + bb)::4]
+             for a in (0, 1) for bb in (0, 1)]
+    t = jnp.stack(parts, axis=3)                      # (n,h,w,4,c)
+    t = t.reshape(n, h, wd, 2, 2, c).transpose(0, 1, 3, 2, 4, 5)
+    return t.reshape(n, 2 * h, 2 * wd, c)
+
+
 def rrdb_fast_params(params: Dict, dtype=jnp.bfloat16) -> Dict:
     """Full RRDBNet params -> fast-path params: wide RDB weights stacked
-    (num_block, 3, ...) for lax.scan; head/tail convs unchanged."""
+    (num_block, 3, ...) for lax.scan; upsample convs folded to low-res
+    phase convs (fold_upconv_nearest2); other tail convs unchanged."""
     body = params["body"]
     wides = [
         [rdb_wide_weights(blk[f"rdb{j}"], dtype) for j in (1, 2, 3)]
@@ -113,6 +202,11 @@ def rrdb_fast_params(params: Dict, dtype=jnp.bfloat16) -> Dict:
     ])
     out = {k: v for k, v in params.items() if k != "body"}
     out["body_wide"] = stacked
+    for k in ("conv_up1", "conv_up2"):
+        if k in params:
+            f = fold_upconv_nearest2(params[k])
+            out[k + "_folded"] = {"w": jnp.asarray(f["w"]),
+                                  "b": jnp.asarray(f["b"])}
     return out
 
 

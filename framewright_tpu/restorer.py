@@ -230,15 +230,56 @@ class VideoRestorer:
                              stage=ck.current_stage, frames=dict(ck.frames_done))
         return {"checkpoint": ck}
 
+    def _longform_active(self, nb_frames: int) -> bool:
+        cfg = self.config
+        if cfg.long_form == "on":
+            return True
+        if cfg.long_form == "off":
+            return False
+        return nb_frames >= cfg.long_form_threshold
+
     def _stage_dedup(self, data: Dict) -> Dict:
         meta = data["meta"]
         dedup = FrameDeduplicator(DedupConfig(
             similarity_threshold=self.config.dedup_similarity,
             hash_size=self.config.dedup_hash_size,
         ))
+        out: Dict = {}
         with open_reader(data["source"]) as reader:
-            result = dedup.analyze(iter(reader), target_fps=meta.fps)
-        return {"dedup_result": result}
+            src = iter(reader)
+            if self._longform_active(meta.nb_frames):
+                # tee global anchor statistics off the dedup decode pass
+                # so long-form consistency costs no extra ingest (stats
+                # only — O(anchors) memory, never whole frames)
+                from framewright_tpu.engine.temporal import (
+                    AnchorPoint,
+                    GlobalAnchors,
+                )
+                from framewright_tpu.processors.film import estimate_grain_level
+
+                anchors = GlobalAnchors()
+
+                def teed(it=src, every=self.config.anchor_interval):
+                    for i, f in enumerate(it):
+                        if i % every == 0:
+                            ff = f.astype(np.float32)
+                            anchors.points.append(AnchorPoint(
+                                frame_index=i,
+                                mean_rgb=ff.mean(axis=(0, 1)),
+                                std_rgb=ff.std(axis=(0, 1)) + 1e-3,
+                                brightness=float(ff.mean()),
+                                contrast=float(ff.std()),
+                                grain=estimate_grain_level(f),
+                            ))
+                        yield f
+
+                result = dedup.analyze(teed(), target_fps=meta.fps)
+                anchors.total_frames = meta.nb_frames
+                out["anchors"] = anchors
+            else:
+                result = dedup.analyze(src, target_fps=meta.fps)
+        out["dedup_result"] = result
+        return out
 
     def _stage_enhance(self, data: Dict) -> Dict:
         cfg = self.config
@@ -289,8 +330,21 @@ class VideoRestorer:
             sr.setup(meta.height, meta.width)
             oh, ow = sr.output_size(meta.height, meta.width)
 
+        # vintage-film dedup path (reference README.md:1556-1561): when
+        # interpolating AND dedup found a lower true cadence, duplicates
+        # are dropped — the intermediate carries unique content at the
+        # estimated source fps and interpolation rebuilds smooth motion
+        drop_dups = bool(
+            cfg.interpolation and dedup is not None and dedup.duplicates > 0
+            and 0 < dedup.estimated_source_fps < meta.fps - 1e-3)
+        write_fps = dedup.estimated_source_fps if drop_dups else meta.fps
+        total_unique = dedup.unique_frames if drop_dups else meta.nb_frames
+
         resume_from = 0
-        if cfg.checkpoint_enabled and cfg.resume and "checkpoint" in data:
+        if cfg.checkpoint_enabled and cfg.resume and "checkpoint" in data \
+                and not drop_dups:
+            # (drop mode counts written frames in unique space; source-
+            # frame resume indexing doesn't apply)
             resume_from = self.checkpoints.resume_point("enhance")
             if resume_from:
                 logger.info("resuming enhance at frame %d", resume_from)
@@ -307,7 +361,7 @@ class VideoRestorer:
             if cfg.validate_output else None
 
         writer = open_writer(
-            out_path, ow, oh, fps=meta.fps, codec=cfg.codec, crf=cfg.crf,
+            out_path, ow, oh, fps=write_fps, codec=cfg.codec, crf=cfg.crf,
             preset=cfg.encode_preset, pix_fmt=cfg.pixel_format,
         )
         if resume_from and hasattr(writer, "frames_written"):
@@ -349,6 +403,30 @@ class VideoRestorer:
         # pre-SR restoration stream (reference stage order,
         # restorer.py:3094-3407: format fixes -> defects -> color ->
         # denoise -> SR)
+        if self._longform_active(meta.nb_frames):
+            # global-anchor drift correction (long videos: color/level
+            # drift over hours; reference temporal_consistency.py:993)
+            from framewright_tpu.engine.temporal import (
+                ColorConsistencyEnforcer,
+                GlobalAnchors,
+            )
+
+            anchors = data.get("anchors")
+            if anchors is None:
+                with open_reader(data["source"]) as ar:
+                    anchors = GlobalAnchors.extract(
+                        iter(ar), sample_every=cfg.anchor_interval)
+            if anchors.points:
+                enforcer = ColorConsistencyEnforcer(
+                    anchors, cfg.long_form_strength)
+
+                def _drift_corrected(it):
+                    for i, f in enumerate(it):
+                        yield enforcer.correct(f, i)
+
+                src_iter = _drift_corrected(src_iter)
+                logger.info("long-form consistency on: %d anchors",
+                            len(anchors.points))
         if cfg.deinterlace in ("yadif", "bwdif"):
             from framewright_tpu.processors.format import Deinterlacer
 
@@ -357,6 +435,17 @@ class VideoRestorer:
             from framewright_tpu.processors.film import DefectRepairer
 
             src_iter = DefectRepairer().process_stream(src_iter)
+        if cfg.stabilize:
+            from framewright_tpu.processors.stabilization import (
+                StabilizeConfig,
+                VideoStabilizer,
+            )
+
+            src_iter = VideoStabilizer(StabilizeConfig(
+                smoothing=cfg.stabilize_smoothing,
+                crop_ratio=cfg.stabilize_crop,
+                estimate_rotation=cfg.stabilize_rotation,
+            )).process_stream(src_iter)
         if cfg.watermark_removal or cfg.subtitle_removal:
             from framewright_tpu.processors.inpaint import (
                 InpaintConfig,
@@ -475,37 +564,48 @@ class VideoRestorer:
                 self._progress("enhance", written, meta.nb_frames, tracker)
                 return
 
-            # expand back to original frame positions
-            out_pos = 0
-            outs = []
-            for pos in range(len(idxs)):
-                if pos in unique_sel:
-                    last_out = out_unique[out_pos]
-                    out_pos += 1
-                if last_out is None:
-                    # first frame marked duplicate (can't happen via
-                    # dedup analyze, but guard anyway)
-                    last_out = self._upscale_fallback(frames[pos:pos+1], (oh, ow))[0]
-                outs.append(last_out)
-            out_arr = np.stack(outs)
+            if drop_dups:
+                # duplicates dropped: write unique frames only, at the
+                # estimated source cadence
+                if len(out_unique) == 0:
+                    self._progress("enhance", written, total_unique, tracker)
+                    return
+                out_arr = np.asarray(out_unique)
+                n_out = len(out_arr)
+            else:
+                # expand back to original frame positions
+                out_pos = 0
+                outs = []
+                for pos in range(len(idxs)):
+                    if pos in unique_sel:
+                        last_out = out_unique[out_pos]
+                        out_pos += 1
+                    if last_out is None:
+                        # first frame marked duplicate (can't happen via
+                        # dedup analyze, but guard anyway)
+                        last_out = self._upscale_fallback(frames[pos:pos+1], (oh, ow))[0]
+                    outs.append(last_out)
+                out_arr = np.stack(outs)
+                n_out = len(idxs)
 
             if face_restorer is not None:
                 out_arr = np.stack([
                     face_restorer.restore_frame(out_arr[pos])
-                    for pos in range(len(idxs))
+                    for pos in range(n_out)
                 ])
 
             if validator is not None:
-                for pos in range(len(idxs)):
-                    validator.observe(frames[pos], out_arr[pos])
+                src_ref = work if drop_dups else frames
+                for pos in range(n_out):
+                    validator.observe(src_ref[pos], out_arr[pos])
 
-            drain.submit(out_arr, len(idxs))
-            written += len(idxs)
-            tracker.tick(len(idxs))
+            drain.submit(out_arr, n_out)
+            written += n_out
+            tracker.tick(n_out)
             if cfg.checkpoint_enabled and "checkpoint" in data:
                 self.checkpoints.frames_completed("enhance", written)
             self.events.emit(EventType.FRAME_PROCESSED, frames=written)
-            self._progress("enhance", written, meta.nb_frames, tracker)
+            self._progress("enhance", written, total_unique, tracker)
 
         try:
             for batch in ring:
@@ -562,6 +662,8 @@ class VideoRestorer:
             "frame_errors": frame_errors,
             "validator": validator,
             "out_size": (oh, ow),
+            "enhanced_fps": write_fps,
+            "enhanced_frames": written,
         }
 
     @staticmethod
@@ -598,9 +700,12 @@ class VideoRestorer:
         ))
         interp.setup(oh, ow)
 
-        # effective source fps: with dedup, unique content runs at the
-        # estimated source rate (the vintage-film path: 18 -> 25 fps)
-        src_fps = meta.fps
+        # effective source fps: with dedup, the intermediate holds unique
+        # content at the estimated source rate (the vintage-film path:
+        # 18fps-duped-to-24 interpolates FROM 18; reference
+        # README.md:1556-1561) — the enhance stage reports what it wrote
+        src_fps = data.get("enhanced_fps", meta.fps)
+        est_frames = data.get("enhanced_frames", meta.nb_frames)
         tracker = _EtaTracker()
         reader = open_reader(src)
         from framewright_tpu.processors.interpolation import interpolation_factor
@@ -617,7 +722,7 @@ class VideoRestorer:
                 writer.write_frame(frame)
                 n += 1
                 tracker.tick()
-                est_total = meta.nb_frames * factor
+                est_total = est_frames * factor
                 self._progress("interpolate", n, est_total, tracker)
         finally:
             writer.close()

@@ -114,3 +114,53 @@ class TestApplyFast:
         assert out.shape == ref.shape == (1, 96, 128, 3)
         # reference runs f32, fast path bf16: expect ~1e-2 agreement
         assert np.abs(out - ref).mean() < 0.02
+
+
+class TestTailFolds:
+    """Exact weight folds for the upsample tail (kept as alternatives;
+    measured slower than XLA's fused tail on v5e — PERF.md round 2)."""
+
+    def test_upconv_fold_exact(self):
+        from framewright_tpu.models.layers import (
+            conv2d,
+            pixel_shuffle,
+            upsample_nearest,
+        )
+
+        key = jax.random.PRNGKey(3)
+        p = {"w": jax.random.normal(key, (3, 3, 64, 64), jnp.float32) * 0.1,
+             "b": jax.random.normal(jax.random.PRNGKey(4), (64,)) * 0.1}
+        x = jax.random.normal(jax.random.PRNGKey(5), (1, 17, 23, 64))
+        ref = conv2d(p, upsample_nearest(x, 2))
+        f = fused_rrdb.fold_upconv_nearest2(p)
+        fj = {"w": jnp.asarray(f["w"]), "b": jnp.asarray(f["b"])}
+        got = pixel_shuffle(conv2d(fj, x), 2)
+        assert float(jnp.max(jnp.abs(ref - got))) < 1e-4
+
+    def test_conv_after_ps2_fold_exact(self):
+        from framewright_tpu.models.layers import conv2d, pixel_shuffle
+
+        p = {"w": jax.random.normal(jax.random.PRNGKey(0), (3, 3, 16, 24)) * 0.1,
+             "b": jax.random.normal(jax.random.PRNGKey(1), (24,)) * 0.1}
+        x = jax.random.normal(jax.random.PRNGKey(2), (2, 9, 13, 64))
+        ref = conv2d(p, pixel_shuffle(x, 2))
+        f = fused_rrdb.fold_conv_after_ps2(p)
+        fj = {"w": jnp.asarray(f["w"]), "b": jnp.asarray(f["b"])}
+        got = fused_rrdb.conv_after_ps2_apply(fj, x)
+        assert got.shape == ref.shape
+        assert float(jnp.max(jnp.abs(ref - got))) < 1e-4
+
+    def test_folded_tail_full_model_parity(self, tiny_model):
+        cfg, params, fast = tiny_model
+        from framewright_tpu.models.rrdb import _tail_folded
+
+        rng = np.random.default_rng(7)
+        x = jnp.asarray(rng.random((1, 24, 32, 3), dtype=np.float32))
+        feat = rrdb._head(params, x, cfg)
+        body = rrdb.apply(params, x, cfg)  # reference full output
+        from framewright_tpu.ops.fused_rrdb import rrdb_body_fast  # noqa: F401
+        # compare _tail vs _tail_folded on identical inputs
+        body_out = feat  # any feature tensor works for tail equivalence
+        a = rrdb._tail(params, feat, body_out)
+        b = _tail_folded(params, fast, feat, body_out)
+        assert float(jnp.max(jnp.abs(a - b))) < 1e-4
