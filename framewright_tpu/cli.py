@@ -59,6 +59,12 @@ def _add_restore_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--temporal-consistency", dest="temporal_consistency",
                    action="store_true", default=None,
                    help="flicker reduction pass")
+    p.add_argument("--temporal-model", dest="temporal_model",
+                   choices=["attention", "ema"])
+    p.add_argument("--qp-removal", dest="qp_removal", action="store_true",
+                   default=None, help="codec deblocking/deringing")
+    p.add_argument("--qp-strength", dest="qp_strength", type=float,
+                   help="DCT threshold; 0 = auto from blockiness")
     p.add_argument("--crf", type=int)
     p.add_argument("--codec")
     p.add_argument("--no-checkpoint", dest="checkpoint_enabled",

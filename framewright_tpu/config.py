@@ -163,6 +163,9 @@ class Config:
     denoise_strength: float = 0.5
     temporal_window: int = 7              # 2r+1, r=3 (ref temporal_denoise.py:114)
     temporal_consistency: bool = False
+    temporal_model: str = "attention"     # attention (cross-frame) | ema
+    qp_removal: bool = False              # codec deblocking/deringing
+    qp_strength: float = 0.0              # 0 = auto from blockiness
     scene_threshold: float = 0.30         # scene-change detector sensitivity
     grain_preserve: bool = False
     grain_strength: float = 0.3
@@ -289,6 +292,8 @@ class Config:
             raise ConfigError("mesh_shape entries must be >= 1")
         if self.long_form not in ("auto", "on", "off"):
             raise ConfigError("long_form must be auto|on|off")
+        if self.temporal_model not in ("attention", "ema"):
+            raise ConfigError("temporal_model must be attention|ema")
         if not (0.0 < self.stabilize_crop <= 1.0):
             raise ConfigError("stabilize_crop must be in (0, 1]")
         if self.stabilize_smoothing < 1:

@@ -466,6 +466,14 @@ class VideoRestorer:
                 method=cfg.colorize_model,
                 scene_change_threshold=cfg.scene_threshold,
             )).colorize_stream(src_iter)
+        if cfg.qp_removal:
+            from framewright_tpu.processors.qp_removal import (
+                QPArtifactRemover,
+                QPRemovalConfig,
+            )
+
+            src_iter = QPArtifactRemover(QPRemovalConfig(
+                strength=cfg.qp_strength)).process_stream(src_iter)
         if cfg.denoise:
             from framewright_tpu.processors.temporal_denoise import (
                 TemporalDenoiseConfig,
@@ -483,9 +491,23 @@ class VideoRestorer:
             dn.setup(meta.height, meta.width)
             src_iter = dn.denoise_stream(src_iter)
         if cfg.temporal_consistency:
-            from framewright_tpu.processors.temporal_denoise import FlickerReducer
+            if cfg.temporal_model == "attention":
+                # cross-frame patch attention: flicker/noise suppression
+                # that is ghost-free under motion (reference
+                # cross_attention_temporal.py:262)
+                from framewright_tpu.processors.temporal_attention import (
+                    CFAConfig,
+                    CrossFrameAttention,
+                )
 
-            src_iter = FlickerReducer().reduce_stream(src_iter)
+                src_iter = CrossFrameAttention(
+                    CFAConfig(radius=1)).reduce_stream(src_iter)
+            else:
+                from framewright_tpu.processors.temporal_denoise import (
+                    FlickerReducer,
+                )
+
+                src_iter = FlickerReducer().reduce_stream(src_iter)
         # device-side YUV420 fast path: when SR output goes straight to
         # a 4:2:0 Y4M writer (no faces/validation/dedup-expansion in
         # RGB), fuse the colorspace conversion into the SR tail — the
