@@ -160,7 +160,11 @@ def init(key, cfg: GFPGANConfig = GFPGANConfig(), dtype=jnp.float32) -> Dict:
         "conv_body_first": conv_init(next(keys), 1, 3, ch[cfg.out_size]),
         "conv_body_down": [],
         "final_conv": conv_init(next(keys), 3, ch[4], ch[4]),
-        "final_linear": _linear_init(next(keys), ch[4] * 4 * 4, nsf),
+        # different_w=True (released GFPGANv1Clean): one w PER decoder
+        # layer -> (log2(out)*2 - 2) * nsf outputs, used directly as
+        # latents (input_is_latent=True; the style MLP is bypassed)
+        "final_linear": _linear_init(next(keys), ch[4] * 4 * 4,
+                                     (log_size * 2 - 2) * nsf),
         "style_mlp": [_linear_init(next(keys), nsf, nsf)
                       for _ in range(cfg.num_mlp)],
         "conv_body_up": [],
@@ -271,17 +275,27 @@ def apply(params: Dict, x: jnp.ndarray,
     # stylegan decoder with CS-SFT
     sg = params["stylegan_decoder"]
     b = x.shape[0]
-    style = code
-    for mlp in params["style_mlp"]:
-        h = _linear(mlp, style)
-        style = jnp.where(h >= 0, h, 0.2 * h)
+    num_latent = log_size * 2 - 2
+    if code.shape[-1] == cfg.num_style_feat:
+        # legacy single-w form: refine through the MLP, share across layers
+        style = code
+        for mlp in params["style_mlp"]:
+            h = _linear(mlp, style)
+            style = jnp.where(h >= 0, h, 0.2 * h)
+        latent = jnp.tile(style[:, None, :], (1, num_latent, 1))
+    else:
+        # different_w + input_is_latent (released checkpoints): the
+        # encoder emits per-layer latents directly; style MLP bypassed
+        latent = code.reshape(b, num_latent, cfg.num_style_feat)
     out = jnp.broadcast_to(sg["constant_input"],
                            (b,) + sg["constant_input"].shape[1:]).astype(x.dtype)
-    out = _style_conv(sg["style_conv1"], out, style)
-    skip = _to_rgb(sg["to_rgb1"], out, style)
+    out = _style_conv(sg["style_conv1"], out, latent[:, 0])
+    skip = _to_rgb(sg["to_rgb1"], out, latent[:, 1])
     ci = 0
+    li = 1
     for i in range(len(sg["to_rgbs"])):
-        out = _style_conv(sg["style_convs"][2 * i], out, style, upsample=True)
+        out = _style_conv(sg["style_convs"][2 * i], out, latent[:, li],
+                          upsample=True)
         if ci < len(conditions):
             scale, shift = conditions[ci]
             if cfg.sft_half:
@@ -291,6 +305,7 @@ def apply(params: Dict, x: jnp.ndarray,
             else:
                 out = out * (scale + 1.0) + shift
             ci += 1
-        out = _style_conv(sg["style_convs"][2 * i + 1], out, style)
-        skip = _to_rgb(sg["to_rgbs"][i], out, style, skip=skip)
+        out = _style_conv(sg["style_convs"][2 * i + 1], out, latent[:, li + 1])
+        skip = _to_rgb(sg["to_rgbs"][i], out, latent[:, li + 2], skip=skip)
+        li += 2
     return skip  # official returns the raw accumulated RGB

@@ -51,9 +51,10 @@ class HATConfig:
 
 
 def official_config() -> HATConfig:
-    """HAT-M dims (for the released-weight port)."""
+    """Official HAT_SRx4 dims (released-weight port): embed 180,
+    compress_ratio 3 (the cab mid = dim//3), squeeze_factor 30."""
     return HATConfig(embed_dim=180, depths=(6,) * 6, num_heads=6,
-                     window=16, mlp_ratio=2.0, scale=4)
+                     window=16, mlp_ratio=2.0, cab_squeeze=30, scale=4)
 
 
 def _lin_init(key, ci, co):

@@ -120,6 +120,12 @@ def port_gfpgan(sd: Mapping[str, Any]) -> Dict:
         return {"w": _to_np(sd[prefix + ".weight"]).T,
                 "b": _to_np(sd[prefix + ".bias"])}
 
+    def conv_nb(prefix):
+        # basicsr ResBlock.skip is Conv2d(..., bias=False)
+        w = _to_np(sd[prefix + ".weight"])
+        return {"w": np.transpose(w, (2, 3, 1, 0)),
+                "b": np.zeros(w.shape[0], w.dtype)}
+
     def modconv(prefix):
         w = _to_np(sd[prefix + ".weight"])          # (1, cout, cin, k, k)
         return {"weight": np.transpose(w[0], (2, 3, 1, 0)),
@@ -142,21 +148,21 @@ def port_gfpgan(sd: Mapping[str, Any]) -> Dict:
         "condition_scale": [], "condition_shift": [], "toRGB": [],
         "style_mlp": [],
     }
+    def resblock(prefix):
+        skip = (conv_nb(f"{prefix}.skip")
+                if f"{prefix}.skip.bias" not in sd
+                else _conv(sd, f"{prefix}.skip"))
+        return {"conv1": _conv(sd, f"{prefix}.conv1"),
+                "conv2": _conv(sd, f"{prefix}.conv2"),
+                "skip": skip}
+
     i = 0
     while f"conv_body_down.{i}.conv1.weight" in sd:
-        out["conv_body_down"].append({
-            "conv1": _conv(sd, f"conv_body_down.{i}.conv1"),
-            "conv2": _conv(sd, f"conv_body_down.{i}.conv2"),
-            "skip": _conv(sd, f"conv_body_down.{i}.skip"),
-        })
+        out["conv_body_down"].append(resblock(f"conv_body_down.{i}"))
         i += 1
     i = 0
     while f"conv_body_up.{i}.conv1.weight" in sd:
-        out["conv_body_up"].append({
-            "conv1": _conv(sd, f"conv_body_up.{i}.conv1"),
-            "conv2": _conv(sd, f"conv_body_up.{i}.conv2"),
-            "skip": _conv(sd, f"conv_body_up.{i}.skip"),
-        })
+        out["conv_body_up"].append(resblock(f"conv_body_up.{i}"))
         # condition Sequentials: [conv, lrelu, conv]
         out["condition_scale"].append({
             "c1": _conv(sd, f"condition_scale.{i}.0"),
@@ -168,10 +174,12 @@ def port_gfpgan(sd: Mapping[str, Any]) -> Dict:
         })
         out["toRGB"].append(_conv(sd, f"toRGB.{i}"))
         i += 1
-    i = 0
-    while f"stylegan_decoder.style_mlp.{i}.weight" in sd:
-        out["style_mlp"].append(lin(f"stylegan_decoder.style_mlp.{i}"))
-        i += 1
+    # style MLP: the clean decoder's Sequential starts with NormStyleCode
+    # (no params), so released checkpoints have Linears at odd indices
+    # 1, 3, ..; freshly-exported dicts may start at 0 — accept both
+    for i in range(0, 32):
+        if f"stylegan_decoder.style_mlp.{i}.weight" in sd:
+            out["style_mlp"].append(lin(f"stylegan_decoder.style_mlp.{i}"))
     sg = {
         "constant_input": np.transpose(
             _to_np(sd["stylegan_decoder.constant_input.weight"]), (0, 2, 3, 1)),

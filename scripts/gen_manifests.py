@@ -1,0 +1,256 @@
+#!/usr/bin/env python
+"""Generate state-dict key/shape manifests for the released checkpoints
+the weight ports target (reference utils/model_manager.py:38-946
+downloads these files; this repo has no egress, so the inventories are
+encoded from the published architectures).
+
+Each manifest is JSON: {"_meta": {...}, "keys": {name: [shape...]},
+"ignorable": [...]} where ignorable keys exist in the real file but
+carry no ported information (e.g. StyleGAN noise buffers).
+
+tests/test_manifests.py synthesizes state dicts from these and proves
+every port function consumes the full inventory (no silent drops) and
+produces pytrees whose shapes match the model's init() exactly.
+"""
+
+import json
+from pathlib import Path
+
+OUT = Path(__file__).resolve().parent.parent / "tests" / "data" / "manifests"
+
+
+def _conv(keys, name, cout, cin, k, bias=True):
+    keys[name + ".weight"] = [cout, cin, k, k]
+    if bias:
+        keys[name + ".bias"] = [cout]
+
+
+def _linear(keys, name, cout, cin):
+    keys[name + ".weight"] = [cout, cin]
+    keys[name + ".bias"] = [cout]
+
+
+# ---------------------------------------------------------------------------
+# RRDBNet (Real-ESRGAN family; basicsr rrdbnet_arch)
+# ---------------------------------------------------------------------------
+
+def rrdb_manifest(num_block: int, in_ch: int) -> dict:
+    keys = {}
+    _conv(keys, "conv_first", 64, in_ch, 3)
+    for i in range(num_block):
+        for j in (1, 2, 3):
+            p = f"body.{i}.rdb{j}"
+            _conv(keys, f"{p}.conv1", 32, 64, 3)
+            _conv(keys, f"{p}.conv2", 32, 96, 3)
+            _conv(keys, f"{p}.conv3", 32, 128, 3)
+            _conv(keys, f"{p}.conv4", 32, 160, 3)
+            _conv(keys, f"{p}.conv5", 64, 192, 3)
+    for name in ("conv_body", "conv_up1", "conv_up2", "conv_hr"):
+        _conv(keys, name, 64, 64, 3)
+    _conv(keys, "conv_last", 3, 64, 3)
+    return keys
+
+
+# ---------------------------------------------------------------------------
+# SRVGGNetCompact (realesr-*; basicsr srvgg_arch; PReLU activations)
+# ---------------------------------------------------------------------------
+
+def srvgg_manifest(num_conv: int, upscale: int = 4) -> dict:
+    keys = {}
+    _conv(keys, "body.0", 64, 3, 3)
+    keys["body.1.weight"] = [64]                    # PReLU alpha
+    for i in range(1, num_conv + 1):
+        _conv(keys, f"body.{2 * i}", 64, 64, 3)
+        keys[f"body.{2 * i + 1}.weight"] = [64]
+    _conv(keys, f"body.{2 * num_conv + 2}", 3 * upscale * upscale, 64, 3)
+    return keys
+
+
+# ---------------------------------------------------------------------------
+# BasicVSR (mmediting basicvsr_net; SpyNet + bidirectional trunks)
+# ---------------------------------------------------------------------------
+
+def basicvsr_manifest(num_blocks: int = 30) -> dict:
+    keys = {}
+    spy = ((32, 8), (64, 32), (32, 64), (16, 32), (2, 16))
+    for lv in range(6):
+        for j, (cout, cin) in enumerate(spy):
+            _conv(keys, f"spynet.basic_module.{lv}.basic_module.{j}.conv",
+                  cout, cin, 7)
+    for trunk in ("backward_resblocks", "forward_resblocks"):
+        _conv(keys, f"{trunk}.main.0", 64, 67, 3)
+        for i in range(num_blocks):
+            _conv(keys, f"{trunk}.main.2.{i}.conv1", 64, 64, 3)
+            _conv(keys, f"{trunk}.main.2.{i}.conv2", 64, 64, 3)
+    keys["fusion.weight"] = [64, 128, 1, 1]
+    keys["fusion.bias"] = [64]
+    _conv(keys, "upsample1.upsample_conv", 256, 64, 3)
+    _conv(keys, "upsample2.upsample_conv", 256, 64, 3)
+    _conv(keys, "conv_hr", 64, 64, 3)
+    _conv(keys, "conv_last", 3, 64, 3)
+    return keys
+
+
+# ---------------------------------------------------------------------------
+# HAT (official HAT repo, HAT_SRx4: embed 180, 6x6 blocks, window 16)
+# ---------------------------------------------------------------------------
+
+def hat_manifest(embed=180, depths=(6,) * 6, window=16, overlap=0.5,
+                 mlp_ratio=2.0, squeeze=30, scale=4) -> dict:
+    keys = {}
+    _conv(keys, "conv_first", embed, 3, 3)
+    rp = (2 * window - 1) ** 2
+    wo = int(window * (1 + overlap)) + window - 1
+    rp_ocab = wo * wo  # (win+wo-1)^2 with wo = win*(1+r): official table
+    hidden = int(embed * mlp_ratio)
+    for g, depth in enumerate(depths):
+        base = f"layers.{g}"
+        for b in range(depth):
+            p = f"{base}.residual_group.blocks.{b}"
+            keys[f"{p}.norm1.weight"] = [embed]
+            keys[f"{p}.norm1.bias"] = [embed]
+            _linear(keys, f"{p}.attn.qkv", embed * 3, embed)
+            _linear(keys, f"{p}.attn.proj", embed, embed)
+            keys[f"{p}.attn.relative_position_bias_table"] = [rp, 6]
+            _conv(keys, f"{p}.conv_block.cab.0", embed // 3, embed, 3)
+            _conv(keys, f"{p}.conv_block.cab.2", embed, embed // 3, 3)
+            _conv(keys, f"{p}.conv_block.cab.3.attention.1",
+                  embed // squeeze, embed, 1)
+            _conv(keys, f"{p}.conv_block.cab.3.attention.3",
+                  embed, embed // squeeze, 1)
+            keys[f"{p}.norm2.weight"] = [embed]
+            keys[f"{p}.norm2.bias"] = [embed]
+            _linear(keys, f"{p}.mlp.fc1", hidden, embed)
+            _linear(keys, f"{p}.mlp.fc2", embed, hidden)
+        oc = f"{base}.overlap_attn"
+        keys[f"{oc}.norm1.weight"] = [embed]
+        keys[f"{oc}.norm1.bias"] = [embed]
+        _linear(keys, f"{oc}.qkv", embed * 3, embed)
+        _linear(keys, f"{oc}.proj", embed, embed)
+        keys[f"{oc}.relative_position_bias_table"] = [rp_ocab, 6]
+        keys[f"{oc}.norm2.weight"] = [embed]
+        keys[f"{oc}.norm2.bias"] = [embed]
+        _linear(keys, f"{oc}.mlp.fc1", hidden, embed)
+        _linear(keys, f"{oc}.mlp.fc2", embed, hidden)
+        _conv(keys, f"{base}.conv", embed, embed, 3)
+    _conv(keys, "conv_after_body", embed, embed, 3)
+    _conv(keys, "conv_before_upsample.0", 64, embed, 3)
+    for i in range(0, scale // 2):
+        _conv(keys, f"upsample.{2 * i}", 256, 64, 3)
+    _conv(keys, "conv_last", 3, 64, 3)
+    return keys
+
+
+# ---------------------------------------------------------------------------
+# GFPGANv1Clean (basicsr gfpganv1_clean_arch, out_size 512, cm=2)
+# ---------------------------------------------------------------------------
+
+def gfpgan_manifest() -> dict:
+    keys = {}
+    ign = []
+    ch = {4: 512, 8: 512, 16: 512, 32: 512, 64: 512, 128: 256,
+          256: 128, 512: 64}
+    log_size = 9
+    keys["conv_body_first.weight"] = [64, 3, 1, 1]
+    keys["conv_body_first.bias"] = [64]
+    # down: 512px -> 4px, ResBlock(cin=ch[2^i], cout=ch[2^(i-1)])
+    sizes_down = [2 ** i for i in range(log_size, 2, -1)]     # 512..8
+    for n, s in enumerate(sizes_down):
+        cin, cout = ch[s], ch[s // 2]
+        _conv(keys, f"conv_body_down.{n}.conv1", cin, cin, 3)
+        _conv(keys, f"conv_body_down.{n}.conv2", cout, cin, 3)
+        keys[f"conv_body_down.{n}.skip.weight"] = [cout, cin, 1, 1]  # no bias
+    _conv(keys, "final_conv", 512, 512, 3)
+    # different_w=True: one w per layer
+    num_latent = log_size * 2 - 2                              # 16
+    _linear(keys, "final_linear", num_latent * 512, 512 * 4 * 4)
+    # up: 4px -> 512px, ResUpBlock(ch[2^(i-1)] -> ch[2^i]) + SFT conds
+    sizes_up = [2 ** i for i in range(3, log_size + 1)]        # 8..512
+    for n, s in enumerate(sizes_up):
+        cin, cout = ch[s // 2], ch[s]
+        _conv(keys, f"conv_body_up.{n}.conv1", cin, cin, 3)
+        _conv(keys, f"conv_body_up.{n}.conv2", cout, cin, 3)
+        keys[f"conv_body_up.{n}.skip.weight"] = [cout, cin, 1, 1]
+        sft = cout // 2                                        # sft_half
+        _conv(keys, f"condition_scale.{n}.0", cout, cout, 3)
+        _conv(keys, f"condition_scale.{n}.2", sft, cout, 3)
+        _conv(keys, f"condition_shift.{n}.0", cout, cout, 3)
+        _conv(keys, f"condition_shift.{n}.2", sft, cout, 3)
+        keys[f"toRGB.{n}.weight"] = [3, cout, 1, 1]
+        keys[f"toRGB.{n}.bias"] = [3]
+    # stylegan decoder (clean): style_mlp = [NormStyleCode, (Linear, LReLU)*8]
+    for i in range(8):
+        _linear(keys, f"stylegan_decoder.style_mlp.{2 * i + 1}", 512, 512)
+    keys["stylegan_decoder.constant_input.weight"] = [1, 512, 4, 4]
+    def styleconv(prefix, cin, cout, k):
+        keys[f"{prefix}.modulated_conv.weight"] = [1, cout, cin, k, k]
+        _linear(keys, f"{prefix}.modulated_conv.modulation", cin, 512)
+        keys[f"{prefix}.weight"] = [1]                        # noise gain
+        keys[f"{prefix}.bias"] = [1, cout, 1, 1]
+    def torgb(prefix, cin):
+        keys[f"{prefix}.modulated_conv.weight"] = [1, 3, cin, 1, 1]
+        _linear(keys, f"{prefix}.modulated_conv.modulation", cin, 512)
+        keys[f"{prefix}.bias"] = [1, 3, 1, 1]
+    styleconv("stylegan_decoder.style_conv1", 512, 512, 3)
+    torgb("stylegan_decoder.to_rgb1", 512)
+    n = 0
+    prev = 512
+    for s in sizes_up:                                         # 8..512
+        cout = ch[s]
+        styleconv(f"stylegan_decoder.style_convs.{n}", prev, cout, 3)
+        styleconv(f"stylegan_decoder.style_convs.{n + 1}", cout, cout, 3)
+        torgb(f"stylegan_decoder.to_rgbs.{n // 2}", cout)
+        prev = cout
+        n += 2
+    # noise buffers exist in the file but carry no ported weights
+    ign.append("stylegan_decoder.noises.noise0")
+    keys["stylegan_decoder.noises.noise0"] = [1, 1, 4, 4]
+    for i in range(1, (log_size - 2) * 2 + 1):
+        size = 2 ** ((i + 5) // 2)
+        keys[f"stylegan_decoder.noises.noise{i}"] = [1, 1, size, size]
+        ign.append(f"stylegan_decoder.noises.noise{i}")
+    return keys, ign
+
+
+MANIFESTS = {
+    "RealESRGAN_x2plus": (lambda: rrdb_manifest(23, 12),
+                          "realesrgan x2: pixel-unshuffle input (3*4 ch)"),
+    "RealESRGAN_x4plus": (lambda: rrdb_manifest(23, 3), "realesrgan x4"),
+    "RealESRGAN_x4plus_anime_6B": (lambda: rrdb_manifest(6, 3),
+                                   "anime 6-block variant"),
+    "realesr-animevideov3": (lambda: srvgg_manifest(16),
+                             "SRVGG compact, 16 convs, PReLU"),
+    "realesr-general-x4v3": (lambda: srvgg_manifest(32),
+                             "SRVGG compact, 32 convs"),
+    "basicvsr_reds4": (basicvsr_manifest, "mmediting BasicVSR generator"),
+    "HAT_SRx4": (hat_manifest, "official HAT x4 (embed 180, 6x6)"),
+    "GFPGANv1.4": (gfpgan_manifest, "GFPGANv1Clean out512 cm2 sft_half"),
+}
+
+
+def main():
+    OUT.mkdir(parents=True, exist_ok=True)
+    for name, (fn, note) in MANIFESTS.items():
+        result = fn()
+        if isinstance(result, tuple):
+            keys, ignorable = result
+        else:
+            keys, ignorable = result, []
+        doc = {
+            "_meta": {
+                "note": note,
+                "provenance": "encoded from the published architecture; "
+                              "validate against a real .pth with "
+                              "`framewright models verify`",
+                "n_keys": len(keys),
+            },
+            "keys": keys,
+            "ignorable": ignorable,
+        }
+        path = OUT / f"{name}.json"
+        path.write_text(json.dumps(doc, indent=1))
+        print(f"{name}: {len(keys)} keys -> {path}")
+
+
+if __name__ == "__main__":
+    main()
