@@ -71,6 +71,36 @@ def ssim(a: jnp.ndarray, b: jnp.ndarray, max_val: float = 1.0) -> jnp.ndarray:
     return jnp.mean(num / den)
 
 
+def psnr_per_frame(a: jnp.ndarray, b: jnp.ndarray,
+                   max_val: float = 1.0) -> jnp.ndarray:
+    """(N,H,W,C) pairs -> (N,) PSNR dB — traceable inside larger jits
+    (the SR program computes the quality gate's stats in the same
+    device pass as the model forward; restorer device_stats path)."""
+    a = jnp.asarray(a, jnp.float32)
+    b = jnp.asarray(b, jnp.float32)
+    mse = jnp.mean((a - b) ** 2, axis=(1, 2, 3))
+    return 10.0 * jnp.log10((max_val * max_val) / jnp.maximum(mse, 1e-12))
+
+
+def ssim_per_frame(a: jnp.ndarray, b: jnp.ndarray,
+                   max_val: float = 1.0) -> jnp.ndarray:
+    """(N,H,W,C) pairs -> (N,) mean SSIM, traceable."""
+    a = jnp.asarray(a, jnp.float32)
+    b = jnp.asarray(b, jnp.float32)
+    kern = _gaussian_kernel()
+    c1 = (0.01 * max_val) ** 2
+    c2 = (0.03 * max_val) ** 2
+    mu_a = _filter2(a, kern)
+    mu_b = _filter2(b, kern)
+    mu_aa, mu_bb, mu_ab = mu_a * mu_a, mu_b * mu_b, mu_a * mu_b
+    s_aa = _filter2(a * a, kern) - mu_aa
+    s_bb = _filter2(b * b, kern) - mu_bb
+    s_ab = _filter2(a * b, kern) - mu_ab
+    num = (2 * mu_ab + c1) * (2 * s_ab + c2)
+    den = (mu_aa + mu_bb + c1) * (s_aa + s_bb + c2)
+    return jnp.mean(num / den, axis=(1, 2, 3))
+
+
 def ms_ssim(a: jnp.ndarray, b: jnp.ndarray, max_val: float = 1.0,
             levels: int = 3) -> jnp.ndarray:
     """Multi-scale SSIM (reduced-level variant of Wang et al. MS-SSIM;

@@ -47,6 +47,10 @@ class SRConfig:
                                   # restorer enables this when writing
                                   # straight to Y4M — 1.5 B/px D2H)
     yuv_full_range: bool = False  # BT.601 limited (Y4M default)
+    device_stats: bool = False    # per-frame PSNR/SSIM vs the bicubic
+                                  # baseline computed INSIDE the SR jit,
+                                  # so the quality gate composes with
+                                  # the YUV fast path at no extra D2H
 
 
 class SuperResolution(FrameProcessor):
@@ -157,6 +161,7 @@ class SuperResolution(FrameProcessor):
 
         yuv = self.config.output_color == "yuv420"
         full_range = self.config.yuv_full_range
+        with_stats = self.config.device_stats
 
         @jax.jit
         def run(x_u8):
@@ -167,9 +172,30 @@ class SuperResolution(FrameProcessor):
             x = x_u8.astype(dtype) / jnp.asarray(255.0, dtype)
             y = tiling.tiled_apply(model_fn, x, plan)
             y = jnp.clip(y.astype(jnp.float32), 0.0, 1.0) * 255.0
+            stats = None
+            if with_stats:
+                # quality-gate stats ride in the SAME program as SR: the
+                # host fetches 3 scalars/frame, not RGB frames, so the
+                # validator composes with the YUV420 fast path for free
+                # (reference validators.py:332-393 semantics)
+                from framewright_tpu.models.layers import resize_bicubic
+                from framewright_tpu.ops.metrics import (
+                    psnr_per_frame,
+                    ssim_per_frame,
+                )
+
+                yf = y / 255.0
+                ref = resize_bicubic(
+                    x.astype(jnp.float32), yf.shape[1:3])
+                stats = {
+                    "psnr": psnr_per_frame(yf, ref),
+                    "ssim": ssim_per_frame(yf, ref),
+                    "luma": jnp.mean(y, axis=(1, 2, 3)),
+                }
             if not yuv:
                 # round-half-away like to_uint8 (max 255.5 floors to 255)
-                return jnp.floor(y + 0.5).astype(jnp.uint8)
+                out = jnp.floor(y + 0.5).astype(jnp.uint8)
+                return (out, stats) if with_stats else out
             # fused RGB->YUV420 (BT.601, io/color.py math): the SR tail
             # ships 1.5 B/px planes instead of 3 B/px RGB
             kr, kg, kb = 0.299, 0.587, 0.114
@@ -184,11 +210,19 @@ class SuperResolution(FrameProcessor):
             n, hh, ww = yy.shape
             uu = uu.reshape(n, hh // 2, 2, ww // 2, 2).mean(axis=(2, 4))
             vv = vv.reshape(n, hh // 2, 2, ww // 2, 2).mean(axis=(2, 4))
-            return (jnp.clip(jnp.floor(yy + 0.5), 0, 255).astype(jnp.uint8),
-                    jnp.clip(jnp.floor(uu + 128.5), 0, 255).astype(jnp.uint8),
-                    jnp.clip(jnp.floor(vv + 128.5), 0, 255).astype(jnp.uint8))
+            planes = (jnp.clip(jnp.floor(yy + 0.5), 0, 255).astype(jnp.uint8),
+                      jnp.clip(jnp.floor(uu + 128.5), 0, 255).astype(jnp.uint8),
+                      jnp.clip(jnp.floor(vv + 128.5), 0, 255).astype(jnp.uint8))
+            return (planes, stats) if with_stats else planes
 
         self._fn = run
+
+    def enable_device_stats(self) -> None:
+        """Turn on in-jit quality stats (recompiles lazily)."""
+        if self.config.device_stats:
+            return
+        self.config.device_stats = True
+        self._compile(self._jit_dtype, self._jit_fused)
 
     # ------------------------------------------------------------------
     def dispatch(self, frames: np.ndarray):
@@ -228,6 +262,11 @@ class SuperResolution(FrameProcessor):
                 if handle["y"] is None:
                     raise handle["exc"]
                 res, n = handle["y"], handle["n"]
+                if (isinstance(res, tuple) and len(res) == 2
+                        and isinstance(res[1], dict)):
+                    res, stats = res
+                    handle["stats_np"] = {
+                        k: np.asarray(v)[:n] for k, v in stats.items()}
                 if isinstance(res, tuple):   # yuv420 planes
                     out = tuple(np.asarray(p)[:n] for p in res)
                 else:

@@ -62,6 +62,8 @@ class QualityValidator:
         self._pairs: List[Tuple[np.ndarray, np.ndarray]] = []
         self._frame_count = 0
         self._luma_track: List[float] = []
+        self._device_psnr: List[float] = []
+        self._device_ssim: List[float] = []
 
     def observe(self, in_frame: np.ndarray, out_frame: np.ndarray) -> None:
         """Call with (pre-stage, post-stage) uint8 frames."""
@@ -71,6 +73,15 @@ class QualityValidator:
         if i % self.sample_every == 0 and len(self._pairs) < self.max_samples:
             self._pairs.append((in_frame.copy(), out_frame.copy()))
 
+    def observe_scores(self, psnr, ssim, luma) -> None:
+        """Feed per-frame scores computed ON DEVICE inside the SR jit
+        (SRConfig.device_stats): the gate then costs 3 scalars/frame of
+        transfer and composes with the YUV420 fast path."""
+        self._frame_count += len(psnr)
+        self._device_psnr.extend(float(v) for v in psnr)
+        self._device_ssim.extend(float(v) for v in ssim)
+        self._luma_track.extend(float(v) for v in luma)
+
     def validate(self) -> QualityReport:
         import jax.numpy as jnp
 
@@ -78,6 +89,19 @@ class QualityValidator:
 
         rep = QualityReport(min_psnr=self.min_psnr, min_ssim=self.min_ssim,
                             samples=len(self._pairs))
+        if self._device_psnr and not self._pairs:
+            # scores already computed on device inside the SR program
+            rep.samples = len(self._device_psnr)
+            rep.per_sample_psnr = [round(p, 2) for p in self._device_psnr]
+            rep.psnr = float(np.mean(self._device_psnr))
+            rep.ssim = float(np.mean(self._device_ssim))
+            rep.temporal_ok = self._check_temporal()
+            if not rep.temporal_ok:
+                rep.notes.append(
+                    "luma discontinuity: possible dropped/black frames")
+            rep.passed = (rep.psnr >= self.min_psnr
+                          and rep.ssim >= self.min_ssim and rep.temporal_ok)
+            return rep
         if not self._pairs:
             rep.passed = True
             rep.notes.append("no samples collected")

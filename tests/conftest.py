@@ -25,6 +25,52 @@ import numpy as np  # noqa: E402
 _TEXTURE_CACHE: dict = {}
 import pytest  # noqa: E402
 
+# ---------------------------------------------------------------------------
+# Test tiers (reference gates heavy tests with markers, pyproject.toml:196):
+# everything matching a pattern below is marked `slow` — model-forward and
+# full-pipeline tests dominated by CPU conv time. Default CI tier:
+#   pytest -m "not slow"   (< 3 min)
+# Full suite: plain pytest.
+# ---------------------------------------------------------------------------
+
+_SLOW_PATTERNS = (
+    "test_vsr.py",                  # recurrent VSR forwards (14-60 s each)
+    "test_hat.py",
+    "test_restormer_hdr.py::TestRestormer",
+    "test_restoration_stack.py::TestGFPGAN",
+    "test_restoration_stack.py::TestECCV16",
+    "test_restoration_stack.py::TestWatermarkRemoval",
+    "test_restoration_stack.py::TestLamaModel",
+    "test_restoration_stack.py::TestColorize::test_palette_colorizes_bw",
+    "test_restorer.py::TestFullRecipeStages",
+    "test_restorer.py::TestInterpolationStage",
+    "test_restorer.py::TestDenoiseStage",
+    "test_restorer.py::TestCheckpointResume",
+    "test_restorer.py::TestRestoreEndToEnd::test_validation_report",
+    "test_denoise.py::TestFlickerReducer::test_restormer_method_runs",
+    "test_denoise.py::TestNAFNet",
+    "test_denoise.py::TestTemporalDenoiser",
+    "test_project_testing.py::TestEnsemble::test_scale_mismatch_rejected",
+    "test_tiling_planner.py::TestTiling::test_rrdb_tiled_exact",
+    "test_interpolation.py::TestIFNet::test_shapes_and_range",
+    "test_interpolation.py::TestInterpolator::test_doubles_frame_count",
+    "test_diffusion.py::test_registry_and_processor",
+    "test_periphery.py::TestBenchmarks::test_tiny_suite_runs",
+    "test_fused_rrdb.py::TestApplyFast",
+    "test_manifests.py::TestHATManifest",
+    "test_manifests.py::TestGFPGANManifest",
+    "test_cloud.py::TestFarmLive",
+    "test_restorer.py::TestDeviceStatsValidation",
+    "test_cli.py::TestRestoreVerbs::test_restore_default_command_sugar",
+    "test_stabilization.py::TestRestorerWiring::test_dedup_interpolates",
+)
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        if any(p in item.nodeid for p in _SLOW_PATTERNS):
+            item.add_marker(pytest.mark.slow)
+
 
 @pytest.fixture
 def rng():

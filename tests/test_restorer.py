@@ -206,3 +206,19 @@ class TestFullRecipeStages:
         assert result.frames_out == 10
         with Y4MReader(tmp_path / "o.y4m") as r:
             assert r.count_frames() == 10
+
+
+class TestDeviceStatsValidation:
+    def test_validation_composes_with_yuv_fast_path(self, tmp_path, tiny_y4m):
+        """With validate_output on, the quality stats ride INSIDE the SR
+        jit (SRConfig.device_stats) so the YUV420 device-CSC fast path
+        stays enabled and per-frame scores still reach the report."""
+        cfg = _make_cfg(tmp_path, validate_output=True, long_form="off")
+        out = tmp_path / "out.y4m"
+        result = VideoRestorer(cfg).restore_video(tiny_y4m, output=out)
+        assert result.quality is not None
+        # every frame scored on device (not the 1-in-25 host sampling)
+        assert result.quality.samples == 16
+        assert result.quality.psnr > 0 and 0 < result.quality.ssim <= 1
+        with Y4MReader(out) as r:
+            assert r.count_frames() == 16
