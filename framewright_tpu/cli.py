@@ -431,6 +431,31 @@ def cmd_wizard(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_subtitles(args: argparse.Namespace) -> int:
+    """Extract hardcoded subtitle events (+text when OCR is available)
+    to SRT (reference subtitle_extraction.py surface)."""
+    from framewright_tpu.io import open_reader, probe
+    from framewright_tpu.processors.ocr import default_ocr_fn
+    from framewright_tpu.processors.subtitles import (
+        SubtitleTimingExtractor,
+        export_srt,
+    )
+
+    meta = probe(args.source)
+    ocr_fn = None if args.no_ocr else default_ocr_fn(lang=args.lang)
+    if ocr_fn is None and not args.no_ocr:
+        print("note: no OCR backend (tesseract) found; SRT will carry "
+              "timing only", file=sys.stderr)
+    ext = SubtitleTimingExtractor(ocr_fn=ocr_fn)
+    with open_reader(args.source) as r:
+        events = ext.analyze(iter(r))
+    out = Path(args.output) if args.output else \
+        Path(args.source).with_suffix(".srt")
+    out.write_text(export_srt(events, meta.fps))
+    print(f"{len(events)} subtitle events -> {out}")
+    return 0
+
+
 def cmd_audio(args: argparse.Namespace) -> int:
     from framewright_tpu.audio import AudioEnhanceConfig, AudioEnhancer
 
@@ -642,6 +667,16 @@ def build_parser() -> argparse.ArgumentParser:
     fr.add_argument("--device", choices=["auto", "tpu", "cpu"], default="auto")
     p.set_defaults(func=cmd_farm)
 
+    p = sub.add_parser("subtitles",
+                       help="extract hardcoded subtitles to .srt (OCR "
+                            "when tesseract is installed; timing always)")
+    p.add_argument("source")
+    p.add_argument("-o", "--output", type=Path, default=None)
+    p.add_argument("--lang", default="eng")
+    p.add_argument("--no-ocr", action="store_true",
+                   help="timing-only SRT (skip text recognition)")
+    p.set_defaults(func=cmd_subtitles)
+
     p = sub.add_parser("audio", help="enhance a WAV audio file")
     p.add_argument("source")
     p.add_argument("output")
@@ -671,7 +706,7 @@ def main(argv: Optional[List[str]] = None) -> int:
     known = {"restore", "probe", "check", "presets", "models", "analyze",
              "bench", "suite", "recipes", "recipe", "auto", "do", "batch",
              "watch", "qa-report", "export-presets", "audio", "wizard",
-             "farm", "-h", "--help", "--version"}
+             "farm", "subtitles", "-h", "--help", "--version"}
     if argv and argv[0] not in known and not argv[0].startswith("-"):
         argv = ["restore"] + argv
     parser = build_parser()

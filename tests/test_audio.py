@@ -127,3 +127,48 @@ class TestSync:
         # negative drift correction (~-0.005); windowed xcorr biases
         # the magnitude, so accept the right sign and order of magnitude
         assert -0.012 < res["drift_s_per_s"] < -0.002
+
+
+class TestWienerMaskDenoiser:
+    def test_snr_gain_on_stationary_noise(self):
+        from framewright_tpu.audio import WienerMaskDenoiser
+
+        sr = 16000
+        t = np.arange(sr * 2) / sr
+        clean = (0.4 * np.sin(2 * np.pi * 220 * t)
+                 * (0.5 + 0.5 * np.sin(2 * np.pi * 3 * t))
+                 + 0.2 * np.sin(2 * np.pi * 880 * t)
+                 * (0.5 + 0.5 * np.cos(2 * np.pi * 2 * t))).astype(np.float32)
+        rng = np.random.default_rng(0)
+        noisy = (clean + rng.normal(0, 0.08, clean.shape)
+                 .astype(np.float32))[:, None]
+
+        def snr(sig, ref):
+            err = sig[: len(ref)] - ref
+            return 10 * np.log10(np.sum(ref ** 2) / np.sum(err ** 2))
+
+        out = WienerMaskDenoiser().process(noisy, sr)[:, 0]
+        assert snr(out, clean) > snr(noisy[:, 0], clean) + 3.0
+
+    def test_mask_fn_injectable(self):
+        """A learned mask head can drive the same machinery."""
+        from framewright_tpu.audio import WienerMaskDenoiser
+
+        calls = {}
+
+        def unity_mask(band_pow):
+            calls["shape"] = band_pow.shape
+            return np.ones(band_pow.shape, np.float32)
+
+        sr = 16000
+        x = np.random.default_rng(1).normal(
+            0, 0.1, (sr, 1)).astype(np.float32)
+        out = WienerMaskDenoiser(mask_fn=unity_mask).process(x, sr)
+        # unity mask = near-passthrough (window OLA reconstruction)
+        assert np.abs(out - x).mean() < 5e-3
+        assert calls["shape"][1] == 32        # ERB bands
+
+    def test_enhancer_defaults_to_wiener(self):
+        from framewright_tpu.audio import AudioEnhanceConfig
+
+        assert AudioEnhanceConfig().denoise_model == "wiener"
