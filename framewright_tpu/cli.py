@@ -72,6 +72,8 @@ def _add_restore_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--no-resume", dest="resume", action="store_false", default=None)
     p.add_argument("--no-validate", dest="validate_output",
                    action="store_false", default=None)
+    p.add_argument("--min-vmaf", dest="min_vmaf", type=float,
+                   help="perceptual quality gate (vmaf_proxy 0-100; 0=off)")
     p.add_argument("--project-dir", dest="project_dir", type=Path)
     p.add_argument("--weights-dir", type=Path, default=None)
     p.add_argument("--dry-run", dest="dry_run", action="store_true", default=None)

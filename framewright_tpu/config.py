@@ -231,6 +231,8 @@ class Config:
     validate_output: bool = True
     min_ssim: float = 0.85                # ref config.py:327
     min_psnr: float = 25.0                # ref config.py:328
+    min_vmaf: float = 0.0                 # perceptual gate (vmaf_proxy);
+                                          # 0 = off (ref quality/vmaf.py)
     continue_on_error: bool = True        # copy original frame on stage failure
 
     # --- Misc -----------------------------------------------------------------------------

@@ -26,8 +26,10 @@ logger = logging.getLogger(__name__)
 class QualityReport:
     psnr: float = 0.0
     ssim: float = 0.0
+    vmaf: float = 0.0                      # vmaf_proxy; 0 = not computed
     min_psnr: float = 25.0
     min_ssim: float = 0.85
+    min_vmaf: float = 0.0
     samples: int = 0
     passed: bool = False
     per_sample_psnr: List[float] = field(default_factory=list)
@@ -35,7 +37,7 @@ class QualityReport:
     notes: List[str] = field(default_factory=list)
 
     def to_dict(self) -> dict:
-        return {
+        d = {
             "psnr": round(self.psnr, 3),
             "ssim": round(self.ssim, 4),
             "samples": self.samples,
@@ -43,6 +45,9 @@ class QualityReport:
             "temporal_ok": self.temporal_ok,
             "notes": self.notes,
         }
+        if self.vmaf:
+            d["vmaf_proxy"] = round(self.vmaf, 2)
+        return d
 
 
 class QualityValidator:
@@ -54,9 +59,11 @@ class QualityValidator:
     against breakage, mirroring the reference's use)."""
 
     def __init__(self, min_psnr: float = 25.0, min_ssim: float = 0.85,
-                 sample_every: int = 25, max_samples: int = 24):
+                 sample_every: int = 25, max_samples: int = 24,
+                 min_vmaf: float = 0.0):
         self.min_psnr = min_psnr
         self.min_ssim = min_ssim
+        self.min_vmaf = min_vmaf
         self.sample_every = max(1, sample_every)
         self.max_samples = max_samples
         self._pairs: List[Tuple[np.ndarray, np.ndarray]] = []
@@ -117,11 +124,27 @@ class QualityValidator:
         rep.per_sample_psnr = [round(p, 2) for p in psnrs]
         rep.psnr = float(np.mean(psnrs))
         rep.ssim = float(np.mean(ssims))
+        if self.min_vmaf > 0:
+            from framewright_tpu.quality.vmaf import VMAFProxy
+
+            refs = np.stack([
+                np.asarray(np.clip(resize_bicubic(
+                    jnp.asarray(i[None], jnp.float32), o.shape[:2])[0],
+                    0, 255)).astype(np.uint8)
+                for i, o in self._pairs])
+            outs = np.stack([o for _, o in self._pairs])
+            rep.vmaf = VMAFProxy().score(refs, outs).score
+            rep.min_vmaf = self.min_vmaf
+            if rep.vmaf < self.min_vmaf:
+                rep.notes.append(
+                    f"vmaf_proxy {rep.vmaf:.1f} < gate {self.min_vmaf}")
         rep.temporal_ok = self._check_temporal()
         if not rep.temporal_ok:
             rep.notes.append("luma discontinuity: possible dropped/black frames")
         rep.passed = (
-            rep.psnr >= self.min_psnr and rep.ssim >= self.min_ssim and rep.temporal_ok
+            rep.psnr >= self.min_psnr and rep.ssim >= self.min_ssim
+            and rep.temporal_ok
+            and (self.min_vmaf <= 0 or rep.vmaf >= self.min_vmaf)
         )
         return rep
 

@@ -357,7 +357,8 @@ class VideoRestorer:
             batch_size = sr.config.chunk      # VSR: ring batches = chunks
         else:
             batch_size = 8
-        validator = QualityValidator(cfg.min_psnr, cfg.min_ssim) \
+        validator = QualityValidator(cfg.min_psnr, cfg.min_ssim,
+                                     min_vmaf=cfg.min_vmaf) \
             if cfg.validate_output else None
 
         writer = open_writer(
@@ -519,14 +520,18 @@ class VideoRestorer:
             and isinstance(writer, _Y4MW)
             and writer.header.colorspace.startswith("420")
             and face_restorer is None
+            and (validator is None or cfg.min_vmaf <= 0)
             and mapping is None and not cfg.outscale
             and ow % 2 == 0 and oh % 2 == 0
         )
         if yuv_direct:
             sr.config.yuv_full_range = writer.full_range
-            if validator is not None and hasattr(sr, "enable_device_stats"):
+            if (validator is not None and cfg.min_vmaf <= 0
+                    and hasattr(sr, "enable_device_stats")):
                 # quality gate rides inside the SR jit (3 scalars/frame)
-                # instead of disabling the fast path (VERDICT r1 weak #6)
+                # instead of disabling the fast path (VERDICT r1 weak #6).
+                # the VMAF gate needs sampled frame PAIRS, so it keeps
+                # the RGB path (vmaf is opt-in; psnr/ssim is the default)
                 sr.config.device_stats = True
             sr.set_output_color("yuv420")
             logger.info("SR tail emits YUV420 directly (device CSC)")

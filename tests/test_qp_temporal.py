@@ -145,3 +145,52 @@ class TestRestorerWiring:
         with Y4MReader(out) as r:
             got = [f.copy() for f in r]
         assert len(got) == 8
+
+
+class TestVMAFProxy:
+    """VMAF-class perceptual gate (reference quality/vmaf.py:133)."""
+
+    def _clip(self, n=4):
+        base = _smooth_texture(96, 128)
+        return np.stack([
+            np.clip(np.stack([base + 2 * t] * 3, -1), 0, 255).astype(np.uint8)
+            for t in range(n)])
+
+    def test_pristine_scores_high(self):
+        from framewright_tpu.quality.vmaf import VMAFProxy
+
+        ref = self._clip()
+        res = VMAFProxy().score(ref, ref)
+        assert res.score > 92
+        assert len(res.per_frame) == 4
+        assert 0.95 < res.vif <= 1.2 and res.dlm > 0.95
+
+    def test_monotone_in_noise(self):
+        from framewright_tpu.quality.vmaf import VMAFProxy
+
+        rng = np.random.default_rng(0)
+        ref = self._clip()
+        v = VMAFProxy()
+        scores = [v.score(ref, np.clip(
+            ref.astype(np.int16) + rng.normal(0, s, ref.shape), 0, 255
+        ).astype(np.uint8)).score for s in (0, 10, 25, 50)]
+        assert all(a > b for a, b in zip(scores, scores[1:])), scores
+
+    def test_blur_penalized(self):
+        from framewright_tpu.quality.vmaf import VMAFProxy
+
+        ref = self._clip()
+        f = ref.astype(np.float32)
+        for _ in range(2):
+            f = (f + np.roll(f, 1, 1) + np.roll(f, -1, 1)
+                 + np.roll(f, 1, 2) + np.roll(f, -1, 2)) / 5
+        blur = np.clip(f, 0, 255).astype(np.uint8)
+        v = VMAFProxy()
+        assert v.score(ref, blur).score < v.score(ref, ref).score - 20
+
+    def test_shape_mismatch_raises(self):
+        from framewright_tpu.quality.vmaf import VMAFProxy
+
+        ref = self._clip()
+        with pytest.raises(ValueError):
+            VMAFProxy().score(ref, ref[:, :64])
