@@ -221,6 +221,70 @@ def cmd_models(args: argparse.Namespace) -> int:
         torch_port.export_npz(params, out)
         print(str(out))
         return 0
+    if action == "verify":
+        # validate a REAL checkpoint: key inventory vs the recorded
+        # manifest, structure-complete port, and (when a torch reference
+        # exists for the family) a numeric parity check vs PyTorch
+        import json
+
+        import numpy as np
+
+        from framewright_tpu.models import torch_port, torch_ref
+        from framewright_tpu.models.registry import get_model
+
+        try:
+            # parity forwards are tiny: run on CPU (a TPU here would pay
+            # a remote compile for nothing; axon ignores JAX_PLATFORMS)
+            import jax
+
+            jax.config.update("jax_platforms", "cpu")
+        except Exception:  # noqa: BLE001
+            pass
+        spec = get_model(args.name)
+        src = Path(args.path) if args.path else wdir / f"{args.name}.pth"
+        if not src.exists():
+            print(f"error: checkpoint not found: {src}", file=sys.stderr)
+            return 1
+        sd = torch_port.load_state_dict(src)
+        manifest = (Path(__file__).parent / "models" / "manifests"
+                    / f"{args.name}.json")
+        rc = 0
+        if manifest.exists():
+            doc = json.loads(manifest.read_text())
+            want = set(doc["keys"]) - set(doc.get("ignorable", []))
+            have = set(sd) - set(doc.get("ignorable", []))
+            missing = sorted(want - have)
+            extra = sorted(have - want)
+            shape_bad = [k for k in (want & have)
+                         if list(np.asarray(sd[k]).shape) != doc["keys"][k]]
+            print(f"manifest: {len(want)} keys expected, "
+                  f"{len(missing)} missing, {len(extra)} unexpected, "
+                  f"{len(shape_bad)} shape mismatches")
+            for k in (missing[:5] + extra[:5] + shape_bad[:5]):
+                print(f"  ! {k}")
+            if missing or shape_bad:
+                rc = 1
+        else:
+            print("no manifest recorded for this model (inventory "
+                  "check skipped)")
+        params = spec.port_fn(sd)
+        n = sum(int(np.prod(np.asarray(p).shape))
+                for p in __import__("jax").tree_util.tree_leaves(params))
+        print(f"port: OK ({n/1e6:.2f}M params)")
+        try:
+            res = torch_ref.parity_check(args.name, sd, spec.arch_config,
+                                         spec.family)
+            gate = res["psnr_db"] >= 45.0
+            print(f"parity vs torch: {res['psnr_db']:.1f} dB PSNR, "
+                  f"max|diff| {res['max_abs']:.2e} "
+                  f"[{'PASS' if gate else 'FAIL <45 dB'}]")
+            if not gate:
+                rc = 1
+        except ValueError as exc:
+            print(f"parity: skipped ({exc})")
+        except ImportError:
+            print("parity: skipped (torch not installed)")
+        return rc
     if action == "download":
         import urllib.request
 
@@ -563,11 +627,13 @@ def build_parser() -> argparse.ArgumentParser:
     p = sub.add_parser("presets", help="list presets")
     p.set_defaults(func=cmd_presets)
 
-    p = sub.add_parser("models", help="model zoo: list/port/download")
-    p.add_argument("action", nargs="?", choices=["list", "port", "download"],
+    p = sub.add_parser("models", help="model zoo: list/port/download/verify")
+    p.add_argument("action", nargs="?",
+                   choices=["list", "port", "download", "verify"],
                    default="list")
     p.add_argument("name", nargs="?", default="")
-    p.add_argument("--path", default="", help="explicit .pth path for port")
+    p.add_argument("--path", default="",
+                   help="explicit .pth path for port/verify")
     p.add_argument("--verbose", "-v", action="store_true")
     p.set_defaults(func=cmd_models)
 

@@ -16,7 +16,8 @@ produces pytrees whose shapes match the model's init() exactly.
 import json
 from pathlib import Path
 
-OUT = Path(__file__).resolve().parent.parent / "tests" / "data" / "manifests"
+OUT = (Path(__file__).resolve().parent.parent / "framewright_tpu"
+       / "models" / "manifests")
 
 
 def _conv(keys, name, cout, cin, k, bias=True):

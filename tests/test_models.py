@@ -26,39 +26,20 @@ import torch.nn as nn  # noqa: E402
 import torch.nn.functional as F  # noqa: E402
 
 
-# ---------------------------------------------------------------------------
-# Torch reference architectures (from the published Real-ESRGAN arch spec)
-# ---------------------------------------------------------------------------
-
-class _TorchRDB(nn.Module):
-    def __init__(self, nf=64, gc=32):
-        super().__init__()
-        self.conv1 = nn.Conv2d(nf, gc, 3, 1, 1)
-        self.conv2 = nn.Conv2d(nf + gc, gc, 3, 1, 1)
-        self.conv3 = nn.Conv2d(nf + 2 * gc, gc, 3, 1, 1)
-        self.conv4 = nn.Conv2d(nf + 3 * gc, gc, 3, 1, 1)
-        self.conv5 = nn.Conv2d(nf + 4 * gc, nf, 3, 1, 1)
-        self.act = nn.LeakyReLU(0.2, inplace=False)
-
-    def forward(self, x):
-        x1 = self.act(self.conv1(x))
-        x2 = self.act(self.conv2(torch.cat([x, x1], 1)))
-        x3 = self.act(self.conv3(torch.cat([x, x1, x2], 1)))
-        x4 = self.act(self.conv4(torch.cat([x, x1, x2, x3], 1)))
-        x5 = self.conv5(torch.cat([x, x1, x2, x3, x4], 1))
-        return x5 * 0.2 + x
+# Torch reference architectures live in models/torch_ref.py (also
+# used by `framewright models verify` for real-checkpoint parity)
+from framewright_tpu.models.torch_ref import (  # noqa: E402
+    build_rrdbnet,
+    build_srvgg,
+)
 
 
-class _TorchRRDB(nn.Module):
-    def __init__(self, nf=64, gc=32):
-        super().__init__()
-        self.rdb1 = _TorchRDB(nf, gc)
-        self.rdb2 = _TorchRDB(nf, gc)
-        self.rdb3 = _TorchRDB(nf, gc)
+def TorchRRDBNet(scale=4, nb=23):
+    return build_rrdbnet(scale=scale, nb=nb)
 
-    def forward(self, x):
-        out = self.rdb3(self.rdb2(self.rdb1(x)))
-        return out * 0.2 + x
+
+def TorchSRVGG(num_conv=4, upscale=4):
+    return build_srvgg(num_conv=num_conv, upscale=upscale)
 
 
 def _torch_pixel_unshuffle(x, scale):
@@ -66,56 +47,6 @@ def _torch_pixel_unshuffle(x, scale):
     h, w = hh // scale, hw // scale
     x_view = x.view(b, c, h, scale, w, scale)
     return x_view.permute(0, 1, 3, 5, 2, 4).reshape(b, c * scale * scale, h, w)
-
-
-class TorchRRDBNet(nn.Module):
-    def __init__(self, num_in_ch=3, num_out_ch=3, scale=4, nf=64, nb=23, gc=32):
-        super().__init__()
-        self.scale = scale
-        in_ch = num_in_ch * (4 if scale == 2 else 16 if scale == 1 else 1)
-        self.conv_first = nn.Conv2d(in_ch, nf, 3, 1, 1)
-        self.body = nn.Sequential(*[_TorchRRDB(nf, gc) for _ in range(nb)])
-        self.conv_body = nn.Conv2d(nf, nf, 3, 1, 1)
-        self.conv_up1 = nn.Conv2d(nf, nf, 3, 1, 1)
-        self.conv_up2 = nn.Conv2d(nf, nf, 3, 1, 1)
-        self.conv_hr = nn.Conv2d(nf, nf, 3, 1, 1)
-        self.conv_last = nn.Conv2d(nf, num_out_ch, 3, 1, 1)
-        self.act = nn.LeakyReLU(0.2, inplace=False)
-
-    def forward(self, x):
-        if self.scale == 2:
-            feat = _torch_pixel_unshuffle(x, 2)
-        elif self.scale == 1:
-            feat = _torch_pixel_unshuffle(x, 4)
-        else:
-            feat = x
-        feat = self.conv_first(feat)
-        body = self.conv_body(self.body(feat))
-        feat = feat + body
-        feat = self.act(self.conv_up1(F.interpolate(feat, scale_factor=2, mode="nearest")))
-        feat = self.act(self.conv_up2(F.interpolate(feat, scale_factor=2, mode="nearest")))
-        return self.conv_last(self.act(self.conv_hr(feat)))
-
-
-class TorchSRVGG(nn.Module):
-    def __init__(self, num_in_ch=3, num_out_ch=3, nf=64, num_conv=4, upscale=4):
-        super().__init__()
-        self.upscale = upscale
-        self.body = nn.ModuleList()
-        self.body.append(nn.Conv2d(num_in_ch, nf, 3, 1, 1))
-        self.body.append(nn.PReLU(num_parameters=nf))
-        for _ in range(num_conv):
-            self.body.append(nn.Conv2d(nf, nf, 3, 1, 1))
-            self.body.append(nn.PReLU(num_parameters=nf))
-        self.body.append(nn.Conv2d(nf, num_out_ch * upscale * upscale, 3, 1, 1))
-        self.upsampler = nn.PixelShuffle(upscale)
-
-    def forward(self, x):
-        out = x
-        for m in self.body:
-            out = m(out)
-        out = self.upsampler(out)
-        return out + F.interpolate(x, scale_factor=self.upscale, mode="nearest")
 
 
 def _nchw(x_nhwc):
