@@ -144,6 +144,23 @@ def _tail_folded(params: Dict, fast_params: Dict, feat: jnp.ndarray,
     return conv2d(params["conv_last"], lrelu(conv2d(params["conv_hr"], feat)))
 
 
+def _tail_pallas(params: Dict, fast_params: Dict, feat: jnp.ndarray,
+                 body_out: jnp.ndarray, interpret: bool = False) -> jnp.ndarray:
+    """Tail with conv_up2/conv_hr/conv_last fused into one low-res
+    phase-decomposed Pallas kernel (ops/fused_tail.py): no 4K
+    intermediates, MXU-wide matmuls. conv_body + residual + conv_up1
+    stay in XLA (cheap at base resolution)."""
+    from framewright_tpu.ops.fused_tail import fused_tail_image
+    from framewright_tpu.models.layers import upsample_nearest as _up
+
+    feat = feat + conv2d(params["conv_body"], body_out.astype(feat.dtype))
+    feat = lrelu(conv2d(params["conv_up1"], _up(feat, 2)))
+    fcm = feat.transpose(0, 3, 1, 2).astype(jnp.bfloat16)
+    h, w = int(fcm.shape[2]), int(fcm.shape[3])
+    return fused_tail_image(fcm, fast_params["tail_phase"], h, w,
+                            interpret=interpret)
+
+
 def _head(params: Dict, x: jnp.ndarray, cfg: RRDBConfig) -> jnp.ndarray:
     if cfg.scale == 2:
         feat = pixel_unshuffle(x, 2)
@@ -154,11 +171,15 @@ def _head(params: Dict, x: jnp.ndarray, cfg: RRDBConfig) -> jnp.ndarray:
     return conv2d(params["conv_first"], feat)
 
 
-def make_fast_params(params: Dict, dtype=jnp.bfloat16) -> Dict:
-    """Precompute the wide-form weights for the fused Pallas body."""
+def make_fast_params(params: Dict, dtype=jnp.bfloat16,
+                     compute_dtype: str = "bf16") -> Dict:
+    """Precompute the wide-form weights for the fused Pallas body.
+
+    compute_dtype="int8" selects the int8 fast mode (TensorRT-INT8
+    analog: 2x MXU rate on v5e for a small measured PSNR cost)."""
     from framewright_tpu.ops.fused_rrdb import rrdb_fast_params
 
-    return rrdb_fast_params(params, dtype)
+    return rrdb_fast_params(params, dtype, compute_dtype=compute_dtype)
 
 
 def apply_fast(params: Dict, fast_params: Dict, x: jnp.ndarray,
@@ -178,10 +199,15 @@ def apply_fast(params: Dict, fast_params: Dict, x: jnp.ndarray,
     body_out = rrdb_body_fast(feat, fast_params, interpret=interpret)
     if fast_tail is not None:
         return fast_tail(feat, body_out)
+    if "tail_phase" in fast_params:
+        return _tail_pallas(params, fast_params, feat, body_out,
+                            interpret=interpret)
     # NOTE: _tail_folded (exact 4/9-FLOP upsample-conv rewrite) measured
     # SLOWER on v5e than XLA's fused nearest+conv (66.7 -> 78.1 ms tail;
     # scripts/bench_tail.py) — the pixel_shuffle transposes cost more
-    # than the saved MACs. Kept for int8/experiments; not the default.
+    # than the saved MACs in XLA; the Pallas phase-tail kernel
+    # (fast_params["tail_phase"]) exploits the phase sparsity without
+    # any shuffles and is the default when present.
     return _tail(params, feat, body_out)
 
 

@@ -15,9 +15,15 @@ Replaces per-frame `realesrgan-ncnn-vulkan` subprocess calls
 - Layout is channel-major flattened (C, S*S): im2col taps become single
   lane rotations (pltpu.roll), tap pairs concatenate on the sublane
   axis into K=128/256 chunks, and target-slice accumulation lands on
-  8-aligned sublane offsets. Features are f32 in VMEM (pltpu.roll is
-  32-bit only); matmul operands cast to bf16, accumulation in f32 —
-  bit-comparable to the bf16 conv path.
+  8-aligned sublane offsets. Features are stored PACKED: two bf16
+  channels per int32 word ((C/2, PX) int32 scratches) — pltpu.roll is
+  32-bit only, but a lane-axis roll moves whole words, so both packed
+  channels travel together (verified: scripts/probe_bitcast.py P1/P2,
+  interleaved mapping word row r <-> bf16 rows 2r/2r+1). Packing halves
+  VPU roll traffic and feature VMEM vs the earlier f32 storage and
+  removes the per-chunk f32->bf16 cast; matmul operands come straight
+  out of pltpu.bitcast, accumulation in f32 — numerics unchanged
+  (activations were already rounded through bf16).
 - Frame-border exactness: deep nets are not zero-preserving (biases),
   so activations computed for out-of-frame halo pixels must be masked
   to zero after every conv to reproduce SAME zero-padding semantics.
@@ -53,6 +59,8 @@ NT = 192                   # total target channels: 4*32 + 64
 TAPS = tuple((di, dj) for di in range(3) for dj in range(3))
 TPC_NF = 2                 # taps/chunk for 64-ch source  -> K=128
 TPC_GC = 4                 # taps/chunk for 32-ch sources -> K=128
+TPC_NF_I8 = 4              # int8 mode: K=256 (MXU eats int8 2x/cycle)
+TPC_GC_I8 = 8
 
 
 # ---------------------------------------------------------------------------
@@ -98,6 +106,25 @@ def rdb_wide_weights(rdb_params: Dict, dtype=jnp.bfloat16) -> Dict:
         "W4": jnp.asarray(wide_for_source(4, GC), dtype),
         "b": jnp.asarray(b, jnp.float32),
     }
+
+
+def rdb_wide_weights_int8(rdb_params: Dict) -> Dict:
+    """Wide RDB weights quantized to int8 with per-row (per-target-
+    channel) scales — the TensorRT-INT8 analog for the fused body
+    (reference infrastructure/gpu/backends/tensorrt.py:110-455).
+
+    Activations are quantized dynamically in-kernel (per-tensor absmax
+    per block), so no calibration pass is needed. Returns int8 wide
+    matrices plus f32 per-row scale columns and the f32 bias."""
+    wide = rdb_wide_weights(rdb_params, dtype=jnp.float32)
+    out = {"b": jnp.asarray(wide["b"], jnp.float32)}
+    for k in ("Wx", "W1", "W2", "W3", "W4"):
+        w = np.asarray(wide[k], np.float32)
+        s = np.maximum(np.abs(w).max(axis=1, keepdims=True), 1e-12) / 127.0
+        q = np.clip(np.round(w / s), -127, 127).astype(np.int8)
+        out[k] = jnp.asarray(q)
+        out["s" + k[1:]] = jnp.asarray(s, jnp.float32)  # sx, s1..s4
+    return out
 
 
 def fold_upconv_nearest2(p: Dict) -> Dict:
@@ -188,13 +215,19 @@ def conv_after_ps2_apply(folded: Dict, x: jnp.ndarray) -> jnp.ndarray:
     return t.reshape(n, 2 * h, 2 * wd, c)
 
 
-def rrdb_fast_params(params: Dict, dtype=jnp.bfloat16) -> Dict:
+def rrdb_fast_params(params: Dict, dtype=jnp.bfloat16,
+                     compute_dtype: str = "bf16") -> Dict:
     """Full RRDBNet params -> fast-path params: wide RDB weights stacked
     (num_block, 3, ...) for lax.scan; upsample convs folded to low-res
-    phase convs (fold_upconv_nearest2); other tail convs unchanged."""
+    phase convs (fold_upconv_nearest2); other tail convs unchanged.
+
+    compute_dtype="int8" builds int8 wide weights + scales for the int8
+    fast mode (2x MXU rate, small measured PSNR cost)."""
     body = params["body"]
+    make = (rdb_wide_weights_int8 if compute_dtype == "int8"
+            else functools.partial(rdb_wide_weights, dtype=dtype))
     wides = [
-        [rdb_wide_weights(blk[f"rdb{j}"], dtype) for j in (1, 2, 3)]
+        [make(blk[f"rdb{j}"]) for j in (1, 2, 3)]
         for blk in body
     ]
     stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *[
@@ -207,6 +240,10 @@ def rrdb_fast_params(params: Dict, dtype=jnp.bfloat16) -> Dict:
             f = fold_upconv_nearest2(params[k])
             out[k + "_folded"] = {"w": jnp.asarray(f["w"]),
                                   "b": jnp.asarray(f["b"])}
+    if all(k in params for k in ("conv_up2", "conv_hr", "conv_last")):
+        from framewright_tpu.ops.fused_tail import tail_phase_weights
+        out["tail_phase"] = tail_phase_weights(
+            params["conv_up2"], params["conv_hr"], params["conv_last"])
     return out
 
 
@@ -221,17 +258,19 @@ def _tap_roll(src, di, dj):
     return pltpu.roll(src, shift % PX, axis=1)
 
 
-def _accum_conv(src, w_ref, acc_ref, c, tpc, off, init=False):
+def _accum_conv(src_packed, w_ref, acc_ref, c, tpc, off, init=False):
+    # src_packed: (c//2, PX) int32, two bf16 channels per word.
     n = len(TAPS)
     t = 0
     k = 0
     while t < n:
         m = min(tpc, n - t)
-        parts = [_tap_roll(src, *TAPS[t + u]) for u in range(m)]
-        chunk = parts[0] if m == 1 else jnp.concatenate(parts, axis=0)
+        parts = [_tap_roll(src_packed, *TAPS[t + u]) for u in range(m)]
+        packed = parts[0] if m == 1 else jnp.concatenate(parts, axis=0)
+        chunk = pltpu.bitcast(packed, jnp.bfloat16)  # (m*c, PX)
         contrib = jnp.dot(
             w_ref[:, k:k + m * c],
-            chunk.astype(jnp.bfloat16),
+            chunk,
             preferred_element_type=jnp.float32,
         )
         if init and t == 0:
@@ -261,21 +300,136 @@ def _rdb_kernel(ext_ref, x_ref, wx_ref, w1_ref, w2_ref, w3_ref, w4_ref, b_ref,
     cols = lanes % S
     valid = (rows >= r0) & (rows < r1) & (cols >= c0) & (cols < c1)
 
-    def act(v):
-        return jnp.where(valid, _lrelu(v).astype(jnp.bfloat16).astype(jnp.float32), 0.0)
+    def act_pack(v):
+        # lrelu -> bf16 round -> border mask -> pack 2 channels/word
+        a = jnp.where(valid, _lrelu(v).astype(jnp.bfloat16),
+                      jnp.bfloat16(0.0))
+        return pltpu.bitcast(a, jnp.int32)
 
-    xf_ref[:] = x_ref[0].astype(jnp.float32)
+    xf_ref[:] = pltpu.bitcast(x_ref[0], jnp.int32)
     _accum_conv(xf_ref[:], wx_ref, acc_ref, NF, TPC_NF, 0, init=True)
-    x1_ref[:] = act(acc_ref[0:32] + b_ref[0:32])
+    x1_ref[:] = act_pack(acc_ref[0:32] + b_ref[0:32])
     _accum_conv(x1_ref[:], w1_ref, acc_ref, GC, TPC_GC, 32)
-    x2_ref[:] = act(acc_ref[32:64] + b_ref[32:64])
+    x2_ref[:] = act_pack(acc_ref[32:64] + b_ref[32:64])
     _accum_conv(x2_ref[:], w2_ref, acc_ref, GC, TPC_GC, 64)
-    x3_ref[:] = act(acc_ref[64:96] + b_ref[64:96])
+    x3_ref[:] = act_pack(acc_ref[64:96] + b_ref[64:96])
     _accum_conv(x3_ref[:], w3_ref, acc_ref, GC, TPC_GC, 96)
-    x4_ref[:] = act(acc_ref[96:128] + b_ref[96:128])
+    x4_ref[:] = act_pack(acc_ref[96:128] + b_ref[96:128])
     _accum_conv(x4_ref[:], w4_ref, acc_ref, GC, TPC_GC, 128)
     x5 = acc_ref[128:NT] + b_ref[128:NT]
     o_ref[0] = (0.2 * jnp.where(valid, x5, 0.0)).astype(jnp.bfloat16) + x_ref[0]
+
+
+def _accum_conv_int8(src_packed, w_ref, ws_ref, sa, acc_ref, c, tpc, off,
+                     init=False):
+    """int8 variant: src_packed (c//4, PX) int32 holds 4 int8 channels
+    per word; w_ref int8 (rows, 9c); ws_ref f32 (rows, 1) per-row weight
+    scales; sa f32 scalar activation scale. MXU runs int8 x int8 -> i32
+    at 2x the bf16 rate (394 TOP/s on v5e); dequant is one VPU fma per
+    chunk: acc += (ws * sa) * i32."""
+    n = len(TAPS)
+    rows = NT - off
+    scale = ws_ref[0:rows] * sa  # (rows, 1) f32
+    t = 0
+    k = 0
+    while t < n:
+        m = min(tpc, n - t)
+        parts = [_tap_roll(src_packed, *TAPS[t + u]) for u in range(m)]
+        packed = parts[0] if m == 1 else jnp.concatenate(parts, axis=0)
+        chunk = pltpu.bitcast(packed, jnp.int8)  # (m*c, PX)
+        contrib = jax.lax.dot_general(
+            w_ref[:, k:k + m * c], chunk,
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        ).astype(jnp.float32) * scale
+        if init and t == 0:
+            acc_ref[off:NT] = contrib
+        else:
+            acc_ref[off:NT] += contrib
+        k += m * c
+        t += m
+
+
+def _rdb_kernel_int8(ext_ref, x_ref, wx_ref, w1_ref, w2_ref, w3_ref, w4_ref,
+                     sx_ref, s1_ref, s2_ref, s3_ref, s4_ref, b_ref,
+                     o_ref, acc_ref, xq_ref, x1_ref, x2_ref, x3_ref, x4_ref):
+    """int8 fast-mode RDB: dynamic per-tensor (per-block) activation
+    scales + per-row weight scales. ~2x MXU rate vs bf16 at a measured
+    PSNR cost (see tests/test_int8_mode.py and PERF.md)."""
+    bi = pl.program_id(0)
+    r0 = ext_ref[bi, 0]
+    r1 = ext_ref[bi, 1]
+    c0 = ext_ref[bi, 2]
+    c1 = ext_ref[bi, 3]
+    lanes = jax.lax.broadcasted_iota(jnp.int32, (1, PX), 1)
+    rows = lanes // S
+    cols = lanes % S
+    valid = (rows >= r0) & (rows < r1) & (cols >= c0) & (cols < c1)
+
+    def quant_pack(a):
+        # a: f32 (c, PX), already masked. Dynamic symmetric scale.
+        amax = jnp.maximum(jnp.max(jnp.abs(a)), 1e-8)
+        sa = amax * (1.0 / 127.0)
+        q = jnp.clip(jnp.round(a * (127.0 / amax)), -127.0, 127.0)
+        return pltpu.bitcast(q.astype(jnp.int8), jnp.int32), sa
+
+    def act(v):
+        return jnp.where(valid, _lrelu(v), 0.0)
+
+    xq, sa_x = quant_pack(x_ref[0].astype(jnp.float32))
+    xq_ref[:] = xq
+    _accum_conv_int8(xq_ref[:], wx_ref, sx_ref, sa_x, acc_ref, NF,
+                     TPC_NF_I8, 0, init=True)
+    q, sa = quant_pack(act(acc_ref[0:32] + b_ref[0:32]))
+    x1_ref[:] = q
+    _accum_conv_int8(x1_ref[:], w1_ref, s1_ref, sa, acc_ref, GC,
+                     TPC_GC_I8, 32)
+    q, sa = quant_pack(act(acc_ref[32:64] + b_ref[32:64]))
+    x2_ref[:] = q
+    _accum_conv_int8(x2_ref[:], w2_ref, s2_ref, sa, acc_ref, GC,
+                     TPC_GC_I8, 64)
+    q, sa = quant_pack(act(acc_ref[64:96] + b_ref[64:96]))
+    x3_ref[:] = q
+    _accum_conv_int8(x3_ref[:], w3_ref, s3_ref, sa, acc_ref, GC,
+                     TPC_GC_I8, 96)
+    q, sa = quant_pack(act(acc_ref[96:128] + b_ref[96:128]))
+    x4_ref[:] = q
+    _accum_conv_int8(x4_ref[:], w4_ref, s4_ref, sa, acc_ref, GC,
+                     TPC_GC_I8, 128)
+    x5 = acc_ref[128:NT] + b_ref[128:NT]
+    o_ref[0] = (0.2 * jnp.where(valid, x5, 0.0)).astype(jnp.bfloat16) + x_ref[0]
+
+
+def fused_rdb_blocks_int8(blocks: jnp.ndarray, extents: jnp.ndarray,
+                          wide: Dict, interpret: bool = False) -> jnp.ndarray:
+    """int8-mode counterpart of fused_rdb_blocks (blocks stay bf16 at
+    the interface; quantization is internal to the kernel)."""
+    nb = blocks.shape[0]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nb,),
+        in_specs=[pl.BlockSpec((1, NF, PX), lambda k, *_: (k, 0, 0),
+                               memory_space=pltpu.VMEM)]
+                 + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 11,
+        out_specs=pl.BlockSpec((1, NF, PX), lambda k, *_: (k, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((NT, PX), jnp.float32),       # accumulator
+            pltpu.VMEM((NF // 4, PX), jnp.int32),    # x  (packed int8)
+            pltpu.VMEM((GC // 4, PX), jnp.int32),    # x1..x4
+            pltpu.VMEM((GC // 4, PX), jnp.int32),
+            pltpu.VMEM((GC // 4, PX), jnp.int32),
+            pltpu.VMEM((GC // 4, PX), jnp.int32),
+        ],
+    )
+    return pl.pallas_call(
+        _rdb_kernel_int8,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((nb, NF, PX), jnp.bfloat16),
+        interpret=interpret,
+    )(extents, blocks, wide["Wx"], wide["W1"], wide["W2"], wide["W3"],
+      wide["W4"], wide["sx"], wide["s1"], wide["s2"], wide["s3"],
+      wide["s4"], wide["b"])
 
 
 def fused_rdb_blocks(blocks: jnp.ndarray, extents: jnp.ndarray, wide: Dict,
@@ -295,12 +449,12 @@ def fused_rdb_blocks(blocks: jnp.ndarray, extents: jnp.ndarray, wide: Dict,
         out_specs=pl.BlockSpec((1, NF, PX), lambda k, *_: (k, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((NT, PX), jnp.float32),
-            pltpu.VMEM((NF, PX), jnp.float32),
-            pltpu.VMEM((GC, PX), jnp.float32),
-            pltpu.VMEM((GC, PX), jnp.float32),
-            pltpu.VMEM((GC, PX), jnp.float32),
-            pltpu.VMEM((GC, PX), jnp.float32),
+            pltpu.VMEM((NT, PX), jnp.float32),       # accumulator
+            pltpu.VMEM((NF // 2, PX), jnp.int32),    # x  (packed bf16)
+            pltpu.VMEM((GC // 2, PX), jnp.int32),    # x1 (packed bf16)
+            pltpu.VMEM((GC // 2, PX), jnp.int32),
+            pltpu.VMEM((GC // 2, PX), jnp.int32),
+            pltpu.VMEM((GC // 2, PX), jnp.int32),
         ],
     )
     return pl.pallas_call(
@@ -320,9 +474,10 @@ def _grid_dims(h: int, w: int) -> Tuple[int, int]:
     return -(-h // BH), -(-w // BH)
 
 
-@functools.partial(jax.jit, static_argnames=("h", "w", "interpret"))
+@functools.partial(jax.jit,
+                   static_argnames=("h", "w", "interpret", "int8"))
 def _fused_rdb_image(feat_cm: jnp.ndarray, wide: Dict, h: int, w: int,
-                     interpret: bool = False) -> jnp.ndarray:
+                     interpret: bool = False, int8: bool = False) -> jnp.ndarray:
     """One RDB over a channel-major image. feat_cm: (B, 64, h, w) bf16."""
     b = feat_cm.shape[0]
     nh, nw = _grid_dims(h, w)
@@ -348,7 +503,8 @@ def _fused_rdb_image(feat_cm: jnp.ndarray, wide: Dict, h: int, w: int,
     blocks = jnp.stack(windows, axis=1).reshape(b * nt, NF, S, S)
     blocks = blocks.reshape(b * nt, NF, PX)
     ext = jnp.asarray(np.tile(np.asarray(extents, np.int32), (b, 1)))
-    out = fused_rdb_blocks(blocks, ext, wide, interpret=interpret)
+    run = fused_rdb_blocks_int8 if int8 else fused_rdb_blocks
+    out = run(blocks, ext, wide, interpret=interpret)
     out = out.reshape(b, nt, NF, S, S)[:, :, :, HALO:S - HALO, HALO:S - HALO]
     out = out.reshape(b, nh, nw, NF, BH, BH)
     out = out.transpose(0, 3, 1, 4, 2, 5).reshape(b, NF, hp, wp)
@@ -360,17 +516,20 @@ def rrdb_body_fast(feat: jnp.ndarray, fast_params: Dict,
     """The 23-block RRDB trunk via fused kernels.
 
     feat: (B, H, W, 64) (NHWC, output of conv_first). Returns same shape.
+    Runs the int8 kernel when fast_params were built with
+    compute_dtype="int8" (rrdb_fast_params).
     """
     b, h, w, c = feat.shape
+    int8 = "sx" in fast_params["body_wide"]
     fcm = feat.transpose(0, 3, 1, 2).astype(jnp.bfloat16)  # (B, 64, H, W)
 
     def rrdb_step(carry, wide3):
         wide1 = jax.tree_util.tree_map(lambda v: v[0], wide3)
         wide2 = jax.tree_util.tree_map(lambda v: v[1], wide3)
         wide3_ = jax.tree_util.tree_map(lambda v: v[2], wide3)
-        out = _fused_rdb_image(carry, wide1, h, w, interpret)
-        out = _fused_rdb_image(out, wide2, h, w, interpret)
-        out = _fused_rdb_image(out, wide3_, h, w, interpret)
+        out = _fused_rdb_image(carry, wide1, h, w, interpret, int8)
+        out = _fused_rdb_image(out, wide2, h, w, interpret, int8)
+        out = _fused_rdb_image(out, wide3_, h, w, interpret, int8)
         return (0.2 * out).astype(jnp.bfloat16) + carry, None
 
     body_out, _ = jax.lax.scan(rrdb_step, fcm, fast_params["body_wide"])

@@ -29,13 +29,15 @@ def timeit(fn, *args, reps=6):
 
 
 def main():
-    print("platform:", jax.devices()[0].platform)
+    import os
+    compute_dtype = "int8" if os.environ.get("FW_RDB_INT8") else "bf16"
+    print("platform:", jax.devices()[0].platform, "mode:", compute_dtype)
     cpu = jax.local_devices(backend="cpu")[0]
     for nblocks in (1, 4, 23):
         cfg = rrdb.RRDBConfig(num_block=nblocks, scale=2)
         with jax.default_device(cpu):
             params = rrdb.init(jax.random.PRNGKey(0), cfg, dtype=jnp.bfloat16)
-            fast = rrdb.make_fast_params(params)
+            fast = rrdb.make_fast_params(params, compute_dtype=compute_dtype)
             params = rrdb.stack_body(params)
         params, fast = jax.device_put((params, fast), jax.devices()[0])
         x = jnp.asarray(np.random.rand(1, H, W, 3), jnp.bfloat16)

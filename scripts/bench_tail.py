@@ -4,6 +4,8 @@
 A: original _tail (nearest-2x + conv3x3 at high res)
 B: folded upsample convs (conv3x3 64->256 at low res + pixel_shuffle)
 C: B + conv_hr folded into phase space (conv_after_ps2_apply)
+D: conv_body+up1 in XLA, then the fused Pallas phase-tail kernel
+   (ops/fused_tail.py: up2+hr+last at 1080p, no shuffles)
 """
 
 import time
@@ -68,9 +70,27 @@ def main():
     def sync(t):
         return float(jnp.mean(t[0, ::731, ::731, 0].astype(jnp.float32)))
 
+    from framewright_tpu.ops.fused_tail import (
+        fused_tail_image, tail_phase_weights)
+    with jax.default_device(cpu):
+        phase_wts = tail_phase_weights(
+            params["conv_up2"], params["conv_hr"], params["conv_last"])
+    phase_wts = jax.device_put(phase_wts, dev)
+
+    def tail_d(p, f, feat, body_out):
+        from framewright_tpu.models.layers import upsample_nearest
+        feat = feat + conv2d(p["conv_body"], body_out)
+        feat = lrelu(conv2d(p["conv_up1"], upsample_nearest(feat, 2)))
+        fcm = feat.transpose(0, 3, 1, 2).astype(jnp.bfloat16)
+        return fused_tail_image(fcm, phase_wts, 2 * H, 2 * W)
+
+    def tail_d_jit(p, f, feat, body_out):
+        return tail_d(p, f, feat, body_out)
+
     ref = None
     for name, fn in (("A_orig", tail_a), ("B_upfold", tail_b),
-                     ("C_upfold_hrfold", tail_c)):
+                     ("C_upfold_hrfold", tail_c),
+                     ("D_pallas_phase", tail_d_jit)):
         jf = jax.jit(fn)
         y = jf(tail_p, folded, feat, body)
         sync(y)
