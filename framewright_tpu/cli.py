@@ -35,7 +35,8 @@ def _add_restore_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--model", dest="sr_model")
     p.add_argument("--tile", dest="tile_size", type=int)
     p.add_argument("--batch", dest="batch_size", type=int)
-    p.add_argument("--dtype", dest="compute_dtype", choices=["bfloat16", "float32"])
+    p.add_argument("--dtype", dest="compute_dtype",
+                   choices=["bfloat16", "float32", "int8"])
     p.add_argument("--device", dest="device_platform", choices=["auto", "tpu", "cpu"])
     p.add_argument("--deduplicate", action="store_true", default=None)
     p.add_argument("--denoise", action="store_true", default=None)
@@ -63,6 +64,24 @@ def _add_restore_args(p: argparse.ArgumentParser) -> None:
                    choices=["attention", "ema"])
     p.add_argument("--qp-removal", dest="qp_removal", action="store_true",
                    default=None, help="codec deblocking/deringing")
+    p.add_argument("--auto-enhance", dest="auto_enhance", action="store_true",
+                   default=None,
+                   help="analyze content and toggle restoration stages")
+    p.add_argument("--vhs", dest="vhs_restore", action="store_true",
+                   default=None,
+                   help="VHS artifact repair (tracking/dropouts/chroma)")
+    p.add_argument("--fill-missing-frames", dest="fill_missing_frames",
+                   action="store_true", default=None,
+                   help="synthesize dropped frames (motion-gap detection)")
+    p.add_argument("--hdr", dest="hdr_output",
+                   choices=["none", "hdr10", "hlg"],
+                   help="export expanded HDR (PQ/HLG-encoded)")
+    p.add_argument("--grain", dest="grain_mode",
+                   choices=["auto", "off", "preserve", "remove", "match"],
+                   help="post-SR film-grain handling")
+    p.add_argument("--max-enhancement", dest="max_enhancement_strength",
+                   type=float,
+                   help="authenticity guard: cap enhancement blend (0-1)")
     p.add_argument("--qp-strength", dest="qp_strength", type=float,
                    help="DCT threshold; 0 = auto from blockiness")
     p.add_argument("--crf", type=int)
@@ -512,7 +531,7 @@ def cmd_subtitles(args: argparse.Namespace) -> int:
     if ocr_fn is None and not args.no_ocr:
         print("note: no OCR backend (tesseract) found; SRT will carry "
               "timing only", file=sys.stderr)
-    ext = SubtitleTimingExtractor(ocr_fn=ocr_fn)
+    ext = SubtitleTimingExtractor(ocr_fn=ocr_fn, region=args.region)
     with open_reader(args.source) as r:
         events = ext.analyze(iter(r))
     out = Path(args.output) if args.output else \
@@ -741,6 +760,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("source")
     p.add_argument("-o", "--output", type=Path, default=None)
     p.add_argument("--lang", default="eng")
+    p.add_argument("--region", choices=["bottom", "top", "full"],
+                   default="bottom", help="where on the frame subtitles live")
     p.add_argument("--no-ocr", action="store_true",
                    help="timing-only SRT (skip text recognition)")
     p.set_defaults(func=cmd_subtitles)
@@ -787,6 +808,13 @@ def main(argv: Optional[List[str]] = None) -> int:
     except FramewrightError as exc:
         print(f"error: {exc}", file=sys.stderr)
         return 1
+    except BrokenPipeError:
+        # stdout consumer (| head, | less q) went away — not an error
+        try:
+            sys.stdout.close()
+        except Exception:  # noqa: BLE001
+            pass
+        return 0
 
 
 if __name__ == "__main__":

@@ -169,6 +169,10 @@ class Config:
     scene_threshold: float = 0.30         # scene-change detector sensitivity
     grain_preserve: bool = False
     grain_strength: float = 0.3
+    grain_mode: str = "auto"              # auto|off|preserve|remove|match:
+                                          # post-SR grain handling (auto =
+                                          # match when grain_preserve else off)
+    grain_target: float = 0.0             # match target level; 0 = measured
     # long-form global consistency (anchors + drift correction,
     # engine/temporal.py; reference engine/temporal_consistency.py:993)
     long_form: str = "auto"               # auto|on|off
@@ -196,8 +200,20 @@ class Config:
     watermark_removal: bool = False
     watermark_auto_detect: bool = True
     subtitle_removal: bool = False
+    subtitle_region: str = "bottom"       # OCR band: bottom|top|full
+    subtitle_ocr_engine: str = "auto"     # auto|tesseract|none (timing only)
+    subtitle_languages: Tuple[str, ...] = ("eng",)
     colorize: bool = False
     colorize_model: str = "ddcolor"
+    colorize_strength: float = 1.0        # chroma blend vs source
+
+    # --- Diffusion SR (reference diffusion_steps/guidance) ----------------------
+    diffusion_steps: int = 8              # DDIM sampling steps
+    diffusion_strength: float = 0.35      # SDEdit noise level (t_start frac)
+
+    # --- Auto-enhance (reference config.py enable_auto_enhance group) ---------
+    auto_enhance: bool = False            # analyze content, toggle stages
+    auto_detect_content: bool = True      # content-type detection during auto
 
     # --- Format / geometry --------------------------------------------------------
     deinterlace: str = "auto"             # auto|off|yadif|bwdif
@@ -209,7 +225,25 @@ class Config:
     stabilize_crop: float = 0.95          # retained frame fraction (crop-zoom)
     stabilize_rotation: bool = True       # estimate roll as well as translation
     defect_repair: bool = False
+    defect_scratch_sensitivity: float = 12.0   # column-scratch detector thresh
+    defect_dust_sensitivity: float = 45.0      # dust/speck detector thresh
+    fill_missing_frames: bool = False     # synthesize dropped frames (IFNet)
+    gap_jump_ratio: float = 1.8           # motion-discontinuity gap detector
     hdr_output: str = "none"              # none|hdr10|hlg
+    hdr_peak_nits: float = 1000.0         # mastering peak for SDR->HDR expand
+    hdr_highlight_boost: float = 0.6
+
+    # --- VHS restoration (reference processors/vhs_*.py flag group) ------------
+    vhs_restore: bool = False
+    vhs_fix_tracking: bool = True
+    vhs_fix_dropouts: bool = True
+    vhs_fix_chroma: bool = True
+    vhs_fix_dot_crawl: bool = True
+    vhs_tracking_threshold: float = 30.0
+
+    # --- Authenticity guard (reference enable_authenticity_guard) --------------
+    max_enhancement_strength: float = 1.0  # <1 blends output toward the
+                                           # plain upscale (era character)
 
     # --- Audio ----------------------------------------------------------------------
     process_audio: bool = True
@@ -234,6 +268,7 @@ class Config:
     min_vmaf: float = 0.0                 # perceptual gate (vmaf_proxy);
                                           # 0 = off (ref quality/vmaf.py)
     continue_on_error: bool = True        # copy original frame on stage failure
+    quality_report_format: str = "json"   # json|html|none (QA report file)
 
     # --- Misc -----------------------------------------------------------------------------
     verbose: bool = False
@@ -300,6 +335,24 @@ class Config:
             raise ConfigError("stabilize_crop must be in (0, 1]")
         if self.stabilize_smoothing < 1:
             raise ConfigError("stabilize_smoothing must be >= 1")
+        if self.hdr_output not in ("none", "hdr10", "hlg"):
+            raise ConfigError("hdr_output must be none|hdr10|hlg")
+        if self.grain_mode not in ("auto", "off", "preserve", "remove", "match"):
+            raise ConfigError("grain_mode must be auto|off|preserve|remove|match")
+        if self.subtitle_region not in ("bottom", "top", "full"):
+            raise ConfigError("subtitle_region must be bottom|top|full")
+        if self.subtitle_ocr_engine not in ("auto", "tesseract", "none"):
+            raise ConfigError("subtitle_ocr_engine must be auto|tesseract|none")
+        if not (0.0 <= self.max_enhancement_strength <= 1.0):
+            raise ConfigError("max_enhancement_strength must be in [0, 1]")
+        if self.diffusion_steps < 1 or self.diffusion_steps > 1000:
+            raise ConfigError("diffusion_steps must be in [1, 1000]")
+        if not (0.0 < self.diffusion_strength <= 1.0):
+            raise ConfigError("diffusion_strength must be in (0, 1]")
+        if self.quality_report_format not in ("json", "html", "none"):
+            raise ConfigError("quality_report_format must be json|html|none")
+        if isinstance(self.subtitle_languages, list):
+            self.subtitle_languages = tuple(self.subtitle_languages)
 
     # ------------------------------------------------------------------
     # Serialization
@@ -401,7 +454,11 @@ class Config:
                 if "bool" in str(ftype):
                     out[name] = raw.strip().lower() in ("1", "true", "yes", "on")
                 elif "Tuple" in str(ftype) or "tuple" in str(ftype):
-                    out[name] = tuple(int(x) for x in raw.split(",") if x)
+                    parts = [x.strip() for x in raw.split(",") if x.strip()]
+                    try:
+                        out[name] = tuple(int(x) for x in parts)
+                    except ValueError:  # string tuples (languages etc.)
+                        out[name] = tuple(parts)
                 elif "int" in str(ftype):
                     out[name] = int(raw)
                 elif "float" in str(ftype):

@@ -250,7 +250,7 @@ def recommend_settings(report: AnalysisReport) -> Dict:
     if DegradationType.FLICKER in degr:
         rec["temporal_consistency"] = True
     if DegradationType.COMPRESSION in degr:
-        rec["denoise"] = True
+        rec["qp_removal"] = True
     if report.content_type == ContentType.ANIMATION:
         rec["sr_model"] = "realesr-animevideov3"
     elif report.content_type == ContentType.BW_FILM:

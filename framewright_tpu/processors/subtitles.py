@@ -31,10 +31,19 @@ class SubtitleEvent:
         return self.start_frame / fps, self.end_frame / fps
 
 
-def _band_activity(frame: np.ndarray) -> float:
-    """Text-likeness of the bottom band: bright high-contrast strokes."""
+def _crop_region(frame: np.ndarray, region: str) -> np.ndarray:
+    """Select the text band (reference subtitle_region: bottom|top|full)."""
     h = frame.shape[0]
-    band = frame[int(h * 0.72):].astype(np.float32).mean(-1)
+    if region == "top":
+        return frame[: int(h * 0.28)]
+    if region == "full":
+        return frame
+    return frame[int(h * 0.72):]
+
+
+def _band_activity(frame: np.ndarray, region: str = "bottom") -> float:
+    """Text-likeness of the subtitle band: bright high-contrast strokes."""
+    band = _crop_region(frame, region).astype(np.float32).mean(-1)
     bright = band > 180
     gx = np.abs(np.diff(band, axis=1)).mean()
     return float(bright.mean() * 50 + gx / 8.0)
@@ -45,17 +54,19 @@ class SubtitleTimingExtractor:
 
     def __init__(self, threshold: float = 1.0, min_frames: int = 6,
                  merge_gap: int = 3,
-                 ocr_fn: Optional[Callable[[np.ndarray], str]] = None):
+                 ocr_fn: Optional[Callable[[np.ndarray], str]] = None,
+                 region: str = "bottom"):
         self.threshold = threshold
         self.min_frames = min_frames
         self.merge_gap = merge_gap
         self.ocr_fn = ocr_fn
+        self.region = region
 
     def analyze(self, frames_iter: Iterator[np.ndarray]) -> List[SubtitleEvent]:
         activity: List[float] = []
         samples: dict = {}
         for i, f in enumerate(frames_iter):
-            activity.append(_band_activity(f))
+            activity.append(_band_activity(f, self.region))
             if self.ocr_fn is not None:
                 samples[i] = f
         if not activity:

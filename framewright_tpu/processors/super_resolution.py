@@ -51,6 +51,12 @@ class SRConfig:
                                   # baseline computed INSIDE the SR jit,
                                   # so the quality gate composes with
                                   # the YUV fast path at no extra D2H
+    enhancement_cap: float = 1.0  # <1 lerps output toward the plain
+                                  # bicubic upscale ON DEVICE (reference
+                                  # authenticity guard,
+                                  # max_enhancement_strength)
+    diffusion_steps: int = 0      # diffusion family: DDIM steps (0=arch)
+    diffusion_strength: float = 0.0  # diffusion family: propagate_t
 
 
 class SuperResolution(FrameProcessor):
@@ -73,15 +79,27 @@ class SuperResolution(FrameProcessor):
         from framewright_tpu.ops import tiling
 
         cfg = self.config
-        dtype = {"bfloat16": jnp.bfloat16, "float32": jnp.float32}.get(
-            cfg.compute_dtype, jnp.bfloat16
-        )
+        # int8 fast mode: weights load/store bf16; the fused body
+        # quantizes in-kernel (TensorRT-INT8 analog, reference
+        # infrastructure/gpu/backends/tensorrt.py:110-455)
+        dtype = {"bfloat16": jnp.bfloat16, "float32": jnp.float32,
+                 "int8": jnp.bfloat16}.get(cfg.compute_dtype, jnp.bfloat16)
         spec, params = init_model(
             cfg.model_name,
             weights_dir=cfg.weights_dir,
             dtype=dtype,
             allow_random=cfg.allow_random_weights,
         )
+        if spec.family == "diffusion" and (cfg.diffusion_steps
+                                           or cfg.diffusion_strength):
+            import dataclasses as _dc
+
+            arch = spec.arch_config
+            if cfg.diffusion_steps:
+                arch = _dc.replace(arch, steps=cfg.diffusion_steps)
+            if cfg.diffusion_strength:
+                arch = _dc.replace(arch, propagate_t=cfg.diffusion_strength)
+            spec = _dc.replace(spec, arch_config=arch)
         self._spec = spec
         self.scale = spec.scale
 
@@ -94,7 +112,10 @@ class SuperResolution(FrameProcessor):
             from framewright_tpu.models import rrdb
 
             if use_fused:
-                self._fast_params = rrdb.make_fast_params(params)
+                self._fast_params = rrdb.make_fast_params(
+                    params,
+                    compute_dtype=("int8" if cfg.compute_dtype == "int8"
+                                   else "bf16"))
             params = rrdb.stack_body(params)
         self._params = params
 
@@ -162,6 +183,7 @@ class SuperResolution(FrameProcessor):
         yuv = self.config.output_color == "yuv420"
         full_range = self.config.yuv_full_range
         with_stats = self.config.device_stats
+        cap = float(self.config.enhancement_cap)
 
         @jax.jit
         def run(x_u8):
@@ -171,6 +193,15 @@ class SuperResolution(FrameProcessor):
             # pure transfer) and the host never touches float pixels.
             x = x_u8.astype(dtype) / jnp.asarray(255.0, dtype)
             y = tiling.tiled_apply(model_fn, x, plan)
+            if cap < 1.0:
+                # authenticity guard (reference max_enhancement_strength):
+                # lerp toward the plain resize ON DEVICE — preserves era
+                # character without an extra host pass
+                base = jax.image.resize(
+                    x.astype(jnp.float32),
+                    (x.shape[0], y.shape[1], y.shape[2], x.shape[3]),
+                    method="linear").astype(y.dtype)
+                y = base + jnp.asarray(cap, y.dtype) * (y - base)
             y = jnp.clip(y.astype(jnp.float32), 0.0, 1.0) * 255.0
             stats = None
             if with_stats:

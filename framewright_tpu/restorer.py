@@ -154,6 +154,8 @@ class VideoRestorer:
         source = Path(source)
         if not source.exists():
             raise InputError(f"source not found: {source}")
+        if cfg.auto_enhance:
+            cfg = self.config = self._apply_auto_enhance(source)
         out_path = Path(output) if output else self._resolve_output(source)
         t_start = time.time()
 
@@ -194,6 +196,16 @@ class VideoRestorer:
             stage_summary=pipeline.summary(),
             errors=ctx.get("frame_errors", 0),
         )
+        if cfg.quality_report_format != "none" and result.quality is not None:
+            try:
+                from framewright_tpu.reports import build_qa_report
+
+                rp = cfg.project_dir / (
+                    "qa_report." + cfg.quality_report_format)
+                build_qa_report(result, str(source)).save(rp)
+                logger.info("QA report -> %s", rp)
+            except Exception:  # noqa: BLE001 — reporting never fails a job
+                logger.exception("QA report generation failed")
         return result
 
     def _dry_run(self, ctx, pipeline, out_path) -> RestoreResult:
@@ -229,6 +241,29 @@ class VideoRestorer:
             self.events.emit(EventType.CHECKPOINT_RESTORED,
                              stage=ck.current_stage, frames=dict(ck.frames_done))
         return {"checkpoint": ck}
+
+    def _apply_auto_enhance(self, source: Path):
+        """Analyze a content sample and toggle restoration stages from
+        the detected degradations (reference enable_auto_enhance /
+        auto_detect_content, config.py auto-enhance group; mapping in
+        processors/analysis.recommend_settings)."""
+        from framewright_tpu.processors.analysis import (
+            ContentAnalyzer,
+            recommend_settings,
+        )
+
+        cfg = self.config
+        with open_reader(source) as r:
+            rep = ContentAnalyzer().analyze(iter(r))
+        rec = recommend_settings(rep) if cfg.auto_detect_content else {}
+        # never auto-change the output geometry the user asked for
+        rec.pop("scale_factor", None)
+        rec.pop("sr_model", None)
+        if rep.grain_level > 0.3:
+            rec.setdefault("grain_preserve", True)
+        logger.info("auto-enhance: %s (analysis: %s)",
+                    rec or "no changes", rep.to_dict())
+        return cfg.with_overrides(**rec) if rec else cfg
 
     def _longform_active(self, nb_frames: int) -> bool:
         cfg = self.config
@@ -326,6 +361,9 @@ class VideoRestorer:
                     batch_size=cfg.batch_size,
                     hbm_utilization=cfg.hbm_utilization,
                     outscale=cfg.outscale,
+                    enhancement_cap=cfg.max_enhancement_strength,
+                    diffusion_steps=cfg.diffusion_steps,
+                    diffusion_strength=cfg.diffusion_strength,
                 ))
             sr.setup(meta.height, meta.width)
             oh, ow = sr.output_size(meta.height, meta.width)
@@ -432,10 +470,30 @@ class VideoRestorer:
             from framewright_tpu.processors.format import Deinterlacer
 
             src_iter = Deinterlacer(method="blend").process_stream(src_iter)
+        if cfg.vhs_restore:
+            from framewright_tpu.processors.vhs import VHSConfig, VHSProcessor
+
+            src_iter = VHSProcessor(VHSConfig(
+                fix_tracking_lines=cfg.vhs_fix_tracking,
+                fix_dropouts=cfg.vhs_fix_dropouts,
+                reduce_chroma_bleed=cfg.vhs_fix_chroma,
+                reduce_dot_crawl=cfg.vhs_fix_dot_crawl,
+                tracking_threshold=cfg.vhs_tracking_threshold,
+            )).process_stream(src_iter)
         if cfg.defect_repair:
             from framewright_tpu.processors.film import DefectRepairer
 
-            src_iter = DefectRepairer().process_stream(src_iter)
+            src_iter = DefectRepairer(
+                scratch_threshold=cfg.defect_scratch_sensitivity,
+                dust_threshold=cfg.defect_dust_sensitivity,
+            ).process_stream(src_iter)
+        if cfg.fill_missing_frames:
+            from framewright_tpu.processors.frame_generation import GapFiller
+
+            gf = GapFiller(jump_ratio=cfg.gap_jump_ratio,
+                           scene_change_threshold=cfg.scene_threshold)
+            gf.setup(meta.height, meta.width)
+            src_iter = gf.process_stream(src_iter)
         if cfg.stabilize:
             from framewright_tpu.processors.stabilization import (
                 StabilizeConfig,
@@ -509,6 +567,55 @@ class VideoRestorer:
                 )
 
                 src_iter = FlickerReducer().reduce_stream(src_iter)
+        # post-SR host-side frame effects: grain management (reference
+        # GrainManager/preserve_grain group) and HDR export
+        # (reference hdr flags; processors/hdr.py). Both force the RGB
+        # output path.
+        grain_mode = cfg.grain_mode
+        if grain_mode == "auto":
+            grain_mode = "match" if cfg.grain_preserve else "off"
+        elif grain_mode == "preserve":
+            grain_mode = "match"
+        hdr_conv = None
+        if cfg.hdr_output in ("hdr10", "hlg"):
+            from framewright_tpu.processors.hdr import HDRConfig, HDRConverter
+
+            hdr_conv = HDRConverter(HDRConfig(
+                mode="expand", target=cfg.hdr_output,
+                peak_nits=cfg.hdr_peak_nits,
+                highlight_boost=cfg.hdr_highlight_boost))
+        post_fx = None
+        if (grain_mode != "off" and sr is not None) or hdr_conv is not None:
+            gm = None
+            if grain_mode != "off" and sr is not None:
+                from framewright_tpu.processors.film import (
+                    GrainManager,
+                    estimate_grain_level,
+                )
+
+                gm = GrainManager(mode=grain_mode,
+                                  strength=cfg.grain_strength, seed=cfg.seed)
+                _grain_state = {"target": cfg.grain_target}
+
+            def post_fx(out_arr, src_frames):  # noqa: ANN001
+                if gm is not None:
+                    tgt = _grain_state["target"]
+                    if tgt <= 0:
+                        # measure source grain once, re-apply post-SR
+                        if src_frames is not None and len(src_frames):
+                            tgt = max(0.05, float(np.mean(
+                                [estimate_grain_level(f)
+                                 for f in src_frames[:2]])))
+                            _grain_state["target"] = tgt
+                        else:
+                            tgt = 0.2
+                    out_arr = np.stack([gm.process(f, target_level=tgt)
+                                        for f in out_arr])
+                if hdr_conv is not None:
+                    out_arr = np.stack([hdr_conv.expand_frame(f)
+                                        for f in out_arr])
+                return out_arr
+
         # device-side YUV420 fast path: when SR output goes straight to
         # a 4:2:0 Y4M writer (no faces/validation/dedup-expansion in
         # RGB), fuse the colorspace conversion into the SR tail — the
@@ -520,6 +627,7 @@ class VideoRestorer:
             and isinstance(writer, _Y4MW)
             and writer.header.colorspace.startswith("420")
             and face_restorer is None
+            and post_fx is None
             and (validator is None or cfg.min_vmaf <= 0)
             and mapping is None and not cfg.outscale
             and ow % 2 == 0 and oh % 2 == 0
@@ -635,6 +743,12 @@ class VideoRestorer:
                 src_ref = work if drop_dups else frames
                 for pos in range(n_out):
                     validator.observe(src_ref[pos], out_arr[pos])
+
+            # grain/HDR apply after the quality gate observes the SR
+            # result (grain synthesis and PQ encoding are intentional
+            # signal changes, not SR regressions)
+            if post_fx is not None and n_out:
+                out_arr = post_fx(out_arr, work if len(work) else None)
 
             drain.submit(out_arr, n_out)
             written += n_out
