@@ -82,6 +82,12 @@ def _add_restore_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--max-enhancement", dest="max_enhancement_strength",
                    type=float,
                    help="authenticity guard: cap enhancement blend (0-1)")
+    p.add_argument("--prompt", dest="sr_prompt",
+                   help="guided enhancement style prompt "
+                        "(e.g. 'sharp warm cinematic grain')")
+    p.add_argument("--style", dest="sr_style_preset",
+                   help="named style preset (natural, cinematic, anime, "
+                        "vintage, documentary, portrait)")
     p.add_argument("--qp-strength", dest="qp_strength", type=float,
                    help="DCT threshold; 0 = auto from blockiness")
     p.add_argument("--crf", type=int)

@@ -211,6 +211,11 @@ class Config:
     diffusion_steps: int = 8              # DDIM sampling steps
     diffusion_strength: float = 0.35      # SDEdit noise level (t_start frac)
 
+    # --- Guided SR (reference enhancement/guided_sr.py) -------------------------
+    sr_prompt: str = ""                   # style prompt (controlled vocab)
+    sr_style_preset: str = ""             # named preset (processors/guided.py)
+    guidance_scale: float = 5.0           # classifier-free guidance weight
+
     # --- Auto-enhance (reference config.py enable_auto_enhance group) ---------
     auto_enhance: bool = False            # analyze content, toggle stages
     auto_detect_content: bool = True      # content-type detection during auto
@@ -351,6 +356,14 @@ class Config:
             raise ConfigError("diffusion_strength must be in (0, 1]")
         if self.quality_report_format not in ("json", "html", "none"):
             raise ConfigError("quality_report_format must be json|html|none")
+        if self.sr_style_preset:
+            from framewright_tpu.processors.guided import STYLE_PRESETS
+
+            if self.sr_style_preset not in STYLE_PRESETS:
+                raise ConfigError(
+                    f"sr_style_preset must be one of {sorted(STYLE_PRESETS)}")
+        if self.guidance_scale <= 0:
+            raise ConfigError("guidance_scale must be > 0")
         if isinstance(self.subtitle_languages, list):
             self.subtitle_languages = tuple(self.subtitle_languages)
 

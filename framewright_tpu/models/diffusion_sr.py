@@ -95,6 +95,11 @@ def init(key, cfg: DiffusionSRConfig = DiffusionSRConfig(),
             "pool": conv_init(next(keys), 3, ch[i], ch[i]) if i + 1 < len(ch) else None,
         })
     p["mid"] = _res_init(next(keys), ch[-1], ch[-1], cfg.time_dim)
+    # style conditioning (guided SR): projects a STYLE_DIM vector into
+    # the FiLM/time-embedding pathway. Zero-init => no-op until trained
+    # (same zero-init contract as conv_out).
+    p["style_proj"] = {"w": jnp.zeros((16, cfg.time_dim)),
+                       "b": jnp.zeros((cfg.time_dim,))}
     for i in range(len(ch) - 1, -1, -1):
         cout = ch[max(0, i - 1)]
         p["up"].append({
@@ -130,15 +135,22 @@ def _res(p, x, temb):
 
 
 def denoise(params: Dict, x_noisy: jnp.ndarray, cond_up: jnp.ndarray,
-            t_frac: jnp.ndarray, cfg: DiffusionSRConfig) -> jnp.ndarray:
+            t_frac: jnp.ndarray, cfg: DiffusionSRConfig,
+            style: jnp.ndarray = None) -> jnp.ndarray:
     """Predict x0 from (noisy HR, bicubic condition, t). All (B,H,W,3),
     data range [-1, 1]; returns predicted x0 (residual from condition,
-    zero-init head => untrained net predicts the bicubic upsample)."""
+    zero-init head => untrained net predicts the bicubic upsample).
+    ``style`` (B, 16) enters through the FiLM pathway (guided SR)."""
     temb = _time_embed(t_frac, cfg.time_dim).astype(x_noisy.dtype)
     temb = jax.nn.silu(temb @ params["temb"]["w1"].astype(temb.dtype)
                        + params["temb"]["b1"].astype(temb.dtype))
     temb = temb @ params["temb"]["w2"].astype(temb.dtype) \
         + params["temb"]["b2"].astype(temb.dtype)
+    if style is not None and "style_proj" in params:
+        sp = params["style_proj"]
+        temb = temb + (style.astype(temb.dtype)
+                       @ sp["w"].astype(temb.dtype)
+                       + sp["b"].astype(temb.dtype))
 
     h = _conv(params["conv_in"], jnp.concatenate([x_noisy, cond_up], -1))
     skips = []
@@ -166,7 +178,8 @@ def ddim_sample(params: Dict, lr: jnp.ndarray,
                 cfg: DiffusionSRConfig = DiffusionSRConfig(),
                 key=None, init_hr: jnp.ndarray = None,
                 t_start_frac: float = 1.0,
-                model_fn=None) -> jnp.ndarray:
+                model_fn=None, style: jnp.ndarray = None,
+                guidance_scale: float = 1.0) -> jnp.ndarray:
     """lr (B,h,w,3) in [0,1] -> (B, h·scale, w·scale, 3) in [0,1].
 
     init_hr + t_start_frac < 1 implement SDEdit-style partial
@@ -189,8 +202,24 @@ def ddim_sample(params: Dict, lr: jnp.ndarray,
         x = jnp.sqrt(a0) * base + jnp.sqrt(1 - a0) * noise
     else:
         x = noise
-    fn = model_fn or (lambda xt, tf: denoise(params, xt, cond.astype(xt.dtype),
-                                             tf, cfg).astype(jnp.float32))
+    if model_fn is not None:
+        fn = model_fn
+    elif style is not None and guidance_scale != 1.0:
+        # classifier-free guidance: extrapolate conditional vs
+        # unconditional x0 predictions (reference guided_sr.py:773
+        # guidance_scale semantics)
+        def fn(xt, tf):
+            c = cond.astype(xt.dtype)
+            x0_c = denoise(params, xt, c, tf, cfg, style=style)
+            x0_u = denoise(params, xt, c, tf, cfg, style=None)
+            g = jnp.asarray(guidance_scale, jnp.float32)
+            return (x0_u + g * (x0_c.astype(jnp.float32)
+                                - x0_u.astype(jnp.float32))).astype(
+                                    jnp.float32)
+    else:
+        def fn(xt, tf):
+            return denoise(params, xt, cond.astype(xt.dtype), tf, cfg,
+                           style=style).astype(jnp.float32)
 
     def step(x, i):
         t_cur, t_nxt = ts[i], ts[i + 1]

@@ -584,8 +584,19 @@ class VideoRestorer:
                 mode="expand", target=cfg.hdr_output,
                 peak_nits=cfg.hdr_peak_nits,
                 highlight_boost=cfg.hdr_highlight_boost))
+        style_backend = None
+        if cfg.sr_prompt or cfg.sr_style_preset:
+            from framewright_tpu.processors.guided import (
+                GuidedConfig,
+                make_backend,
+            )
+
+            style_backend = make_backend(GuidedConfig(
+                prompt=cfg.sr_prompt, preset=cfg.sr_style_preset,
+                guidance_scale=cfg.guidance_scale, seed=cfg.seed))
         post_fx = None
-        if (grain_mode != "off" and sr is not None) or hdr_conv is not None:
+        if ((grain_mode != "off" and sr is not None) or hdr_conv is not None
+                or style_backend is not None):
             gm = None
             if grain_mode != "off" and sr is not None:
                 from framewright_tpu.processors.film import (
@@ -598,6 +609,9 @@ class VideoRestorer:
                 _grain_state = {"target": cfg.grain_target}
 
             def post_fx(out_arr, src_frames):  # noqa: ANN001
+                if style_backend is not None:
+                    out_arr = np.stack([style_backend.enhance(f)
+                                        for f in out_arr])
                 if gm is not None:
                     tgt = _grain_state["target"]
                     if tgt <= 0:
