@@ -96,6 +96,7 @@ _VALID_SR_MODELS = (
     "realesr-animevideov3",
     "realesr-general-x4v3",
     "BasicVSR",
+    "TVSR_x4",
     "HAT_SRx4",
     "DiffusionSR_x4",
     "none",

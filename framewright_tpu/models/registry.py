@@ -24,7 +24,7 @@ import jax
 import jax.numpy as jnp
 
 from framewright_tpu.errors import ModelError
-from framewright_tpu.models import diffusion_sr, hat, rrdb, srvgg, vsr
+from framewright_tpu.models import diffusion_sr, hat, rrdb, srvgg, tvsr, vsr
 from framewright_tpu.models import torch_port
 
 
@@ -115,6 +115,13 @@ _register(ModelSpec(
     url="https://download.openmmlab.com/mmediting/restorers/basicvsr/basicvsr_reds4_20120409-0e599677.pth",
     apply_fn=vsr.apply, init_fn=vsr.init,
     port_fn=lambda sd: torch_port.port_basicvsr(sd),
+))
+_register(ModelSpec(
+    name="TVSR_x4", family="vsr", scale=4,
+    arch_config=tvsr.TVSRConfig(),
+    apply_fn=tvsr.apply, init_fn=tvsr.init,
+    port_fn=None,  # original architecture (VRT-class TMSA); no
+                   # published checkpoint to port — models/tvsr.py
 ))
 
 
