@@ -57,13 +57,13 @@ NF, GC = 64, 32            # Real-ESRGAN fixed channel plan
 PX = S * S
 NT = 192                   # total target channels: 4*32 + 64
 TAPS = tuple((di, dj) for di in range(3) for dj in range(3))
-# taps/chunk: fewer chunks = fewer accumulator read-modify-writes (the
-# dominant non-MXU cost once features are packed); K grows per dot and
-# the MXU accumulates internally. Env-tunable for sweeps.
-TPC_NF = int(_os.environ.get("FW_TPC_NF", "9"))    # K=9*64=576
-TPC_GC = int(_os.environ.get("FW_TPC_GC", "9"))    # K=9*32=288
-TPC_NF_I8 = int(_os.environ.get("FW_TPC_NF_I8", "9"))
-TPC_GC_I8 = int(_os.environ.get("FW_TPC_GC_I8", "9"))
+# taps/chunk (K per dot). Swept on v5e (scripts/sweep_tpc.py, in one
+# process): bf16 best at (4,4); int8 at (4,8); (9,9) regresses (the
+# giant concat temporaries outweigh the saved accumulator RMWs).
+TPC_NF = int(_os.environ.get("FW_TPC_NF", "4"))    # K=4*64=256
+TPC_GC = int(_os.environ.get("FW_TPC_GC", "4"))    # K=4*32=128
+TPC_NF_I8 = int(_os.environ.get("FW_TPC_NF_I8", "4"))
+TPC_GC_I8 = int(_os.environ.get("FW_TPC_GC_I8", "8"))
 
 
 # ---------------------------------------------------------------------------
@@ -403,238 +403,14 @@ def _rdb_kernel_int8(ext_ref, x_ref, wx_ref, w1_ref, w2_ref, w3_ref, w4_ref,
     o_ref[0] = (0.2 * jnp.where(valid, x5, 0.0)).astype(jnp.bfloat16) + x_ref[0]
 
 
-# --- paired-block kernels ---------------------------------------------------
-# The 5 convs of an RDB form a strict serial chain (acc -> act -> pack
-# -> rolls -> dot); at each conv boundary the MXU idles through the VPU
-# phase. Processing TWO blocks per grid step with their step lists
-# interleaved lets Mosaic overlap block A's VPU phase with block B's
-# matmuls (measured: see PERF.md round-2 section). Enabled via
-# FW_RDB_PAIR (default on).
-
-PAIR = _os.environ.get("FW_RDB_PAIR", "1") not in ("0", "false")
-
-
-def _mask_for(ext_ref, bi):
-    lanes = jax.lax.broadcasted_iota(jnp.int32, (1, PX), 1)
-    rows = lanes // S
-    cols = lanes % S
-    return ((rows >= ext_ref[bi, 0]) & (rows < ext_ref[bi, 1])
-            & (cols >= ext_ref[bi, 2]) & (cols < ext_ref[bi, 3]))
-
-
-def _steps_bf16(x_ref, slot, w_refs, b_ref, o_ref, scratch, valid):
-    """Ordered step thunks for one bf16 block (slot indexes the pair)."""
-    wx_ref, w1_ref, w2_ref, w3_ref, w4_ref = w_refs
-    acc, xf, x1, x2, x3, x4 = scratch
-
-    def chunk_thunks(src, w_ref, c, tpc, off, init):
-        out = []
-        t, k = 0, 0
-        while t < 9:
-            m = min(tpc, 9 - t)
-
-            def do(t=t, k=k, m=m, src=src, w_ref=w_ref, c=c, off=off,
-                   first=(init and t == 0)):
-                parts = [_tap_roll(src[:], *TAPS[t + u]) for u in range(m)]
-                packed = (parts[0] if m == 1
-                          else jnp.concatenate(parts, axis=0))
-                chunk = pltpu.bitcast(packed, jnp.bfloat16)
-                contrib = jnp.dot(w_ref[:, k:k + m * c], chunk,
-                                  preferred_element_type=jnp.float32)
-                if first:
-                    acc[off:NT] = contrib
-                else:
-                    acc[off:NT] += contrib
-            out.append(do)
-            k += m * c
-            t += m
-        return out
-
-    def act_thunk(lo, hi, dst):
-        def do():
-            a = jnp.where(valid,
-                          _lrelu(acc[lo:hi] + b_ref[lo:hi])
-                          .astype(jnp.bfloat16), jnp.bfloat16(0.0))
-            dst[:] = pltpu.bitcast(a, jnp.int32)
-        return do
-
-    steps = [lambda: xf.__setitem__(slice(None),
-                                    pltpu.bitcast(x_ref[slot], jnp.int32))]
-    steps += chunk_thunks(xf, wx_ref, NF, TPC_NF, 0, True)
-    steps += [act_thunk(0, 32, x1)]
-    steps += chunk_thunks(x1, w1_ref, GC, TPC_GC, 32, False)
-    steps += [act_thunk(32, 64, x2)]
-    steps += chunk_thunks(x2, w2_ref, GC, TPC_GC, 64, False)
-    steps += [act_thunk(64, 96, x3)]
-    steps += chunk_thunks(x3, w3_ref, GC, TPC_GC, 96, False)
-    steps += [act_thunk(96, 128, x4)]
-    steps += chunk_thunks(x4, w4_ref, GC, TPC_GC, 128, False)
-
-    def final():
-        x5 = acc[128:NT] + b_ref[128:NT]
-        o_ref[slot] = ((0.2 * jnp.where(valid, x5, 0.0))
-                       .astype(jnp.bfloat16) + x_ref[slot])
-    steps.append(final)
-    return steps
-
-
-def _steps_int8(x_ref, slot, w_refs, s_refs, b_ref, o_ref, scratch, valid):
-    """Ordered step thunks for one int8 block."""
-    wx_ref, w1_ref, w2_ref, w3_ref, w4_ref = w_refs
-    sx_ref, s1_ref, s2_ref, s3_ref, s4_ref = s_refs
-    acc, xq, x1, x2, x3, x4 = scratch
-    sa_box = {}
-
-    def quant(a):
-        amax = jnp.maximum(jnp.max(jnp.abs(a)), 1e-8)
-        q = jnp.clip(jnp.round(a * (127.0 / amax)), -127.0, 127.0)
-        return pltpu.bitcast(q.astype(jnp.int8), jnp.int32), \
-            amax * (1.0 / 127.0)
-
-    def chunk_thunks(src, w_ref, ws_ref, key, c, tpc, off, init):
-        out = []
-        t, k = 0, 0
-        while t < 9:
-            m = min(tpc, 9 - t)
-
-            def do(t=t, k=k, m=m, src=src, w_ref=w_ref, ws_ref=ws_ref,
-                   key=key, c=c, off=off, first=(init and t == 0)):
-                parts = [_tap_roll(src[:], *TAPS[t + u]) for u in range(m)]
-                packed = (parts[0] if m == 1
-                          else jnp.concatenate(parts, axis=0))
-                chunk = pltpu.bitcast(packed, jnp.int8)
-                scale = ws_ref[0:NT - off] * sa_box[key]
-                contrib = jax.lax.dot_general(
-                    w_ref[:, k:k + m * c], chunk, (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.int32,
-                ).astype(jnp.float32) * scale
-                if first:
-                    acc[off:NT] = contrib
-                else:
-                    acc[off:NT] += contrib
-            out.append(do)
-            k += m * c
-            t += m
-        return out
-
-    def act_thunk(lo, hi, dst, key):
-        def do():
-            a = jnp.where(valid, _lrelu(acc[lo:hi] + b_ref[lo:hi]), 0.0)
-            q, sa = quant(a)
-            dst[:] = q
-            sa_box[key] = sa
-        return do
-
-    def load():
-        q, sa = quant(x_ref[slot].astype(jnp.float32))
-        xq[:] = q
-        sa_box["x"] = sa
-
-    steps = [load]
-    steps += chunk_thunks(xq, wx_ref, sx_ref, "x", NF, TPC_NF_I8, 0, True)
-    steps += [act_thunk(0, 32, x1, "1")]
-    steps += chunk_thunks(x1, w1_ref, s1_ref, "1", GC, TPC_GC_I8, 32, False)
-    steps += [act_thunk(32, 64, x2, "2")]
-    steps += chunk_thunks(x2, w2_ref, s2_ref, "2", GC, TPC_GC_I8, 64, False)
-    steps += [act_thunk(64, 96, x3, "3")]
-    steps += chunk_thunks(x3, w3_ref, s3_ref, "3", GC, TPC_GC_I8, 96, False)
-    steps += [act_thunk(96, 128, x4, "4")]
-    steps += chunk_thunks(x4, w4_ref, s4_ref, "4", GC, TPC_GC_I8, 128, False)
-
-    def final():
-        x5 = acc[128:NT] + b_ref[128:NT]
-        o_ref[slot] = ((0.2 * jnp.where(valid, x5, 0.0))
-                       .astype(jnp.bfloat16) + x_ref[slot])
-    steps.append(final)
-    return steps
-
-
-def _interleave(steps_a, steps_b):
-    for i in range(max(len(steps_a), len(steps_b))):
-        if i < len(steps_a):
-            steps_a[i]()
-        if i < len(steps_b):
-            steps_b[i]()
-
-
-def _rdb_kernel_pair(ext_ref, x_ref, wx_ref, w1_ref, w2_ref, w3_ref, w4_ref,
-                     b_ref, o_ref,
-                     acc_a, xf_a, x1_a, x2_a, x3_a, x4_a,
-                     acc_b, xf_b, x1_b, x2_b, x3_b, x4_b):
-    bi = pl.program_id(0)
-    w_refs = (wx_ref, w1_ref, w2_ref, w3_ref, w4_ref)
-    sa = _steps_bf16(x_ref, 0, w_refs, b_ref, o_ref,
-                     (acc_a, xf_a, x1_a, x2_a, x3_a, x4_a),
-                     _mask_for(ext_ref, 2 * bi))
-    sb = _steps_bf16(x_ref, 1, w_refs, b_ref, o_ref,
-                     (acc_b, xf_b, x1_b, x2_b, x3_b, x4_b),
-                     _mask_for(ext_ref, 2 * bi + 1))
-    _interleave(sa, sb)
-
-
-def _rdb_kernel_int8_pair(ext_ref, x_ref, wx_ref, w1_ref, w2_ref, w3_ref,
-                          w4_ref, sx_ref, s1_ref, s2_ref, s3_ref, s4_ref,
-                          b_ref, o_ref,
-                          acc_a, xq_a, x1_a, x2_a, x3_a, x4_a,
-                          acc_b, xq_b, x1_b, x2_b, x3_b, x4_b):
-    bi = pl.program_id(0)
-    w_refs = (wx_ref, w1_ref, w2_ref, w3_ref, w4_ref)
-    s_refs = (sx_ref, s1_ref, s2_ref, s3_ref, s4_ref)
-    sa = _steps_int8(x_ref, 0, w_refs, s_refs, b_ref, o_ref,
-                     (acc_a, xq_a, x1_a, x2_a, x3_a, x4_a),
-                     _mask_for(ext_ref, 2 * bi))
-    sb = _steps_int8(x_ref, 1, w_refs, s_refs, b_ref, o_ref,
-                     (acc_b, xq_b, x1_b, x2_b, x3_b, x4_b),
-                     _mask_for(ext_ref, 2 * bi + 1))
-    _interleave(sa, sb)
-
-
-def _pad_pair(blocks, extents):
-    """Pad the block population to an even count (dummy block is fully
-    masked via a zero extent rect)."""
-    nb = blocks.shape[0]
-    if nb % 2 == 0:
-        return blocks, extents, nb
-    blocks = jnp.concatenate([blocks, blocks[-1:]], axis=0)
-    extents = jnp.concatenate(
-        [extents, jnp.zeros((1, 4), jnp.int32)], axis=0)
-    return blocks, extents, nb
-
-
 def fused_rdb_blocks_int8(blocks: jnp.ndarray, extents: jnp.ndarray,
                           wide: Dict, interpret: bool = False) -> jnp.ndarray:
     """int8-mode counterpart of fused_rdb_blocks (blocks stay bf16 at
-    the interface; quantization is internal to the kernel)."""
-    if PAIR:
-        orig_nb = blocks.shape[0]
-        blocks, extents, _ = _pad_pair(blocks, extents)
-        nb2 = blocks.shape[0] // 2
-        grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
-            grid=(nb2,),
-            in_specs=[pl.BlockSpec((2, NF, PX), lambda k, *_: (k, 0, 0),
-                                   memory_space=pltpu.VMEM)]
-                     + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 11,
-            out_specs=pl.BlockSpec((2, NF, PX), lambda k, *_: (k, 0, 0),
-                                   memory_space=pltpu.VMEM),
-            scratch_shapes=[
-                pltpu.VMEM((NT, PX), jnp.float32),
-                pltpu.VMEM((NF // 4, PX), jnp.int32),
-                pltpu.VMEM((GC // 4, PX), jnp.int32),
-                pltpu.VMEM((GC // 4, PX), jnp.int32),
-                pltpu.VMEM((GC // 4, PX), jnp.int32),
-                pltpu.VMEM((GC // 4, PX), jnp.int32),
-            ] * 2,
-        )
-        out = pl.pallas_call(
-            _rdb_kernel_int8_pair,
-            grid_spec=grid_spec,
-            out_shape=jax.ShapeDtypeStruct((2 * nb2, NF, PX), jnp.bfloat16),
-            interpret=interpret,
-        )(extents, blocks, wide["Wx"], wide["W1"], wide["W2"], wide["W3"],
-          wide["W4"], wide["sx"], wide["s1"], wide["s2"], wide["s3"],
-          wide["s4"], wide["b"])
-        return out[:orig_nb]
+    the interface; quantization is internal to the kernel).
+
+    NOTE (measured, PERF.md round 2): a paired-block variant that
+    interleaved two blocks' step lists to hide the serial VPU phase was
+    1.8x SLOWER (register/VMEM pressure spills) — removed."""
     nb = blocks.shape[0]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -670,35 +446,6 @@ def fused_rdb_blocks(blocks: jnp.ndarray, extents: jnp.ndarray, wide: Dict,
     blocks: (NB, 64, S*S) bf16; extents: (NB, 4) int32 valid rects.
     Returns (NB, 64, S*S) bf16 (full blocks; halo cropped by caller).
     """
-    if PAIR:
-        orig_nb = blocks.shape[0]
-        blocks, extents, _ = _pad_pair(blocks, extents)
-        nb2 = blocks.shape[0] // 2
-        grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
-            grid=(nb2,),
-            in_specs=[pl.BlockSpec((2, NF, PX), lambda k, *_: (k, 0, 0),
-                                   memory_space=pltpu.VMEM)]
-                     + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 6,
-            out_specs=pl.BlockSpec((2, NF, PX), lambda k, *_: (k, 0, 0),
-                                   memory_space=pltpu.VMEM),
-            scratch_shapes=[
-                pltpu.VMEM((NT, PX), jnp.float32),
-                pltpu.VMEM((NF // 2, PX), jnp.int32),
-                pltpu.VMEM((GC // 2, PX), jnp.int32),
-                pltpu.VMEM((GC // 2, PX), jnp.int32),
-                pltpu.VMEM((GC // 2, PX), jnp.int32),
-                pltpu.VMEM((GC // 2, PX), jnp.int32),
-            ] * 2,
-        )
-        out = pl.pallas_call(
-            _rdb_kernel_pair,
-            grid_spec=grid_spec,
-            out_shape=jax.ShapeDtypeStruct((2 * nb2, NF, PX), jnp.bfloat16),
-            interpret=interpret,
-        )(extents, blocks, wide["Wx"], wide["W1"], wide["W2"], wide["W3"],
-          wide["W4"], wide["b"])
-        return out[:orig_nb]
     nb = blocks.shape[0]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
