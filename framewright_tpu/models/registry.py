@@ -24,7 +24,15 @@ import jax
 import jax.numpy as jnp
 
 from framewright_tpu.errors import ModelError
-from framewright_tpu.models import diffusion_sr, hat, rrdb, srvgg, tvsr, vsr
+from framewright_tpu.models import (
+    diffusion_sr,
+    hat,
+    retinaface,
+    rrdb,
+    srvgg,
+    tvsr,
+    vsr,
+)
 from framewright_tpu.models import torch_port
 
 
@@ -122,6 +130,13 @@ _register(ModelSpec(
     apply_fn=tvsr.apply, init_fn=tvsr.init,
     port_fn=None,  # original architecture (VRT-class TMSA); no
                    # published checkpoint to port — models/tvsr.py
+))
+_register(ModelSpec(
+    name="RetinaFace_mnet025", family="detector", scale=1,
+    arch_config=retinaface.RetinaFaceConfig(),
+    url="https://github.com/xinntao/facexlib/releases/download/v0.1.0/detection_mobilenet0.25_Final.pth",
+    apply_fn=retinaface.apply, init_fn=retinaface.init,
+    port_fn=lambda sd: torch_port.port_retinaface(sd),
 ))
 
 

@@ -328,6 +328,69 @@ def port_hat(sd: Mapping[str, Any], depths=(6, 6, 6, 6, 6, 6),
     }
 
 
+def port_retinaface(sd: Mapping[str, Any]) -> Dict:
+    """Pytorch_Retinaface mobilenet0.25 state dict -> models/retinaface
+    pytree. BatchNorms fold into the preceding conv (inference only):
+    w' = w * g/sqrt(v+eps), b' = beta - mean * g/sqrt(v+eps)."""
+    eps = 1e-5
+
+    def bn_fold(conv_w, bn_prefix):
+        g = _to_np(sd[f"{bn_prefix}.weight"]).astype(np.float32)
+        beta = _to_np(sd[f"{bn_prefix}.bias"]).astype(np.float32)
+        mean = _to_np(sd[f"{bn_prefix}.running_mean"]).astype(np.float32)
+        var = _to_np(sd[f"{bn_prefix}.running_var"]).astype(np.float32)
+        scale = g / np.sqrt(var + eps)
+        return conv_w * scale, beta - mean * scale
+
+    def conv_bn(prefix, k1x1=False):
+        w = _to_np(sd[f"{prefix}.0.weight"]).astype(np.float32)
+        w = w.transpose(2, 3, 1, 0)            # OIHW -> HWIO
+        w, b = bn_fold(w, f"{prefix}.1")
+        return {"w": w, "b": b}
+
+    def conv_dw(prefix):
+        dw = _to_np(sd[f"{prefix}.0.weight"]).astype(np.float32)
+        dw = dw.transpose(2, 3, 0, 1)          # (C,1,k,k) -> (k,k,C,1)
+        # BN scale applies per output channel = per group = axis 2 here
+        g = _to_np(sd[f"{prefix}.1.weight"]).astype(np.float32)
+        beta = _to_np(sd[f"{prefix}.1.bias"]).astype(np.float32)
+        mean = _to_np(sd[f"{prefix}.1.running_mean"]).astype(np.float32)
+        var = _to_np(sd[f"{prefix}.1.running_var"]).astype(np.float32)
+        sc = g / np.sqrt(var + eps)
+        dw_f = dw * sc[None, None, :, None]
+        dw_b = beta - mean * sc
+        pw = _to_np(sd[f"{prefix}.3.weight"]).astype(np.float32)
+        pw = pw.transpose(2, 3, 1, 0)
+        pw_f, pw_b = bn_fold(pw, f"{prefix}.4")
+        return {"dw": {"w": dw_f, "b": dw_b},
+                "pw": {"w": pw_f, "b": pw_b}}
+
+    def head(prefix):
+        w = _to_np(sd[f"{prefix}.conv1x1.weight"]).astype(np.float32)
+        return {"w": w.transpose(2, 3, 1, 0),
+                "b": _to_np(sd[f"{prefix}.conv1x1.bias"]).astype(np.float32)}
+
+    stage1 = [{"conv": conv_bn("body.stage1.0")}]
+    stage1 += [conv_dw(f"body.stage1.{i}") for i in range(1, 6)]
+    stage2 = [conv_dw(f"body.stage2.{i}") for i in range(6)]
+    stage3 = [conv_dw(f"body.stage3.{i}") for i in range(2)]
+    return {
+        "stage1": stage1, "stage2": stage2, "stage3": stage3,
+        "fpn_lat": [conv_bn(f"fpn.output{i}") for i in (1, 2, 3)],
+        "fpn_merge": [conv_bn("fpn.merge1"), conv_bn("fpn.merge2")],
+        "ssh": [{
+            "conv3": conv_bn(f"ssh{i}.conv3X3"),
+            "conv5_1": conv_bn(f"ssh{i}.conv5X5_1"),
+            "conv5_2": conv_bn(f"ssh{i}.conv5X5_2"),
+            "conv7_2": conv_bn(f"ssh{i}.conv7X7_2"),
+            "conv7_3": conv_bn(f"ssh{i}.conv7x7_3"),
+        } for i in (1, 2, 3)],
+        "head_cls": [head(f"ClassHead.{i}") for i in range(3)],
+        "head_box": [head(f"BboxHead.{i}") for i in range(3)],
+        "head_ldm": [head(f"LandmarkHead.{i}") for i in range(3)],
+    }
+
+
 # ---------------------------------------------------------------------------
 # Generic helpers
 # ---------------------------------------------------------------------------

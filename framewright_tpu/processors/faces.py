@@ -96,11 +96,91 @@ class FaceDetector:
         return boxes[: self.max_faces]
 
 
+class RetinaFaceDetector:
+    """Learned detector: RetinaFace mobilenet0.25 in JAX
+    (models/retinaface.py; the reference drives face restoration with
+    facexlib's RetinaFace). Requires REAL weights —
+    construction raises when only random init would be available, so
+    callers fall back to the heuristic detector explicitly."""
+
+    def __init__(self, weights_dir: Optional[str] = None,
+                 score_thresh: float = 0.5, max_faces: int = 8,
+                 pad_mult: int = 32):
+        from pathlib import Path
+
+        from framewright_tpu.models.registry import (
+            default_weights_dir,
+            init_model,
+        )
+
+        name = "RetinaFace_mnet025"
+        wdir = Path(weights_dir) if weights_dir else default_weights_dir()
+        if not ((wdir / f"{name}.npz").exists()
+                or (wdir / f"{name}.pth").exists()):
+            raise FileNotFoundError(
+                f"no {name} weights in {wdir} (a randomly initialized "
+                "detector would detect noise)")
+        spec, params = init_model(name, weights_dir=weights_dir,
+                                  allow_random=False)
+        self._arch = spec.arch_config
+        self._params = params
+        self.score_thresh = score_thresh
+        self.max_faces = max_faces
+        self.pad_mult = pad_mult
+        self._fn = None
+
+    def detect(self, frame: np.ndarray) -> List[FaceBox]:
+        import jax
+        import jax.numpy as jnp
+
+        from framewright_tpu.models import retinaface
+
+        h, w = frame.shape[:2]
+        ph, pw = -h % self.pad_mult, -w % self.pad_mult
+        x = np.pad(frame, ((0, ph), (0, pw), (0, 0)))
+        if self._fn is None:
+            arch = self._arch
+            self._fn = jax.jit(
+                lambda p, t: retinaface.apply(p, t, arch))
+        score, boxes, _ = self._fn(
+            self._params,
+            jnp.asarray(x[None].astype(np.float32) / 255.0))
+        score = np.asarray(score[0])
+        boxes = np.asarray(boxes[0])
+        keep = retinaface.nms_host(score, boxes, self._arch.nms_iou,
+                                   self.score_thresh, self._arch.top_k)
+        out: List[FaceBox] = []
+        hh, ww = h + ph, w + pw
+        for i in keep[: self.max_faces]:
+            x0 = int(np.clip(boxes[i, 0] * ww, 0, w - 1))
+            y0 = int(np.clip(boxes[i, 1] * hh, 0, h - 1))
+            x1 = int(np.clip(boxes[i, 2] * ww, x0 + 1, w))
+            y1 = int(np.clip(boxes[i, 3] * hh, y0 + 1, h))
+            out.append(FaceBox(x0, y0, x1, y1, confidence=float(score[i])))
+        return out
+
+
+def make_detector(kind: str = "auto",
+                  weights_dir: Optional[str] = None):
+    """auto: learned RetinaFace when real weights exist, else the
+    classical skin-chroma detector (logged)."""
+    if kind in ("auto", "retinaface"):
+        try:
+            return RetinaFaceDetector(weights_dir=weights_dir)
+        except (FileNotFoundError, Exception) as exc:  # noqa: BLE001
+            if kind == "retinaface":
+                raise
+            logger.info("RetinaFace weights unavailable (%s); using the "
+                        "heuristic skin-chroma detector", exc)
+    return FaceDetector()
+
+
 @dataclass
 class FaceRestoreConfig:
     strength: float = 0.8
     backend: str = "sr"           # sr | gfpgan (when weights land)
     sr_model: str = "realesr-general-x4v3"
+    detector: str = "auto"        # auto | retinaface | heuristic
     expand: float = 1.6
     crop_size: int = 128          # model input (static shape for jit)
     weights_dir: Optional[str] = None
@@ -115,7 +195,8 @@ class FaceRestoreResult:
 class FaceRestorer:
     def __init__(self, config: Optional[FaceRestoreConfig] = None):
         self.config = config or FaceRestoreConfig()
-        self.detector = FaceDetector()
+        self.detector = make_detector(self.config.detector,
+                                      self.config.weights_dir)
         self._fn = None
         self._spec = None
         self._params = None

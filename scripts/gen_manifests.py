@@ -226,7 +226,64 @@ MANIFESTS = {
     "basicvsr_reds4": (basicvsr_manifest, "mmediting BasicVSR generator"),
     "HAT_SRx4": (hat_manifest, "official HAT x4 (embed 180, 6x6)"),
     "GFPGANv1.4": (gfpgan_manifest, "GFPGANv1Clean out512 cm2 sft_half"),
+    "retinaface_mnet025": (lambda: retinaface_manifest(),
+                           "Pytorch_Retinaface mobilenet0.25"),
 }
+
+
+# ---------------------------------------------------------------------------
+# RetinaFace mobilenet0.25 (biubug6/Pytorch_Retinaface mobilenet0.25_Final)
+# ---------------------------------------------------------------------------
+
+def retinaface_manifest() -> tuple:
+    keys = {}
+    ignorable = []
+
+    def bn(name, c):
+        for suf in ("weight", "bias", "running_mean", "running_var"):
+            keys[f"{name}.{suf}"] = [c]
+        ignorable.append(f"{name}.num_batches_tracked")
+
+    def conv_bn(name, ci, co, k=3):
+        keys[f"{name}.0.weight"] = [co, ci, k, k]
+        bn(f"{name}.1", co)
+
+    def conv_dw(name, ci, co):
+        keys[f"{name}.0.weight"] = [ci, 1, 3, 3]
+        bn(f"{name}.1", ci)
+        keys[f"{name}.3.weight"] = [co, ci, 1, 1]
+        bn(f"{name}.4", co)
+
+    stage1 = [(3, 8), (8, 16), (16, 32), (32, 32), (32, 64), (64, 64)]
+    conv_bn("body.stage1.0", 3, 8)
+    for i, (ci, co) in enumerate(stage1[1:], start=1):
+        conv_dw(f"body.stage1.{i}", ci, co)
+    stage2 = [(64, 128)] + [(128, 128)] * 5
+    for i, (ci, co) in enumerate(stage2):
+        conv_dw(f"body.stage2.{i}", ci, co)
+    for i, (ci, co) in enumerate([(128, 256), (256, 256)]):
+        conv_dw(f"body.stage3.{i}", ci, co)
+
+    for i, c in enumerate((64, 128, 256), start=1):
+        conv_bn(f"fpn.output{i}", c, 64, k=1)
+    conv_bn("fpn.merge1", 64, 64)
+    conv_bn("fpn.merge2", 64, 64)
+
+    for i in (1, 2, 3):
+        conv_bn(f"ssh{i}.conv3X3", 64, 32)
+        conv_bn(f"ssh{i}.conv5X5_1", 64, 16)
+        conv_bn(f"ssh{i}.conv5X5_2", 16, 16)
+        conv_bn(f"ssh{i}.conv7X7_2", 16, 16)
+        conv_bn(f"ssh{i}.conv7x7_3", 16, 16)
+
+    for i in range(3):
+        keys[f"ClassHead.{i}.conv1x1.weight"] = [4, 64, 1, 1]
+        keys[f"ClassHead.{i}.conv1x1.bias"] = [4]
+        keys[f"BboxHead.{i}.conv1x1.weight"] = [8, 64, 1, 1]
+        keys[f"BboxHead.{i}.conv1x1.bias"] = [8]
+        keys[f"LandmarkHead.{i}.conv1x1.weight"] = [20, 64, 1, 1]
+        keys[f"LandmarkHead.{i}.conv1x1.bias"] = [20]
+    return keys, ignorable
 
 
 def main():
