@@ -335,8 +335,8 @@ class Config:
             raise ConfigError("mesh_shape entries must be >= 1")
         if self.long_form not in ("auto", "on", "off"):
             raise ConfigError("long_form must be auto|on|off")
-        if self.temporal_model not in ("attention", "ema"):
-            raise ConfigError("temporal_model must be attention|ema")
+        if self.temporal_model not in ("attention", "ema", "latent"):
+            raise ConfigError("temporal_model must be attention|ema|latent")
         if not (0.0 < self.stabilize_crop <= 1.0):
             raise ConfigError("stabilize_crop must be in (0, 1]")
         if self.stabilize_smoothing < 1:

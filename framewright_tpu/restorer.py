@@ -561,6 +561,15 @@ class VideoRestorer:
 
                 src_iter = CrossFrameAttention(
                     CFAConfig(radius=1)).reduce_stream(src_iter)
+            elif cfg.temporal_model == "latent":
+                # temporal-VAE class: latent-space smoothing (reference
+                # enhancement/temporal_vae.py:935; clip-adaptive KL
+                # basis instead of a pretrained VAE)
+                from framewright_tpu.processors.latent_temporal import (
+                    LatentTemporalSmoother,
+                )
+
+                src_iter = LatentTemporalSmoother().reduce_stream(src_iter)
             else:
                 from framewright_tpu.processors.temporal_denoise import (
                     FlickerReducer,
