@@ -25,6 +25,7 @@ def test_schedule_monotone():
     assert (np.diff(a) <= 1e-7).all()
 
 
+@pytest.mark.slow
 def test_oracle_model_recovered_exactly(tiny_params):
     """If the denoiser predicts the true x0 at every step, DDIM must
     reconstruct it exactly — validates the sampler algebra
@@ -52,6 +53,7 @@ def test_deterministic(tiny_params):
     np.testing.assert_array_equal(y1, y2)
 
 
+@pytest.mark.slow
 def test_video_propagation_shapes(tiny_params):
     fr = jax.random.uniform(jax.random.PRNGKey(5), (1, 3, 8, 8, 3))
     v = ds.sample_video(tiny_params, fr, TINY)

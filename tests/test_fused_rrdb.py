@@ -63,6 +63,7 @@ class TestWideWeights:
 
 class TestFusedBodyNumerics:
     @pytest.mark.parametrize("hw", [(40, 40), (54, 54), (60, 80)])
+    @pytest.mark.slow
     def test_matches_plain_body(self, tiny_model, hw):
         cfg, params, fast = tiny_model
         h, w = hw

@@ -58,6 +58,7 @@ class TestPhaseWeights:
 
 class TestFusedTailNumerics:
     @pytest.mark.parametrize("hw", [(40, 40), (58, 58), (30, 70)])
+    @pytest.mark.slow
     def test_matches_xla_tail(self, tail_params, hw):
         h, w = hw
         rng = np.random.default_rng(1)

@@ -78,6 +78,7 @@ class TestDiffusionBackend:
         out = b.enhance(small)
         assert out.shape == (64, 64, 3)  # x4 model
 
+    @pytest.mark.slow
     def test_style_conditioning_plumbed(self):
         import jax
         import jax.numpy as jnp

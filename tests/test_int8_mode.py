@@ -53,6 +53,7 @@ class TestInt8Weights:
 
 
 class TestInt8BodyNumerics:
+    @pytest.mark.slow
     def test_close_to_bf16_body(self, tiny_model):
         cfg, params, fast16, fast8 = tiny_model
         rng = np.random.default_rng(0)
@@ -73,6 +74,7 @@ class TestInt8BodyNumerics:
         assert err.max() / scale < 0.06
         assert err.mean() / scale < 0.008
 
+    @pytest.mark.slow
     def test_full_model_int8_psnr_vs_bf16(self, tiny_model):
         cfg, params, fast16, fast8 = tiny_model
         rng = np.random.default_rng(1)

@@ -75,6 +75,7 @@ class TestIFNet:
         assert out.shape == (1, 32, 32, 3)
         assert float(out.min()) >= 0.0 and float(out.max()) <= 1.0
 
+    @pytest.mark.slow
     def test_padded_arbitrary_dims(self, rng):
         cfg = ifnet.IFNetConfig(channels=(32, 24), scales=(4, 2), num_res_convs=2)
         params = ifnet.init(jax.random.PRNGKey(0), cfg)
@@ -129,6 +130,7 @@ class TestInterpolator:
         np.testing.assert_array_equal(out[0], frames[0])
         np.testing.assert_array_equal(out[2], frames[1])
 
+    @pytest.mark.slow
     def test_scene_cut_duplicates_not_synthesizes(self):
         a = np.full((32, 32, 3), 10, np.uint8)
         b = np.full((32, 32, 3), 240, np.uint8)

@@ -24,12 +24,14 @@ class TestTVSR:
         y = tvsr.apply(params, x, cfg)
         assert y.shape == (1, 3, 64, 96, 3)
 
+    @pytest.mark.slow
     def test_scale2(self):
         cfg = tvsr.TVSRConfig(dim=16, heads=2, window=4, depth=2, scale=2)
         params = tvsr.init(jax.random.PRNGKey(1), cfg)
         x = jnp.zeros((1, 2, 8, 8, 3))
         assert tvsr.apply(params, x, cfg).shape == (1, 2, 16, 16, 3)
 
+    @pytest.mark.slow
     def test_temporal_attention_mixes_frames(self, tiny):
         # zeroing a neighbor frame must change the center frame's output
         cfg, params = tiny
