@@ -83,6 +83,32 @@ def main() -> int:
         "proxy": not on_tpu,
         "s_per_frame": round(dt, 4),
     }
+
+    if on_tpu:
+        # secondary metric: the int8 fast mode (compute_dtype=int8 —
+        # the TensorRT-INT8 analog; PSNR cost bounded in
+        # tests/test_int8_mode.py). Headline stays bf16-exact.
+        try:
+            with jax.default_device(cpu):
+                # int8 wide weights come from the per-block tree
+                p0 = rrdb.init(jax.random.PRNGKey(0), cfg,
+                               dtype=jnp.bfloat16)
+                fast8 = rrdb.make_fast_params(p0, compute_dtype="int8")
+                p0 = rrdb.stack_body(p0)
+            p8, fast8 = jax.device_put((p0, fast8), jax.devices(platform)[0])
+            fwd8 = jax.jit(lambda p, fp, t: rrdb.apply_fast(p, fp, t, cfg))
+            y = fwd8(p8, fast8, x)
+            sync(y)
+            t0 = time.time()
+            for _ in range(reps):
+                y = fwd8(p8, fast8, x)
+            sync(y)
+            dt8 = (time.time() - t0) / reps
+            result["int8_fps"] = round(1.0 / dt8, 3)
+            result["int8_s_per_frame"] = round(dt8, 4)
+        except Exception as exc:  # noqa: BLE001 — secondary metric only
+            result["int8_error"] = str(exc)[:200]
+
     print(json.dumps(result))
     return 0
 
