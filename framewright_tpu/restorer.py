@@ -109,6 +109,13 @@ class VideoRestorer:
             self.config.checkpoint_dir, self.config.checkpoint_interval
         )
         self.context: Optional[PipelineContext] = None
+        if self.config.multihost:
+            # bring up jax.distributed BEFORE any jax op so the mesh
+            # spans all hosts and collectives ride ICI/DCN
+            # (parallel/dcn.py; reference NCCL process-group analog)
+            from framewright_tpu.parallel.dcn import ensure_distributed
+
+            ensure_distributed()
         self._enable_xla_cache()
 
     def _enable_xla_cache(self) -> None:
