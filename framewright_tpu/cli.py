@@ -88,6 +88,8 @@ def _add_restore_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--style", dest="sr_style_preset",
                    help="named style preset (natural, cinematic, anime, "
                         "vintage, documentary, portrait)")
+    p.add_argument("--reference-dir", dest="reference_images_dir", type=Path,
+                   help="match color/grain statistics to stills in this dir")
     p.add_argument("--qp-strength", dest="qp_strength", type=float,
                    help="DCT threshold; 0 = auto from blockiness")
     p.add_argument("--crf", type=int)

@@ -216,6 +216,8 @@ class Config:
     sr_prompt: str = ""                   # style prompt (controlled vocab)
     sr_style_preset: str = ""             # named preset (processors/guided.py)
     guidance_scale: float = 5.0           # classifier-free guidance weight
+    reference_images_dir: Optional[Path] = None  # stills to match
+    reference_strength: float = 0.5       # statistics-transfer blend
 
     # --- Auto-enhance (reference config.py enable_auto_enhance group) ---------
     auto_enhance: bool = False            # analyze content, toggle stages
@@ -294,6 +296,8 @@ class Config:
             self.output_path = Path(self.output_path)
         if self.xla_cache_dir is not None:
             self.xla_cache_dir = Path(self.xla_cache_dir)
+        if self.reference_images_dir is not None:
+            self.reference_images_dir = Path(self.reference_images_dir)
         self.work_dir = self.project_dir / "work"
         self.frames_dir = self.work_dir / "frames"
         self.checkpoint_dir = self.project_dir / "checkpoints"

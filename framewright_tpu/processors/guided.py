@@ -193,9 +193,100 @@ class DiffusionGuidedBackend:
                        0, 255).astype(np.uint8)
 
 
-def make_backend(cfg: GuidedConfig):
+class ReferenceGuidedBackend:
+    """Reference-image-guided enhancement (reference
+    enable_reference_enhance / reference_images_dir group,
+    guided_sr.py + processors/reference_enhance): matches the output's
+    color statistics and grain level to supplied reference stills.
+
+    Method: Reinhard-style statistics transfer in a decorrelated
+    luminance/chroma space (per-channel mean/std toward the pooled
+    reference statistics), plus grain-level matching via
+    processors/film.GrainManager. Classical and deterministic — works
+    with zero model weights, which is exactly the regime archival
+    reference stills are used in."""
+
+    def __init__(self, reference_dir, strength: float = 0.5, seed: int = 0):
+        from pathlib import Path
+
+        from framewright_tpu.io.png_seq import load_frame
+        from framewright_tpu.processors.film import estimate_grain_level
+
+        ref_dir = Path(reference_dir)
+        paths = (sorted(ref_dir.glob("*.png"))
+                 if ref_dir.is_dir() else [])
+        if not paths:
+            raise FileNotFoundError(
+                f"no reference images (*.png) in {reference_dir}")
+        stats = []
+        grains = []
+        for p in paths[:16]:
+            img = load_frame(p).astype(np.float32)
+            lab = self._to_ycc(img)
+            stats.append((lab.reshape(-1, 3).mean(0),
+                          lab.reshape(-1, 3).std(0)))
+            grains.append(estimate_grain_level(
+                img.astype(np.uint8)))
+        self.ref_mean = np.mean([s[0] for s in stats], axis=0)
+        self.ref_std = np.mean([s[1] for s in stats], axis=0) + 1e-6
+        self.ref_grain = float(np.mean(grains))
+        self.strength = strength
+        from framewright_tpu.processors.film import GrainManager
+
+        self._grain = GrainManager(mode="match", strength=strength,
+                                   seed=seed)
+
+    @staticmethod
+    def _to_ycc(rgb: np.ndarray) -> np.ndarray:
+        m = np.asarray([[0.299, 0.587, 0.114],
+                        [-0.1687, -0.3313, 0.5],
+                        [0.5, -0.4187, -0.0813]], np.float32)
+        return rgb @ m.T
+
+    @staticmethod
+    def _from_ycc(ycc: np.ndarray) -> np.ndarray:
+        m = np.asarray([[1.0, 0.0, 1.402],
+                        [1.0, -0.344136, -0.714136],
+                        [1.0, 1.772, 0.0]], np.float32)
+        return ycc @ m.T
+
+    def enhance(self, frame: np.ndarray) -> np.ndarray:
+        f = self._to_ycc(frame.astype(np.float32))
+        flat = f.reshape(-1, 3)
+        mu = flat.mean(0)
+        sd = flat.std(0) + 1e-6
+        matched = (f - mu) * (self.ref_std / sd) + self.ref_mean
+        out = self._from_ycc(f + self.strength * (matched - f))
+        out = np.clip(out, 0, 255).astype(np.uint8)
+        return self._grain.process(out, target_level=self.ref_grain)
+
+    def process_stream(self, frames: Iterator[np.ndarray]
+                       ) -> Iterator[np.ndarray]:
+        for fr in frames:
+            yield self.enhance(fr)
+
+
+def make_backend(cfg: GuidedConfig,
+                 reference_dir: Optional[str] = None):
     """auto: classical (always works, prompt actually applied);
-    diffusion only on request (weights contract documented)."""
+    diffusion only on request (weights contract documented);
+    a reference_dir adds statistics matching to the chain."""
     if cfg.backend == "diffusion":
-        return DiffusionGuidedBackend(cfg)
-    return ClassicalGuidedBackend(cfg)
+        base = DiffusionGuidedBackend(cfg)
+    else:
+        base = ClassicalGuidedBackend(cfg)
+    if reference_dir:
+        ref = ReferenceGuidedBackend(reference_dir,
+                                     strength=cfg.strength,
+                                     seed=cfg.seed)
+
+        class _Chain:
+            def enhance(self, frame):
+                return ref.enhance(base.enhance(frame))
+
+            def process_stream(self, frames):
+                for fr in frames:
+                    yield self.enhance(fr)
+
+        return _Chain()
+    return base

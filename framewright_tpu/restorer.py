@@ -601,15 +601,20 @@ class VideoRestorer:
                 peak_nits=cfg.hdr_peak_nits,
                 highlight_boost=cfg.hdr_highlight_boost))
         style_backend = None
-        if cfg.sr_prompt or cfg.sr_style_preset:
+        if cfg.sr_prompt or cfg.sr_style_preset or cfg.reference_images_dir:
             from framewright_tpu.processors.guided import (
                 GuidedConfig,
                 make_backend,
             )
 
-            style_backend = make_backend(GuidedConfig(
-                prompt=cfg.sr_prompt, preset=cfg.sr_style_preset,
-                guidance_scale=cfg.guidance_scale, seed=cfg.seed))
+            style_backend = make_backend(
+                GuidedConfig(
+                    prompt=cfg.sr_prompt, preset=cfg.sr_style_preset,
+                    strength=cfg.reference_strength
+                    if cfg.reference_images_dir else 0.8,
+                    guidance_scale=cfg.guidance_scale, seed=cfg.seed),
+                reference_dir=(str(cfg.reference_images_dir)
+                               if cfg.reference_images_dir else None))
         post_fx = None
         if ((grain_mode != "off" and sr is not None) or hdr_conv is not None
                 or style_backend is not None):

@@ -102,3 +102,36 @@ class TestDiffusionBackend:
                                         guidance_scale=4.0)
         assert float(jnp.abs(out2 - out1).max()) >= 0.0  # runs; shape ok
         assert out2.shape == out1.shape
+
+
+class TestReferenceGuided:
+    def test_color_statistics_move_toward_reference(self, tmp_path, frame):
+        from framewright_tpu.io.png_seq import save_frame
+        from framewright_tpu.processors.guided import (
+            GuidedConfig,
+            ReferenceGuidedBackend,
+            make_backend,
+        )
+
+        # warm, bright reference stills
+        rng = np.random.default_rng(3)
+        for i in range(2):
+            ref = rng.integers(120, 250, (32, 32, 3)).astype(np.uint8)
+            ref[..., 2] //= 2  # warm: low blue
+            save_frame(tmp_path / f"ref_{i}.png", ref)
+        b = ReferenceGuidedBackend(tmp_path, strength=0.8)
+        out = b.enhance(frame).astype(np.float32)
+        f = frame.astype(np.float32)
+        # output luma moves toward the brighter reference
+        assert out.mean() > f.mean()
+        # chain through make_backend works too
+        chain = make_backend(GuidedConfig(prompt="sharp"),
+                             reference_dir=str(tmp_path))
+        out2 = chain.enhance(frame)
+        assert out2.shape == frame.shape
+
+    def test_missing_reference_dir_raises(self, tmp_path):
+        from framewright_tpu.processors.guided import ReferenceGuidedBackend
+
+        with pytest.raises(FileNotFoundError):
+            ReferenceGuidedBackend(tmp_path / "empty")
