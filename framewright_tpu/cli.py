@@ -33,6 +33,10 @@ def _add_restore_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--config-file", type=Path, default=None)
     p.add_argument("--scale", dest="scale_factor", type=int, choices=[1, 2, 3, 4])
     p.add_argument("--model", dest="sr_model")
+    p.add_argument("--ensemble", dest="sr_ensemble",
+                   help="comma list of extra SR models to ensemble with --model")
+    p.add_argument("--ensemble-strategy", dest="ensemble_strategy",
+                   choices=["weighted", "median", "max_sharpness"])
     p.add_argument("--tile", dest="tile_size", type=int)
     p.add_argument("--batch", dest="batch_size", type=int)
     p.add_argument("--dtype", dest="compute_dtype",

@@ -17,7 +17,7 @@ import json
 import os
 from dataclasses import dataclass, field
 from pathlib import Path
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict, List, Optional, Tuple
 
 from framewright_tpu.errors import ConfigError
 
@@ -141,6 +141,10 @@ class Config:
     tile_overlap: int = 8                 # halo pixels per tile edge
     batch_size: int = 0                   # frames per device step; 0 = auto
     outscale: float = 0.0                 # final resize factor; 0 = scale_factor
+    # multi-model ensembling (reference processors/ensemble_sr.py): extra
+    # models run alongside sr_model and outputs are combined per strategy
+    sr_ensemble: str = ""                 # comma list of additional SR models
+    ensemble_strategy: str = "weighted"   # weighted|median|max_sharpness
 
     # --- Compute / device ------------------------------------------------------
     compute_dtype: str = "bfloat16"       # model forward dtype
@@ -310,6 +314,13 @@ class Config:
             raise ConfigError(
                 f"Unknown sr_model {self.sr_model!r}; valid: {_VALID_SR_MODELS}"
             )
+        if self.ensemble_strategy not in ("weighted", "median", "max_sharpness"):
+            raise ConfigError(
+                "ensemble_strategy must be weighted|median|max_sharpness")
+        for name in self.ensemble_models():
+            if not _sr_model_known(name):
+                raise ConfigError(
+                    f"Unknown ensemble model {name!r}; valid: {_VALID_SR_MODELS}")
         if self.compute_dtype not in _VALID_DTYPES:
             raise ConfigError(f"compute_dtype must be one of {_VALID_DTYPES}")
         if self.denoise_model not in _VALID_DENOISERS:
@@ -377,6 +388,10 @@ class Config:
     # ------------------------------------------------------------------
 
     _DERIVED = ("frames_dir", "work_dir", "checkpoint_dir")
+
+    def ensemble_models(self) -> List[str]:
+        """Extra SR models to ensemble with ``sr_model`` (may be empty)."""
+        return [m.strip() for m in self.sr_ensemble.split(",") if m.strip()]
 
     def to_dict(self) -> Dict[str, Any]:
         out = {}

@@ -359,6 +359,18 @@ class VideoRestorer:
                     compute_dtype=cfg.compute_dtype,
                 ))
                 dedup = None
+            elif cfg.ensemble_models():
+                # multi-model voting (reference processors/ensemble_sr.py):
+                # run all members per frame, combine per strategy.  No
+                # device pipelining (no dispatch handle) — members run
+                # sequentially, so this trades throughput for quality.
+                from framewright_tpu.testing import EnsembleSR
+
+                sr = EnsembleSR(
+                    [cfg.sr_model] + cfg.ensemble_models(),
+                    strategy=cfg.ensemble_strategy,
+                    compute_dtype=cfg.compute_dtype,
+                )
             else:
                 sr = SuperResolution(SRConfig(
                     model_name=cfg.sr_model,

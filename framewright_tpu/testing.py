@@ -113,6 +113,13 @@ class EnsembleSR:
             raise ConfigError(f"ensemble members disagree on scale: {scales}")
         self.scale = scales.pop()
 
+    def output_size(self, height: int, width: int):
+        return height * self.scale, width * self.scale
+
+    def teardown(self) -> None:
+        for m in self.members:
+            m.teardown()
+
     def process_batch(self, frames: np.ndarray) -> np.ndarray:
         outs = np.stack([m.process_batch(frames).astype(np.float32)
                          for m in self.members])

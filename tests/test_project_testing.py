@@ -72,3 +72,22 @@ class TestEnsemble:
                          weights_dir=str(tmp_path / "w"))
         with pytest.raises(ConfigError):
             ens.setup(16, 16)
+
+    def test_output_size_and_teardown(self, tmp_path):
+        ens = EnsembleSR(["realesr-animevideov3"],
+                         weights_dir=str(tmp_path / "w"))
+        ens.setup(16, 16)
+        assert ens.output_size(16, 16) == (64, 64)
+        ens.teardown()
+
+    def test_config_wiring(self):
+        from framewright_tpu.config import Config
+        from framewright_tpu.errors import ConfigError
+
+        cfg = Config(sr_ensemble="realesr-general-x4v3, realesr-animevideov3")
+        assert cfg.ensemble_models() == [
+            "realesr-general-x4v3", "realesr-animevideov3"]
+        with pytest.raises(ConfigError):
+            Config(sr_ensemble="not-a-model")
+        with pytest.raises(ConfigError):
+            Config(ensemble_strategy="vote")
