@@ -66,6 +66,9 @@ def _add_restore_args(p: argparse.ArgumentParser) -> None:
                    help="flicker reduction pass")
     p.add_argument("--temporal-model", dest="temporal_model",
                    choices=["attention", "ema"])
+    p.add_argument("--flow-model", dest="flow_model",
+                   choices=["ifnet", "raft"],
+                   help="optical-flow backend for alignment stages")
     p.add_argument("--qp-removal", dest="qp_removal", action="store_true",
                    default=None, help="codec deblocking/deringing")
     p.add_argument("--auto-enhance", dest="auto_enhance", action="store_true",

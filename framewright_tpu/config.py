@@ -167,6 +167,8 @@ class Config:
     denoise_model: str = "nafnet"
     denoise_strength: float = 0.5
     temporal_window: int = 7              # 2r+1, r=3 (ref temporal_denoise.py:114)
+    flow_model: str = "ifnet"             # ifnet | raft (alignment flow backend,
+                                          # ref processors/raft_flow.py)
     temporal_consistency: bool = False
     temporal_model: str = "attention"     # attention (cross-frame) | ema
     qp_removal: bool = False              # codec deblocking/deringing
@@ -325,6 +327,8 @@ class Config:
             raise ConfigError(f"compute_dtype must be one of {_VALID_DTYPES}")
         if self.denoise_model not in _VALID_DENOISERS:
             raise ConfigError(f"denoise_model must be one of {_VALID_DENOISERS}")
+        if self.flow_model not in ("ifnet", "raft"):
+            raise ConfigError("flow_model must be ifnet|raft")
         if self.sharding_strategy not in _VALID_SHARDING:
             raise ConfigError(f"sharding_strategy must be one of {_VALID_SHARDING}")
         if not (0.0 < self.hbm_utilization <= 1.0):

@@ -27,6 +27,7 @@ from framewright_tpu.errors import ModelError
 from framewright_tpu.models import (
     diffusion_sr,
     hat,
+    raft,
     retinaface,
     rrdb,
     srvgg,
@@ -130,6 +131,13 @@ _register(ModelSpec(
     apply_fn=tvsr.apply, init_fn=tvsr.init,
     port_fn=None,  # original architecture (VRT-class TMSA); no
                    # published checkpoint to port — models/tvsr.py
+))
+_register(ModelSpec(
+    name="raft-things", family="flow", scale=1,
+    arch_config=raft.RAFTConfig(),
+    url="https://dl.dropboxusercontent.com/s/4j4z58wuv8o0mfz/models.zip",
+    apply_fn=raft.apply, init_fn=raft.init,
+    port_fn=torch_port.port_raft,
 ))
 _register(ModelSpec(
     name="RetinaFace_mnet025", family="detector", scale=1,

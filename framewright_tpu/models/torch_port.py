@@ -392,6 +392,86 @@ def port_retinaface(sd: Mapping[str, Any]) -> Dict:
 
 
 # ---------------------------------------------------------------------------
+# RAFT (princeton-vl; raft-things.pth / raft-sintel.pth)
+# ---------------------------------------------------------------------------
+
+def port_raft(sd: Mapping[str, Any]) -> Dict:
+    """princeton-vl RAFT state dict -> models/raft pytree.
+
+    Checkpoints are saved from DataParallel, so keys carry a
+    ``module.`` prefix (stripped here). The feature encoder's
+    InstanceNorms are parameter-free; the context encoder's BatchNorms
+    fold into their convs (eval-mode exact). ``norm3`` appears in the
+    state dict both standalone and as ``downsample.1`` (the module is
+    registered under two parents); the port reads the ``downsample.1``
+    copy."""
+    if any(k.startswith("module.") for k in sd):
+        sd = {k[len("module."):]: v for k, v in sd.items()}
+    eps = 1e-5
+
+    def bn_fold(c: Dict[str, np.ndarray], prefix: str) -> Dict[str, np.ndarray]:
+        g = _to_np(sd[prefix + ".weight"]).astype(np.float32)
+        beta = _to_np(sd[prefix + ".bias"]).astype(np.float32)
+        mean = _to_np(sd[prefix + ".running_mean"]).astype(np.float32)
+        var = _to_np(sd[prefix + ".running_var"]).astype(np.float32)
+        sc = g / np.sqrt(np.maximum(var, 0.0) + eps)
+        return {"w": c["w"] * sc, "b": c["b"] * sc + beta - mean * sc}
+
+    def conv(prefix: str, bn: str = "") -> Dict[str, np.ndarray]:
+        c = _conv(sd, prefix)
+        return bn_fold(c, bn) if bn else c
+
+    def encoder(pre: str, batch: bool) -> Dict:
+        def n(suffix):            # norm prefix iff the encoder has BN
+            return f"{pre}.{suffix}" if batch else ""
+
+        def unit(p: str, strided: bool) -> Dict:
+            out = {"conv1": conv(f"{p}.conv1", n_unit(p, "norm1")),
+                   "conv2": conv(f"{p}.conv2", n_unit(p, "norm2"))}
+            if strided:
+                out["down"] = conv(f"{p}.downsample.0",
+                                   n_unit(p, "downsample.1"))
+            return out
+
+        def n_unit(p, suffix):
+            return f"{p}.{suffix}" if batch else ""
+
+        return {
+            "conv1": conv(f"{pre}.conv1", n("norm1")),
+            "layer1": [unit(f"{pre}.layer1.0", False),
+                       unit(f"{pre}.layer1.1", False)],
+            "layer2": [unit(f"{pre}.layer2.0", True),
+                       unit(f"{pre}.layer2.1", False)],
+            "layer3": [unit(f"{pre}.layer3.0", True),
+                       unit(f"{pre}.layer3.1", False)],
+            "conv2": conv(f"{pre}.conv2"),
+        }
+
+    u = "update_block"
+    return {
+        "fnet": encoder("fnet", batch=False),
+        "cnet": encoder("cnet", batch=True),
+        "update": {
+            "convc1": conv(f"{u}.encoder.convc1"),
+            "convc2": conv(f"{u}.encoder.convc2"),
+            "convf1": conv(f"{u}.encoder.convf1"),
+            "convf2": conv(f"{u}.encoder.convf2"),
+            "conv": conv(f"{u}.encoder.conv"),
+            "convz1": conv(f"{u}.gru.convz1"),
+            "convr1": conv(f"{u}.gru.convr1"),
+            "convq1": conv(f"{u}.gru.convq1"),
+            "convz2": conv(f"{u}.gru.convz2"),
+            "convr2": conv(f"{u}.gru.convr2"),
+            "convq2": conv(f"{u}.gru.convq2"),
+            "flow1": conv(f"{u}.flow_head.conv1"),
+            "flow2": conv(f"{u}.flow_head.conv2"),
+            "mask1": conv(f"{u}.mask.0"),
+            "mask2": conv(f"{u}.mask.2"),
+        },
+    }
+
+
+# ---------------------------------------------------------------------------
 # Generic helpers
 # ---------------------------------------------------------------------------
 

@@ -32,6 +32,7 @@ class TemporalDenoiseConfig:
     strength: float = 0.5           # blend of denoised vs original
     method: str = "temporal"        # temporal | nafnet | restormer | bilateral
     flow_align: bool = True         # motion-compensate neighbors (needs flow weights)
+    flow_model: str = "ifnet"       # ifnet | raft (RAFT-class estimator)
     similarity_sigma: float = 0.08  # photometric rejection width ([0,1] units)
     scene_change_threshold: float = 0.30
     flicker_reduction: bool = True
@@ -63,9 +64,24 @@ class TemporalDenoiser:
         from framewright_tpu.models import ifnet
         from framewright_tpu.ops.warp import flow_warp
 
-        arch = ifnet.IFNetConfig(channels=(96, 64), scales=(4, 2), num_res_convs=4)
-        flow_params = ifnet.init(jax.random.PRNGKey(1), arch)
         cfg = self.config
+        if cfg.flow_model == "raft":
+            from framewright_tpu.models import raft
+            from framewright_tpu.models.registry import init_model
+
+            raft_cfg = raft.RAFTConfig(iters=8)
+            _, flow_params = init_model("raft-things",
+                                        weights_dir=cfg.weights_dir)
+
+            def flow_fn(fp, a, b):
+                return raft.estimate_flow(fp, a, b, raft_cfg)
+        else:
+            arch = ifnet.IFNetConfig(channels=(96, 64), scales=(4, 2),
+                                     num_res_convs=4)
+            flow_params = ifnet.init(jax.random.PRNGKey(1), arch)
+
+            def flow_fn(fp, a, b):
+                return ifnet.estimate_flow(fp, a, b, arch)
         sigma2 = 2.0 * cfg.similarity_sigma ** 2
 
         @jax.jit
@@ -80,7 +96,7 @@ class TemporalDenoiser:
             c_rep = jnp.broadcast_to(center, neighbors.shape)
             if cfg.flow_align:
                 # flow estimated center->neighbor; warp neighbor back
-                flow_full = ifnet.estimate_flow(fp, c_rep, neighbors, arch)
+                flow_full = flow_fn(fp, c_rep, neighbors)
                 warped = flow_warp(neighbors, flow_full)
             else:
                 warped = neighbors

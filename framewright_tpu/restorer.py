@@ -565,6 +565,7 @@ class VideoRestorer:
                 if cfg.denoise_model in ("temporal", "nafnet", "restormer",
                                          "bilateral") else "temporal",
                 scene_change_threshold=cfg.scene_threshold,
+                flow_model=cfg.flow_model,
             ))
             dn.setup(meta.height, meta.width)
             src_iter = dn.denoise_stream(src_iter)

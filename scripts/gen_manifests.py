@@ -213,7 +213,72 @@ def gfpgan_manifest() -> dict:
     return keys, ign
 
 
+# ---------------------------------------------------------------------------
+# RAFT basic (princeton-vl raft-things/raft-sintel; 'module.' DataParallel
+# prefix stripped by the port)
+# ---------------------------------------------------------------------------
+
+def raft_manifest() -> tuple:
+    keys = {}
+    ignorable = []
+
+    def bn(name, c, ignore=False):
+        for suf in ("weight", "bias", "running_mean", "running_var"):
+            keys[f"{name}.{suf}"] = [c]
+        ignorable.append(f"{name}.num_batches_tracked")
+        if ignore:
+            # norm3 is registered BOTH standalone and as downsample.1
+            # (one module, two parents) — the port reads downsample.1
+            for suf in ("weight", "bias", "running_mean", "running_var"):
+                ignorable.append(f"{name}.{suf}")
+
+    def encoder(pre, batch, out_dim):
+        _conv(keys, f"{pre}.conv1", 64, 3, 7)
+        if batch:
+            bn(f"{pre}.norm1", 64)
+        plan = [("layer1.0", 64, 64, 1), ("layer1.1", 64, 64, 1),
+                ("layer2.0", 64, 96, 2), ("layer2.1", 96, 96, 1),
+                ("layer3.0", 96, 128, 2), ("layer3.1", 128, 128, 1)]
+        for sub, ci, co, stride in plan:
+            p = f"{pre}.{sub}"
+            _conv(keys, f"{p}.conv1", co, ci, 3)
+            _conv(keys, f"{p}.conv2", co, co, 3)
+            if batch:
+                bn(f"{p}.norm1", co)
+                bn(f"{p}.norm2", co)
+            if stride != 1:
+                keys[f"{p}.downsample.0.weight"] = [co, ci, 1, 1]
+                keys[f"{p}.downsample.0.bias"] = [co]
+                if batch:
+                    bn(f"{p}.norm3", co, ignore=True)
+                    bn(f"{p}.downsample.1", co)
+        _conv(keys, f"{pre}.conv2", out_dim, 128, 1)
+
+    encoder("fnet", batch=False, out_dim=256)
+    encoder("cnet", batch=True, out_dim=256)
+
+    u = "update_block"
+    _conv(keys, f"{u}.encoder.convc1", 256, 324, 1)
+    _conv(keys, f"{u}.encoder.convc2", 192, 256, 3)
+    _conv(keys, f"{u}.encoder.convf1", 128, 2, 7)
+    _conv(keys, f"{u}.encoder.convf2", 64, 128, 3)
+    _conv(keys, f"{u}.encoder.conv", 126, 256, 3)
+    for g in ("convz1", "convr1", "convq1"):
+        keys[f"{u}.gru.{g}.weight"] = [128, 384, 1, 5]
+        keys[f"{u}.gru.{g}.bias"] = [128]
+    for g in ("convz2", "convr2", "convq2"):
+        keys[f"{u}.gru.{g}.weight"] = [128, 384, 5, 1]
+        keys[f"{u}.gru.{g}.bias"] = [128]
+    _conv(keys, f"{u}.flow_head.conv1", 256, 128, 3)
+    _conv(keys, f"{u}.flow_head.conv2", 2, 256, 3)
+    _conv(keys, f"{u}.mask.0", 256, 128, 3)
+    _conv(keys, f"{u}.mask.2", 576, 256, 1)
+    return keys, ignorable
+
+
 MANIFESTS = {
+    "raft-things": (raft_manifest,
+                    "princeton-vl RAFT basic (corr 4 levels, r=4)"),
     "RealESRGAN_x2plus": (lambda: rrdb_manifest(23, 12),
                           "realesrgan x2: pixel-unshuffle input (3*4 ch)"),
     "RealESRGAN_x4plus": (lambda: rrdb_manifest(23, 3), "realesrgan x4"),
