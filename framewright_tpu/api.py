@@ -34,6 +34,14 @@ from framewright_tpu.batch import BatchQueueProcessor
 from framewright_tpu.persistence import JobStore
 from framewright_tpu.security import RateLimiter
 
+
+def _task_dict(task) -> dict:
+    return {"task_id": task.task_id, "status": task.status,
+            "progress": task.progress, "start": task.start,
+            "n_frames": task.n_frames,
+            "output": str(task.output) if task.output else None,
+            "error": task.error}
+
 logger = logging.getLogger(__name__)
 
 _DASHBOARD_HTML = """<!doctype html><html><head><meta charset="utf-8">
@@ -94,6 +102,20 @@ class APIServer:
         self._httpd: Optional[ThreadingHTTPServer] = None
         self._worker: Optional[threading.Thread] = None
         self._stop = threading.Event()
+        self._previews = {}               # source -> PreviewServer
+
+    def _preview_for(self, source: str):
+        """One PreviewServer (cache + render queue) per source file."""
+        if source not in self._previews:
+            from framewright_tpu.preview import PreviewServer
+
+            ps = PreviewServer(Path(source),
+                               Path(self.store.db_path).parent
+                               / "previews"
+                               / Path(source).stem)
+            ps.start()
+            self._previews[source] = ps
+        return self._previews[source]
 
     # ------------------------------------------------------------------
     def _make_handler(self):
@@ -168,6 +190,17 @@ class APIServer:
                     if job is None:
                         return self._send(404, {"error": "not found"})
                     return self._send(200, self._job_dict(job))
+                if path.startswith("/api/preview/"):
+                    tid = path.split("/")[-1]
+                    for ps in server._previews.values():
+                        task = ps.queue.get_task(tid)
+                        if task is not None:
+                            return self._send(200, _task_dict(task))
+                    return self._send(404, {"error": "not found"})
+                if path == "/api/preview-status":
+                    return self._send(200, {
+                        src: ps.status()
+                        for src, ps in server._previews.items()})
                 self._send(404, {"error": "unknown endpoint"})
 
             # ---------------- POST ----------------
@@ -191,6 +224,25 @@ class APIServer:
                         return self._send(400, {"error": str(exc)})
                     jid = server.queue.submit(source, body.get("output", ""), cfg)
                     return self._send(201, {"job_id": jid})
+                if path == "/api/preview":
+                    # queue a segment preview: {source, start, n_frames,
+                    # config} -> task (ref _ui_pkg/preview/server.py:661)
+                    source = body.get("source", "")
+                    if not source or not Path(source).exists():
+                        return self._send(400, {"error": "source required"})
+                    from framewright_tpu.config import Config
+                    from framewright_tpu.errors import FramewrightError
+
+                    try:
+                        cfg = Config.from_dict(body.get("config", {}))
+                    except FramewrightError as exc:
+                        return self._send(400, {"error": str(exc)})
+                    ps = server._preview_for(source)
+                    task = ps.render_segment(int(body.get("start", 0)),
+                                             int(body.get("n_frames", 48)),
+                                             cfg,
+                                             int(body.get("priority", 5)))
+                    return self._send(202, _task_dict(task))
                 if path == "/api/analyze":
                     source = body.get("source", "")
                     try:
@@ -272,6 +324,8 @@ class APIServer:
 
     def stop(self) -> None:
         self._stop.set()
+        for ps in self._previews.values():
+            ps.stop()
         if self._httpd:
             self._httpd.shutdown()
             self._httpd.server_close()
