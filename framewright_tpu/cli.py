@@ -349,7 +349,7 @@ def cmd_analyze(args: argparse.Namespace) -> int:
         dedup = FrameDeduplicator(DedupConfig()).analyze(iter(r), target_fps=meta.fps)
     with open_reader(args.source) as r:
         scenes = SceneDetector().analyze(iter(r))
-    print(json.dumps({
+    report = {
         "input": f"{meta.width}x{meta.height}@{meta.fps:.2f}",
         "frames": meta.nb_frames,
         "unique_frames": dedup.unique_frames,
@@ -361,7 +361,20 @@ def cmd_analyze(args: argparse.Namespace) -> int:
             "deduplicate": dedup.dedup_ratio > 0.1,
             "interpolate_to_fps": meta.fps if dedup.dedup_ratio > 0.1 else 0,
         },
-    }, indent=2))
+    }
+    if getattr(args, "intelligence", False):
+        # per-scene content map (reference scene_intelligence.py:293)
+        from framewright_tpu.processors.scene_intelligence import SceneIntelligence
+
+        si = SceneIntelligence()
+        with open_reader(args.source) as r:
+            analyses = si.analyze_video(iter(r))
+        report["scene_intelligence"] = si.get_summary(analyses)
+        report["adaptive_settings"] = {
+            f: s.to_dict()
+            for f, s in list(si.generate_processing_map(analyses).items())[:20]
+        }
+    print(json.dumps(report, indent=2))
     return 0
 
 
@@ -673,6 +686,8 @@ def build_parser() -> argparse.ArgumentParser:
 
     p = sub.add_parser("analyze", help="content analysis (dedup/scenes)")
     p.add_argument("source")
+    p.add_argument("--intelligence", action="store_true",
+                   help="per-scene content map + adaptive settings")
     p.set_defaults(func=cmd_analyze)
 
     p = sub.add_parser("bench", help="run the headline benchmark")
