@@ -544,6 +544,193 @@ def cmd_wizard(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_interpolate(args: argparse.Namespace) -> int:
+    """Standalone frame interpolation (reference `framewright
+    interpolate`, cli.py interpolate verb)."""
+    from framewright_tpu.io import open_reader, open_writer, probe
+    from framewright_tpu.processors.interpolation import (
+        FrameInterpolator,
+        InterpolationConfig,
+        interpolation_factor,
+    )
+
+    meta = probe(args.source)
+    target = args.target_fps or meta.fps * args.factor
+    cfg = InterpolationConfig(target_fps=target,
+                              compute_dtype=args.dtype)
+    interp = FrameInterpolator(cfg)
+    interp.setup(meta.height, meta.width)
+    factor = interpolation_factor(meta.fps, target)
+    out = args.output or Path(args.source).with_name(
+        Path(args.source).stem + f"_{int(meta.fps * factor)}fps.y4m")
+    writer = open_writer(out, meta.width, meta.height,
+                         fps=meta.fps * factor)
+    n = 0
+    with open_reader(args.source) as r:
+        for frame in interp.interpolate_to_fps(iter(r), meta.fps):
+            writer.write_frame(frame)
+            n += 1
+    writer.close()
+    print(json.dumps({"output": str(out), "frames": n,
+                      "factor": factor,
+                      "fps": meta.fps * factor}, indent=2))
+    return 0
+
+
+def cmd_extract_frames(args: argparse.Namespace) -> int:
+    """Decode a video to a numbered PNG frame directory (reference
+    `framewright extract-frames`)."""
+    from framewright_tpu.io import open_reader, probe
+    from framewright_tpu.io.png_seq import FrameDirWriter
+
+    meta = probe(args.source)
+    w = FrameDirWriter(Path(args.directory), fps=meta.fps)
+    n = 0
+    with open_reader(args.source) as r:
+        for frame in r:
+            w.write_frame(frame)
+            n += 1
+    w.close()
+    print(json.dumps({"directory": args.directory, "frames": n,
+                      "fps": meta.fps}, indent=2))
+    return 0
+
+
+def cmd_reassemble(args: argparse.Namespace) -> int:
+    """Encode a frame directory back to video (reference `framewright
+    reassemble`)."""
+    from framewright_tpu.io import open_reader, open_writer
+
+    with open_reader(args.directory, fps_hint=args.fps) as r:
+        writer = open_writer(args.output, r.width, r.height, fps=args.fps)
+        n = 0
+        for frame in r:
+            writer.write_frame(frame)
+            n += 1
+        writer.close()
+    print(json.dumps({"output": str(args.output), "frames": n}, indent=2))
+    return 0
+
+
+def cmd_compare(args: argparse.Namespace) -> int:
+    """Quality comparison of two videos frame-by-frame (reference
+    `framewright compare`): PSNR/SSIM/VMAF-proxy."""
+    import numpy as np
+
+    from framewright_tpu.io import open_reader
+    from framewright_tpu.ops.metrics import psnr_np, ssim_np
+    from framewright_tpu.quality.vmaf import VMAFProxy
+
+    scores = {"psnr": [], "ssim": []}
+    ref_frames, dis_frames = [], []
+    with open_reader(args.reference) as ra, open_reader(args.distorted) as rb:
+        for i, (fa, fb) in enumerate(zip(ra, rb)):
+            if i % args.sample_every:
+                continue
+            if fa.shape != fb.shape:
+                print(f"error: frame {i} shape mismatch "
+                      f"{fa.shape} vs {fb.shape}", file=sys.stderr)
+                return 1
+            scores["psnr"].append(psnr_np(fa, fb))
+            scores["ssim"].append(ssim_np(fa, fb))
+            if len(ref_frames) < 32:
+                ref_frames.append(fa)
+                dis_frames.append(fb)
+    if not scores["psnr"]:
+        print("error: no comparable frames", file=sys.stderr)
+        return 1
+    cap = 99.0   # lossless frames report inf; keep the JSON standard
+    report = {
+        "frames_compared": len(scores["psnr"]),
+        "psnr_mean": round(min(float(np.mean(scores["psnr"])), cap), 2),
+        "psnr_min": round(min(float(np.min(scores["psnr"])), cap), 2),
+        "ssim_mean": round(float(np.mean(scores["ssim"])), 4),
+    }
+    if ref_frames:
+        vr = VMAFProxy().score(np.stack(ref_frames), np.stack(dis_frames))
+        report["vmaf_proxy"] = round(vr.score, 2)
+    print(json.dumps(report, indent=2))
+    return 0
+
+
+def cmd_upload(args: argparse.Namespace) -> int:
+    """Publish a restored video (reference `framewright upload
+    youtube|archive`, integration/youtube_upload.py, archive_org.py)."""
+    if args.service == "archive":
+        from framewright_tpu.uploads import ArchiveMetadata, ArchiveUploader
+
+        up = ArchiveUploader(args.access_key, args.secret_key)
+        meta = ArchiveMetadata(
+            identifier=args.identifier or Path(args.file).stem,
+            title=args.title or Path(args.file).stem,
+            description=args.description, creator=args.creator)
+        result = up.upload(Path(args.file), meta)
+    else:
+        from framewright_tpu.uploads import YouTubeMetadata, YouTubeUploader
+
+        up = YouTubeUploader(args.access_token)
+        if not up.is_authenticated() and args.refresh_token:
+            up.refresh_access_token(args.client_id, args.client_secret,
+                                    args.refresh_token)
+        result = up.upload(Path(args.file), YouTubeMetadata(
+            title=args.title or Path(args.file).stem,
+            description=args.description, privacy=args.privacy))
+    print(json.dumps({"ok": result.ok, "url": result.url,
+                      "error": result.error}, indent=2))
+    return 0 if result.ok else 1
+
+
+def cmd_notify(args: argparse.Namespace) -> int:
+    """Send a test notification (reference `framewright notify
+    email|sms`, integration/notifications.py)."""
+    ok = False
+    if args.channel == "email":
+        from framewright_tpu.uploads import EmailConfig, EmailSender
+
+        cfg = EmailConfig(smtp_host=args.smtp_host, smtp_port=args.smtp_port,
+                          username=args.username, password=args.password,
+                          recipients=[args.to])
+        ok = EmailSender(cfg).send(args.subject, args.body)
+    else:
+        from framewright_tpu.uploads import SMSSender
+
+        ok = SMSSender(args.gateway, api_key=args.api_key).send(
+            args.to, args.body)
+    print(json.dumps({"sent": ok}))
+    return 0 if ok else 1
+
+
+KNOWN_VERBS = {
+    "restore", "probe", "check", "presets", "models", "analyze", "bench",
+    "suite", "recipes", "recipe", "auto", "do", "batch", "watch",
+    "qa-report", "export-presets", "audio", "wizard", "farm", "subtitles",
+    "interpolate", "extract-frames", "reassemble", "compare", "upload",
+    "notify", "completion",
+}
+
+_COMPLETION_BASH = """\
+_framewright() {
+  local cur prev verbs
+  COMPREPLY=()
+  cur="${COMP_WORDS[COMP_CWORD]}"
+  verbs="%s"
+  if [ "$COMP_CWORD" -eq 1 ]; then
+    COMPREPLY=( $(compgen -W "$verbs" -- "$cur") )
+  else
+    COMPREPLY=( $(compgen -f -- "$cur") )
+  fi
+}
+complete -F _framewright framewright
+"""
+
+
+def cmd_completion(args: argparse.Namespace) -> int:
+    """Emit a bash completion script (reference `framewright
+    completion`)."""
+    print(_COMPLETION_BASH % " ".join(sorted(KNOWN_VERBS)))
+    return 0
+
+
 def cmd_subtitles(args: argparse.Namespace) -> int:
     """Extract hardcoded subtitle events (+text when OCR is available)
     to SRT (reference subtitle_extraction.py surface)."""
@@ -796,6 +983,69 @@ def build_parser() -> argparse.ArgumentParser:
                    help="timing-only SRT (skip text recognition)")
     p.set_defaults(func=cmd_subtitles)
 
+    p = sub.add_parser("interpolate", help="standalone frame interpolation")
+    p.add_argument("source")
+    p.add_argument("-o", "--output", type=Path, default=None)
+    p.add_argument("--factor", type=int, default=2,
+                   help="multiply fps by this (ignored with --target-fps)")
+    p.add_argument("--target-fps", dest="target_fps", type=float, default=0.0)
+    p.add_argument("--dtype", default="float32",
+                   choices=["bfloat16", "float32"])
+    p.set_defaults(func=cmd_interpolate)
+
+    p = sub.add_parser("extract-frames",
+                       help="decode a video to a PNG frame directory")
+    p.add_argument("source")
+    p.add_argument("directory")
+    p.set_defaults(func=cmd_extract_frames)
+
+    p = sub.add_parser("reassemble",
+                       help="encode a frame directory back to video")
+    p.add_argument("directory")
+    p.add_argument("-o", "--output", required=True)
+    p.add_argument("--fps", type=float, default=25.0)
+    p.set_defaults(func=cmd_reassemble)
+
+    p = sub.add_parser("compare",
+                       help="frame-by-frame quality comparison of two videos")
+    p.add_argument("reference")
+    p.add_argument("distorted")
+    p.add_argument("--sample-every", type=int, default=1)
+    p.set_defaults(func=cmd_compare)
+
+    p = sub.add_parser("upload", help="publish to YouTube / archive.org")
+    p.add_argument("service", choices=["youtube", "archive"])
+    p.add_argument("file")
+    p.add_argument("--title", default="")
+    p.add_argument("--description", default="")
+    p.add_argument("--creator", default="")
+    p.add_argument("--identifier", default="", help="archive.org item id")
+    p.add_argument("--access-key", default="", help="archive.org IAS3 key")
+    p.add_argument("--secret-key", default="", help="archive.org IAS3 secret")
+    p.add_argument("--access-token", default="", help="YouTube OAuth2 token")
+    p.add_argument("--client-id", default="")
+    p.add_argument("--client-secret", default="")
+    p.add_argument("--refresh-token", default="")
+    p.add_argument("--privacy", default="private",
+                   choices=["private", "unlisted", "public"])
+    p.set_defaults(func=cmd_upload)
+
+    p = sub.add_parser("notify", help="send a test notification")
+    p.add_argument("channel", choices=["email", "sms"])
+    p.add_argument("--to", required=True)
+    p.add_argument("--subject", default="[framewright] test")
+    p.add_argument("--body", default="notification test")
+    p.add_argument("--smtp-host", default="localhost")
+    p.add_argument("--smtp-port", type=int, default=587)
+    p.add_argument("--username", default="")
+    p.add_argument("--password", default="")
+    p.add_argument("--gateway", default="", help="SMS gateway webhook URL")
+    p.add_argument("--api-key", default="")
+    p.set_defaults(func=cmd_notify)
+
+    p = sub.add_parser("completion", help="print a bash completion script")
+    p.set_defaults(func=cmd_completion)
+
     p = sub.add_parser("audio", help="enhance a WAV audio file")
     p.add_argument("source")
     p.add_argument("output")
@@ -822,10 +1072,7 @@ def main_bench(argv: Optional[List[str]] = None) -> int:
 def main(argv: Optional[List[str]] = None) -> int:
     argv = list(sys.argv[1:] if argv is None else argv)
     # `framewright video.mp4` sugar: treat a path-like first arg as restore
-    known = {"restore", "probe", "check", "presets", "models", "analyze",
-             "bench", "suite", "recipes", "recipe", "auto", "do", "batch",
-             "watch", "qa-report", "export-presets", "audio", "wizard",
-             "farm", "subtitles", "-h", "--help", "--version"}
+    known = KNOWN_VERBS | {"-h", "--help", "--version"}
     if argv and argv[0] not in known and not argv[0].startswith("-"):
         argv = ["restore"] + argv
     parser = build_parser()

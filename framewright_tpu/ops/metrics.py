@@ -135,6 +135,14 @@ def psnr_np(a: np.ndarray, b: np.ndarray, max_val: float = 255.0) -> float:
     return float(10.0 * np.log10(max_val * max_val / mse))
 
 
+def ssim_np(a: np.ndarray, b: np.ndarray, max_val: float = 255.0) -> float:
+    """Host-side SSIM for single uint8 frames (delegates to the jit
+    path; adds the batch dim and scales to [0,1])."""
+    aj = jnp.asarray(a.astype(np.float32) / max_val)[None]
+    bj = jnp.asarray(b.astype(np.float32) / max_val)[None]
+    return float(ssim(aj, bj, max_val=1.0))
+
+
 def quality_gate(
     out_frames: jnp.ndarray,
     ref_frames: jnp.ndarray,
