@@ -90,10 +90,19 @@ def main() -> int:
         # tests/test_int8_mode.py). Headline stays bf16-exact.
         try:
             with jax.default_device(cpu):
-                # int8 wide weights come from the per-block tree
                 p0 = rrdb.init(jax.random.PRNGKey(0), cfg,
                                dtype=jnp.bfloat16)
-                fast8 = rrdb.make_fast_params(p0, compute_dtype="int8")
+            # static activation scales calibrated on the bench input —
+            # production default (int8_scales="static"). Calibration
+            # runs ON the accelerator (the CPU bf16 scan takes minutes)
+            p_dev = jax.device_put(p0, jax.devices(platform)[0])
+            sample = jnp.asarray(
+                np.asarray(x[:, :256, :256], np.float32))
+            amax = np.asarray(rrdb.calibrate_act_scales(p_dev, cfg, sample))
+            del p_dev
+            with jax.default_device(cpu):
+                fast8 = rrdb.make_fast_params(p0, compute_dtype="int8",
+                                              act_amax=amax)
                 p0 = rrdb.stack_body(p0)
             p8, fast8 = jax.device_put((p0, fast8), jax.devices(platform)[0])
             fwd8 = jax.jit(lambda p, fp, t: rrdb.apply_fast(p, fp, t, cfg))

@@ -57,6 +57,10 @@ class SRConfig:
                                   # max_enhancement_strength)
     diffusion_steps: int = 0      # diffusion family: DDIM steps (0=arch)
     diffusion_strength: float = 0.0  # diffusion family: propagate_t
+    int8_scales: str = "static"   # static (calibrate on the first batch,
+                                  # faster) | dynamic (in-kernel absmax)
+    int8_calib_margin: float = 1.25  # headroom over observed activation
+                                     # ranges (static mode)
 
 
 class SuperResolution(FrameProcessor):
@@ -69,6 +73,7 @@ class SuperResolution(FrameProcessor):
         self._spec = None
         self._params = None
         self._fast_params = None
+        self._int8_calibrate = False
 
     # ------------------------------------------------------------------
     def setup(self, height: int, width: int) -> None:
@@ -112,10 +117,17 @@ class SuperResolution(FrameProcessor):
             from framewright_tpu.models import rrdb
 
             if use_fused:
-                self._fast_params = rrdb.make_fast_params(
-                    params,
-                    compute_dtype=("int8" if cfg.compute_dtype == "int8"
-                                   else "bf16"))
+                int8 = cfg.compute_dtype == "int8"
+                if int8 and cfg.int8_scales == "static":
+                    # static scales need activation ranges: calibrated
+                    # on the FIRST batch (dispatch), so the kernel skips
+                    # the serializing in-kernel absmax. jit is lazy —
+                    # nothing compiles until the first call.
+                    self._int8_calibrate = True
+                    self._fast_params = None
+                else:
+                    self._fast_params = rrdb.make_fast_params(
+                        params, compute_dtype="int8" if int8 else "bf16")
             params = rrdb.stack_body(params)
         self._params = params
 
@@ -256,6 +268,38 @@ class SuperResolution(FrameProcessor):
         self._compile(self._jit_dtype, self._jit_fused)
 
     # ------------------------------------------------------------------
+    def _calibrate_int8(self, x_u8: np.ndarray) -> None:
+        """Build static-scale int8 fast params from the first batch's
+        activation ranges (the TensorRT Int8Calibrator analog,
+        reference tensorrt.py:331-455): one bf16 instrumented pass on a
+        center crop, then the int8 kernel runs with scalar scales."""
+        import jax
+        import jax.numpy as jnp
+
+        from framewright_tpu.models import rrdb
+
+        cfg = self.config
+        b, h, w, _ = x_u8.shape
+        ch = min(h, 256) & ~7          # /8-safe for any scale variant
+        cw = min(w, 256) & ~7
+        r0, c0 = (h - ch) // 2, (w - cw) // 2
+        sample = jnp.asarray(
+            x_u8[:1, r0:r0 + ch, c0:c0 + cw].astype(np.float32) / 255.0)
+        amax = np.asarray(rrdb.calibrate_act_scales(
+            self._params, self._spec.arch_config, sample,
+            margin=cfg.int8_calib_margin))
+        self._fast_params = rrdb.make_fast_params(
+            self._params, compute_dtype="int8", act_amax=amax)
+        if self._mesh is not None:
+            from framewright_tpu.parallel.mesh import replicate
+
+            self._fast_params = jax.device_put(
+                self._fast_params, replicate(self._mesh))
+        self._int8_calibrate = False
+        self._compile(self._jit_dtype, True)
+        logger.info("int8 static scales calibrated (margin %.2f)",
+                    cfg.int8_calib_margin)
+
     def dispatch(self, frames: np.ndarray):
         """Enqueue a batch on the device WITHOUT blocking (jax async
         dispatch) and return an opaque handle for ``materialize``. The
@@ -266,6 +310,8 @@ class SuperResolution(FrameProcessor):
         import jax
 
         x = frames if frames.dtype == np.uint8 else to_uint8(frames)
+        if self._int8_calibrate:
+            self._calibrate_int8(x)
         n = x.shape[0]
         if self._mesh is not None:
             from framewright_tpu.parallel.mesh import pad_batch_for_mesh

@@ -88,3 +88,99 @@ class TestInt8BodyNumerics:
         mse = float(np.mean((y16 - y8) ** 2))
         psnr = 10 * np.log10(1.0 / max(mse, 1e-12))
         assert psnr > 40.0, f"int8-vs-bf16 PSNR too low: {psnr:.1f} dB"
+
+
+class TestInt8StaticScales:
+    """Calibrated static activation scales (the Int8Calibrator analog;
+    measured 5.78 -> 3.68 ms/sweep on v5e vs dynamic — PERF.md)."""
+
+    def test_calibration_shapes(self, tiny_model):
+        cfg, params, _, _ = tiny_model
+        rng = np.random.default_rng(0)
+        sample = jnp.asarray(rng.random((1, 16, 16, 3), dtype=np.float32))
+        amax = rrdb.calibrate_act_scales(params, cfg, sample, margin=1.25)
+        assert amax.shape == (1, 3, 5)
+        assert float(jnp.min(amax)) > 0.0
+
+    def test_act_q_packing(self, tiny_model):
+        cfg, params, _, _ = tiny_model
+        amax = np.full((1, 3, 5), 2.0, np.float32)
+        fast = rrdb.make_fast_params(params, compute_dtype="int8",
+                                     act_amax=amax)
+        aq = np.asarray(fast["body_wide"]["act_q"])
+        assert aq.shape == (1, 3, 10)
+        np.testing.assert_allclose(aq[0, 0, :5], 2.0 / 127.0, rtol=1e-6)
+        np.testing.assert_allclose(aq[0, 0, 5:], 127.0 / 2.0, rtol=1e-6)
+
+    @pytest.mark.slow
+    def test_static_close_to_bf16_body(self, tiny_model):
+        cfg, params, fast16, _ = tiny_model
+        rng = np.random.default_rng(0)
+        feat_np = rng.standard_normal((1, 40, 48, 64)).astype(np.float32) * 0.5
+        feat = jnp.asarray(feat_np).astype(jnp.bfloat16)
+        # calibrate on a real sample so ranges cover the test input
+        sample = jnp.asarray(rng.random((1, 16, 16, 3), dtype=np.float32))
+        amax = rrdb.calibrate_act_scales(params, cfg, sample, margin=4.0)
+        # body input here is raw features, not head output: widen the
+        # input-stage range to the actual feat amax
+        amax = np.array(amax)            # writable copy
+        amax[:, :, 0] = np.abs(feat_np).max() * 1.25
+        fast8s = rrdb.make_fast_params(params, compute_dtype="int8",
+                                       act_amax=amax)
+        ref = np.asarray(
+            fused_rrdb.rrdb_body_fast(feat, fast16, interpret=True),
+            np.float32)
+        got = np.asarray(
+            fused_rrdb.rrdb_body_fast(feat, fast8s, interpret=True),
+            np.float32)
+        err = np.abs(got - ref)
+        scale = np.abs(ref).max() + 1e-3
+        assert err.max() / scale < 0.10
+        assert err.mean() / scale < 0.02
+
+    @pytest.mark.slow
+    def test_full_model_static_int8_psnr(self, tiny_model):
+        cfg, params, fast16, _ = tiny_model
+        rng = np.random.default_rng(1)
+        x = jnp.asarray(rng.random((1, 24, 32, 3), dtype=np.float32))
+        amax = rrdb.calibrate_act_scales(params, cfg, x, margin=1.25)
+        fast8s = rrdb.make_fast_params(params, compute_dtype="int8",
+                                       act_amax=np.asarray(amax))
+        y16 = np.asarray(rrdb.apply_fast(
+            params, fast16, x.astype(jnp.bfloat16), cfg, interpret=True),
+            np.float32)
+        y8 = np.asarray(rrdb.apply_fast(
+            params, fast8s, x.astype(jnp.bfloat16), cfg, interpret=True),
+            np.float32)
+        mse = float(np.mean((y16 - y8) ** 2))
+        psnr = 10 * np.log10(1.0 / max(mse, 1e-12))
+        assert psnr > 38.0, f"static-int8 PSNR too low: {psnr:.1f} dB"
+
+    @pytest.mark.slow
+    def test_processor_calibrates_on_first_batch(self, tmp_path):
+        from framewright_tpu.processors.super_resolution import (
+            SRConfig,
+            SuperResolution,
+        )
+
+        sr = SuperResolution(SRConfig(
+            model_name="RealESRGAN_x2plus", compute_dtype="int8",
+            weights_dir=str(tmp_path), sharding="none",
+            use_fused_kernel=True))
+        # interpret-mode fused kernels only run via apply_fast's
+        # interpret flag; on CPU the pallas interpreter handles it —
+        # force the fused path and drive one tiny batch
+        sr.setup(16, 16)
+        assert sr._int8_calibrate
+        rng = np.random.default_rng(0)
+        frames = rng.integers(0, 256, (1, 16, 16, 3), dtype=np.uint8)
+        try:
+            out = sr.process_batch(frames)
+        except Exception:
+            # CPU can't run the compiled (non-interpret) pallas kernel;
+            # calibration must still have happened before the attempt
+            out = None
+        assert not sr._int8_calibrate
+        assert sr._fast_params is not None
+        assert "act_q" in sr._fast_params["body_wide"]
+        sr.teardown()
