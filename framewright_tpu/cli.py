@@ -74,6 +74,9 @@ def _add_restore_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--auto-enhance", dest="auto_enhance", action="store_true",
                    default=None,
                    help="analyze content and toggle restoration stages")
+    p.add_argument("--scene-adaptive", dest="scene_adaptive",
+                   action="store_true", default=None,
+                   help="per-scene content-aware strength modulation")
     p.add_argument("--vhs", dest="vhs_restore", action="store_true",
                    default=None,
                    help="VHS artifact repair (tracking/dropouts/chroma)")

@@ -180,6 +180,9 @@ class Config:
                                           # post-SR grain handling (auto =
                                           # match when grain_preserve else off)
     grain_target: float = 0.0             # match target level; 0 = measured
+    scene_adaptive: bool = False          # per-scene content-aware strength
+                                          # modulation (ref scene_intelligence
+                                          # SceneAdaptiveProcessor:749)
     # long-form global consistency (anchors + drift correction,
     # engine/temporal.py; reference engine/temporal_consistency.py:993)
     long_form: str = "auto"               # auto|on|off

@@ -334,3 +334,60 @@ class SceneIntelligence:
             "faces_present_pct": round(100.0 * sum(
                 1 for a in analyses if a.faces) / len(analyses), 1),
         }
+
+
+# ---------------------------------------------------------------------------
+# Streaming adaptive filter
+# ---------------------------------------------------------------------------
+
+def _blur3(f: np.ndarray) -> np.ndarray:
+    """Separable 3x3 box blur (edge-replicated)."""
+    p = np.pad(f, ((1, 1), (1, 1)) + ((0, 0),) * (f.ndim - 2), mode="edge")
+    h = (p[:, :-2] + p[:, 1:-1] + p[:, 2:]) / 3.0
+    return (h[:-2] + h[1:-1] + h[2:]) / 3.0
+
+
+class SceneAdaptiveFilter:
+    """Streaming filter driven by the adaptive-settings map
+    (reference processors/scene_intelligence.py:749
+    ``SceneAdaptiveProcessor``): applies content-aware sharpening and
+    extra noise reduction as DELTAS beyond the pipeline's configured
+    baseline, so static scenes / low light / blurry content get the
+    boost the analysis asked for without double-processing everything.
+    Runs pre-SR at source resolution (cheap, on the decode thread)."""
+
+    def __init__(self, pmap: Dict[int, AdaptiveSettings],
+                 base_sharpening: float = 0.3,
+                 base_noise_reduction: float = 0.3):
+        self.pmap = dict(sorted(pmap.items()))
+        self.base_sharpening = base_sharpening
+        self.base_nr = base_noise_reduction
+        self._keys = np.asarray(list(self.pmap.keys()), np.int64)
+        self.frames_adjusted = 0
+
+    def _settings_for(self, idx: int) -> Optional[AdaptiveSettings]:
+        if self._keys.size == 0:
+            return None
+        pos = int(np.searchsorted(self._keys, idx, side="right")) - 1
+        return self.pmap[int(self._keys[max(pos, 0)])]
+
+    def process_stream(self, frames: Iterator[np.ndarray]
+                       ) -> Iterator[np.ndarray]:
+        for i, frame in enumerate(frames):
+            s = self._settings_for(i)
+            if s is None:
+                yield frame
+                continue
+            ds = s.sharpening - self.base_sharpening
+            dn = s.noise_reduction - self.base_nr
+            if ds <= 0.01 and dn <= 0.01:
+                yield frame
+                continue
+            f = frame.astype(np.float32)
+            blur = _blur3(f)
+            if dn > 0.01:
+                f = f + min(dn, 0.5) * (blur - f)     # light extra NR
+            if ds > 0.01:
+                f = f + min(ds, 0.5) * (f - blur)     # unsharp mask
+            self.frames_adjusted += 1
+            yield np.clip(f, 0, 255).astype(frame.dtype)

@@ -596,6 +596,24 @@ class VideoRestorer:
                 )
 
                 src_iter = FlickerReducer().reduce_stream(src_iter)
+        if cfg.scene_adaptive:
+            # per-scene strength modulation (reference
+            # SceneAdaptiveProcessor, scene_intelligence.py:749): one
+            # sampled decode pass builds the content map, then the
+            # filter adjusts sharpen/NR deltas on the decode thread
+            from framewright_tpu.processors.scene_intelligence import (
+                SceneAdaptiveFilter,
+                SceneIntelligence,
+            )
+
+            si = SceneIntelligence(sample_every=24)
+            with open_reader(data["source"]) as _r:
+                analyses = si.analyze_video(iter(_r))
+            pmap = si.generate_processing_map(analyses)
+            if pmap:
+                saf = SceneAdaptiveFilter(pmap)
+                src_iter = saf.process_stream(src_iter)
+                logger.info("scene-adaptive map: %d segments", len(pmap))
         # post-SR host-side frame effects: grain management (reference
         # GrainManager/preserve_grain group) and HDR export
         # (reference hdr flags; processors/hdr.py). Both force the RGB

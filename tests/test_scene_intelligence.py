@@ -122,3 +122,81 @@ class TestVideoLevel:
         summary = si.get_summary(analyses)
         assert summary["frames_analyzed"] == 3
         assert "content_distribution" in summary
+
+
+class TestSceneAdaptiveFilter:
+    def _map(self, **over):
+        from framewright_tpu.processors.scene_intelligence import (
+            AdaptiveSettings,
+            SceneAdaptiveFilter,
+        )
+
+        s = AdaptiveSettings(**over)
+        return SceneAdaptiveFilter({0: s})
+
+    def test_baseline_untouched(self):
+        rng = np.random.default_rng(0)
+        frames = [rng.integers(0, 256, (32, 32, 3), dtype=np.uint8)
+                  for _ in range(3)]
+        filt = self._map()            # defaults == baseline, no deltas
+        out = list(filt.process_stream(iter(frames)))
+        for a, b in zip(frames, out):
+            np.testing.assert_array_equal(a, b)
+        assert filt.frames_adjusted == 0
+
+    def test_sharpening_raises_gradient_energy(self):
+        rng = np.random.default_rng(1)
+        soft = rng.integers(100, 156, (64, 64, 3), dtype=np.uint8)
+        filt = self._map(sharpening=0.7)
+        out = next(filt.process_stream(iter([soft])))
+        def energy(f):
+            g = f.astype(np.float32).mean(-1)
+            return np.abs(np.diff(g, axis=0)).mean()
+        assert energy(out) > energy(soft)
+        assert filt.frames_adjusted == 1
+
+    def test_nr_reduces_noise(self):
+        rng = np.random.default_rng(2)
+        noisy = rng.integers(0, 256, (64, 64, 3), dtype=np.uint8)
+        filt = self._map(noise_reduction=0.7)
+        out = next(filt.process_stream(iter([noisy])))
+        assert out.astype(np.float32).std() < noisy.astype(np.float32).std()
+
+    def test_segment_lookup_uses_floor(self):
+        from framewright_tpu.processors.scene_intelligence import (
+            AdaptiveSettings,
+            SceneAdaptiveFilter,
+        )
+
+        filt = SceneAdaptiveFilter({0: AdaptiveSettings(),
+                                    10: AdaptiveSettings(sharpening=0.9)})
+        assert filt._settings_for(5).sharpening == 0.3
+        assert filt._settings_for(10).sharpening == 0.9
+        assert filt._settings_for(99).sharpening == 0.9
+
+
+@pytest.mark.slow
+class TestSceneAdaptiveE2E:
+    def test_restore_with_scene_adaptive(self, tmp_path, monkeypatch):
+        monkeypatch.setenv("FRAMEWRIGHT_WEIGHTS_DIR", str(tmp_path / "w"))
+        from framewright_tpu.config import Config
+        from framewright_tpu.io.y4m import Y4MReader, Y4MWriter
+        from framewright_tpu.restorer import VideoRestorer
+
+        rng = np.random.default_rng(0)
+        clip = tmp_path / "in.y4m"
+        with Y4MWriter(clip, 48, 32, fps=12) as w:
+            dark = np.full((32, 48, 3), 20, np.uint8)
+            for t in range(12):
+                w.write_frame(dark if t < 6 else
+                              rng.integers(0, 256, (32, 48, 3),
+                                           dtype=np.uint8))
+        cfg = Config(project_dir=tmp_path / "p", scale_factor=4,
+                     sr_model="realesr-animevideov3",
+                     compute_dtype="float32", device_platform="cpu",
+                     scene_adaptive=True, validate_output=False)
+        out = tmp_path / "out.y4m"
+        VideoRestorer(cfg).restore_video(clip, out)
+        with Y4MReader(out) as r:
+            assert r.count_frames() == 12
+            assert r.width == 192
