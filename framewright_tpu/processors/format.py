@@ -93,6 +93,118 @@ class Deinterlacer:
             yield self.deinterlace(f)
 
 
+class YadifDeinterlacer:
+    """Motion-adaptive edge-directed deinterlacer — the yadif
+    algorithm in vectorized numpy (reference format/interlace.py runs
+    ffmpeg's yadif/bwdif filters; this is the in-process equivalent,
+    frame-rate mode).
+
+    Per missing-field pixel: an edge-directed spatial prediction
+    (best of 5 interpolation directions by 3-tap SAD) clamped to the
+    temporal neighbourhood ``(prev+next)/2 ± motion``, where motion is
+    the max of the three yadif temporal differences — static areas get
+    full temporal detail, moving areas fall back to spatial
+    interpolation (no combing, no bob flicker).  ``bwdif`` selects the
+    same engine with a wider (4-tap cubic) vertical spatial base."""
+
+    def __init__(self, field_order: str = "tff", mode: str = "yadif"):
+        self.field_order = field_order
+        self.mode = mode
+
+    # ------------------------------------------------------------------
+    @staticmethod
+    def _edge_directed(above: np.ndarray, below: np.ndarray) -> np.ndarray:
+        """Best-direction spatial interpolation between the line above
+        and below. above/below: (R, W, C) float32."""
+        pad = 4
+        a = np.pad(above, ((0, 0), (pad, pad), (0, 0)), mode="edge")
+        b = np.pad(below, ((0, 0), (pad, pad), (0, 0)), mode="edge")
+        al_full = a.mean(axis=-1)
+        bl_full = b.mean(axis=-1)
+        w = above.shape[1]
+
+        def at(arr, d):
+            return arr[:, pad + d:pad + d + w]
+
+        def pred_score(d):
+            pred = 0.5 * (at(a, d) + at(b, -d))
+            # 3-tap SAD on luma along the candidate direction
+            score = sum(np.abs(at(al_full, d + k) - at(bl_full, -d + k))
+                        for k in (-1, 0, 1))
+            return pred, score
+
+        best_pred, best_score = pred_score(0)
+        # yadif direction search: try ±1; extend to ±2 only where ±1
+        # already improved on vertical (prevents chance matches on
+        # noise-like texture from hijacking the interpolation)
+        for sign in (-1, 1):
+            p1, s1 = pred_score(sign)
+            m1 = s1 < best_score
+            best_pred = np.where(m1[..., None], p1, best_pred)
+            best_score = np.where(m1, s1, best_score)
+            p2, s2 = pred_score(2 * sign)
+            m2 = m1 & (s2 < best_score)
+            best_pred = np.where(m2[..., None], p2, best_pred)
+            best_score = np.where(m2, s2, best_score)
+        return best_pred
+
+    def _rebuild(self, prev: np.ndarray, cur: np.ndarray,
+                 nxt: np.ndarray) -> np.ndarray:
+        f = cur.astype(np.float32)
+        fp = prev.astype(np.float32)
+        fn = nxt.astype(np.float32)
+        h = f.shape[0]
+        keep = 0 if self.field_order == "tff" else 1
+        miss = 1 - keep
+        rows = np.arange(miss, h, 2)
+        up = np.clip(rows - 1, 0, h - 1)
+        dn = np.clip(rows + 1, 0, h - 1)
+
+        above, below = f[up], f[dn]
+        spatial = self._edge_directed(above, below)
+        if self.mode == "bwdif":
+            # wider vertical base (Catmull-Rom through 4 kept lines)
+            up2 = np.clip(rows - 3, 0, h - 1)
+            dn2 = np.clip(rows + 3, 0, h - 1)
+            wide = (-f[up2] + 9.0 * above + 9.0 * below - f[dn2]) / 16.0
+            spatial = 0.5 * (spatial + wide)
+
+        d = 0.5 * (fp[rows] + fn[rows])
+        td0 = 0.5 * np.abs(fp[rows] - fn[rows])
+        td1 = 0.5 * (np.abs(fp[up] - above) + np.abs(fp[dn] - below))
+        td2 = 0.5 * (np.abs(fn[up] - above) + np.abs(fn[dn] - below))
+        motion = np.maximum(td0, np.maximum(td1, td2))
+        # yadif spatial interlacing check: widen the clamp window using
+        # the vertical gradients of the temporal field (rows±2), so
+        # genuine vertical detail isn't crushed into the temporal
+        # average on detailed content
+        up2 = np.clip(rows - 2, 0, h - 1)
+        dn2 = np.clip(rows + 2, 0, h - 1)
+        bb = 0.5 * (fp[up2] + fn[up2])
+        ff = 0.5 * (fp[dn2] + fn[dn2])
+        mx = np.maximum(np.maximum(d - below, d - above),
+                        np.minimum(bb - above, ff - below))
+        mn = np.minimum(np.minimum(d - below, d - above),
+                        np.maximum(bb - above, ff - below))
+        motion = np.maximum(motion, np.maximum(mn, -mx))
+
+        out = f.copy()
+        out[rows] = np.clip(spatial, d - motion, d + motion)
+        return np.clip(out, 0, 255).astype(cur.dtype)
+
+    # ------------------------------------------------------------------
+    def process_stream(self, frames_iter: Iterator[np.ndarray]
+                       ) -> Iterator[np.ndarray]:
+        prev = cur = None
+        for nxt in frames_iter:
+            if cur is not None:
+                yield self._rebuild(prev if prev is not None else cur,
+                                    cur, nxt)
+            prev, cur = cur, nxt
+        if cur is not None:
+            yield self._rebuild(prev if prev is not None else cur, cur, cur)
+
+
 # ---------------------------------------------------------------------------
 # Inverse telecine (3:2 pulldown removal)
 # ---------------------------------------------------------------------------

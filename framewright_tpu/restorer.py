@@ -485,10 +485,28 @@ class VideoRestorer:
                 src_iter = _drift_corrected(src_iter)
                 logger.info("long-form consistency on: %d anchors",
                             len(anchors.points))
-        if cfg.deinterlace in ("yadif", "bwdif"):
-            from framewright_tpu.processors.format import Deinterlacer
+        deint = cfg.deinterlace
+        if deint == "auto":
+            # probe the head of the stream for combing (idet analog,
+            # reference interlace_handler.py) and engage only when the
+            # source is actually interlaced
+            import itertools
 
-            src_iter = Deinterlacer(method="blend").process_stream(src_iter)
+            from framewright_tpu.processors.format import InterlaceDetector
+
+            with open_reader(data["source"]) as _r:
+                rep = InterlaceDetector(sample_every=5).analyze(
+                    itertools.islice(iter(_r), 60))
+            deint = "yadif" if rep.interlaced else "off"
+            if rep.interlaced:
+                logger.info("interlaced source detected (combing %.2f, "
+                            "%s): yadif engaged", rep.combing_score,
+                            rep.field_order)
+        if deint in ("yadif", "bwdif"):
+            from framewright_tpu.processors.format import YadifDeinterlacer
+
+            src_iter = YadifDeinterlacer(
+                mode=deint).process_stream(src_iter)
         if cfg.vhs_restore:
             from framewright_tpu.processors.vhs import VHSConfig, VHSProcessor
 

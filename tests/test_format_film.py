@@ -221,3 +221,74 @@ class TestAnalysis:
         segs = CreditsDetector().analyze(iter(normal + credits))
         assert len(segs) == 1
         assert segs[0][0] == 10
+
+
+class TestYadif:
+    def _stream(self, rng, n=8, shift=5):
+        """Interlaced stream: fields sampled from a panning scene at
+        2x frame rate (field t and t+0.5)."""
+        tex = rng.random((48, 200)) * 255
+        for _ in range(2):
+            tex = (tex + np.roll(tex, 1, 0) + np.roll(tex, 1, 1)) / 3
+        def grab(t):
+            sh = int(t * shift) % 120
+            return np.stack([tex[:, sh:sh + 64]] * 3, -1).astype(np.uint8)
+        frames = [_interlace(grab(t), grab(t + 0.5)) for t in range(n)]
+        clean = [grab(t) for t in range(n)]
+        return frames, clean
+
+    def test_removes_combing(self, rng):
+        from framewright_tpu.processors.format import YadifDeinterlacer
+
+        frames, _ = self._stream(rng)
+        out = list(YadifDeinterlacer().process_stream(iter(frames)))
+        assert len(out) == len(frames)
+        before = np.mean([combing_score(f) for f in frames])
+        after = np.mean([combing_score(f) for f in out])
+        assert after < before * 0.7
+
+    def test_static_scene_mostly_exact(self, rng):
+        """No motion => temporal prediction dominates; only single-line
+        vertical detail may deviate (yadif's spatial interlacing check
+        intentionally admits the spatial pred there)."""
+        from framewright_tpu.processors.format import YadifDeinterlacer
+
+        frame = _textured(rng)
+        frames = [frame.copy() for _ in range(5)]
+        out = list(YadifDeinterlacer().process_stream(iter(frames)))
+        err = np.abs(out[2].astype(np.float32) - frame.astype(np.float32))
+        assert err.mean() < 3.0
+
+    def test_beats_line_blend_on_moving_edges(self):
+        """Edge-directed + motion-adaptive must trounce line-blend on
+        moving diagonal structure (the case yadif exists for)."""
+        from framewright_tpu.processors.format import YadifDeinterlacer
+
+        h, w = 48, 64
+        yy, xx = np.mgrid[0:h, 0:w]
+
+        def scene(t):
+            v = ((xx + yy + t * 4) % 16 < 8).astype(np.float32) * 200 + 20
+            return np.stack([v] * 3, -1).astype(np.uint8)
+
+        frames = [_interlace(scene(t), scene(t + 0.5)) for t in range(6)]
+        clean = [scene(t) for t in range(6)]
+        yad = list(YadifDeinterlacer().process_stream(iter(frames)))
+        blend = [Deinterlacer(method="blend").deinterlace(f)
+                 for f in frames]
+
+        def err(outs):
+            return np.mean([np.abs(o.astype(np.float32)
+                                   - c.astype(np.float32)).mean()
+                            for o, c in zip(outs, clean)])
+
+        assert err(yad) < err(blend) * 0.3
+
+    def test_bwdif_mode_runs(self, rng):
+        from framewright_tpu.processors.format import YadifDeinterlacer
+
+        frames, _ = self._stream(rng, n=4)
+        out = list(YadifDeinterlacer(mode="bwdif").process_stream(
+            iter(frames)))
+        assert len(out) == 4
+        assert out[0].dtype == np.uint8
