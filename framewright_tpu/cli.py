@@ -24,8 +24,11 @@ from framewright_tpu.logging_utils import setup_logging
 logger = logging.getLogger(__name__)
 
 
-def _add_restore_args(p: argparse.ArgumentParser) -> None:
-    p.add_argument("source", help="input video (.y4m, frame dir, or any ffmpeg format)")
+def _add_restore_args(p: argparse.ArgumentParser,
+                      with_source: bool = True) -> None:
+    if with_source:
+        p.add_argument("source",
+                       help="input video (.y4m, frame dir, or any ffmpeg format)")
     p.add_argument("-o", "--output", type=Path, default=None)
     p.add_argument("--preset", choices=sorted(PRESETS), default="")
     p.add_argument("--profile", default="", help="named saved profile")
@@ -708,8 +711,102 @@ KNOWN_VERBS = {
     "suite", "recipes", "recipe", "auto", "do", "batch", "watch",
     "qa-report", "export-presets", "audio", "wizard", "farm", "subtitles",
     "interpolate", "extract-frames", "reassemble", "compare", "upload",
-    "notify", "completion",
+    "notify", "completion", "report", "audio-sync", "proxy",
 }
+
+
+def cmd_report(args: argparse.Namespace) -> int:
+    """Quality trends + job cost estimation (reference `framewright
+    report trends|estimate`, reports/trends.py, cost calculator)."""
+    if args.report_cmd == "trends":
+        from framewright_tpu.reports import QualityTrends
+
+        tr = QualityTrends(Path(args.db))
+        print(json.dumps({"summary": tr.summary(),
+                          "history": tr.history(limit=args.limit)},
+                         indent=2))
+        tr.close()
+        return 0
+    # estimate
+    from framewright_tpu.io.video import probe
+    from framewright_tpu.models.registry import get_model
+    from framewright_tpu.reports import estimate_cost
+
+    meta = probe(args.source)
+    family = get_model(args.model).family
+    est = estimate_cost(meta.nb_frames, meta.width, meta.height,
+                        model_family=family, n_chips=args.chips)
+    print(json.dumps(est.to_dict(), indent=2))
+    return 0
+
+
+def cmd_audio_sync(args: argparse.Namespace) -> int:
+    """Detect (and optionally fix) A/V offset + drift between two WAV
+    tracks (reference `framewright analyze-sync`, audio_sync.py)."""
+    from framewright_tpu.audio import (
+        AudioSyncAnalyzer,
+        AudioSyncCorrector,
+        read_wav,
+        write_wav,
+    )
+
+    ref_audio, sr = read_wav(Path(args.reference))
+    test_audio, sr2 = read_wav(Path(args.test))
+    if sr != sr2:
+        print(f"error: sample-rate mismatch {sr} vs {sr2}", file=sys.stderr)
+        return 1
+    rep = AudioSyncAnalyzer().analyze(ref_audio, test_audio, sr)
+    out = {"offset_s": round(rep["offset_s"], 4),
+           "drift_s_per_s": round(rep["drift_s_per_s"], 6),
+           "windows": rep["points"]}
+    if args.fix:
+        fixed = AudioSyncCorrector.correct(
+            test_audio, sr, offset_s=rep["offset_s"],
+            drift_s_per_s=rep["drift_s_per_s"])
+        write_wav(Path(args.fix), fixed, sr)
+        out["fixed"] = args.fix
+    print(json.dumps(out, indent=2))
+    return 0
+
+
+def cmd_proxy(args: argparse.Namespace) -> int:
+    """Proxy workflow (reference `framewright proxy create|apply`):
+    cut a low-res proxy for fast preview/grading, then apply the same
+    settings to the full-res source."""
+    from framewright_tpu.io import open_reader, open_writer, probe
+
+    if args.proxy_cmd == "create":
+        import numpy as np
+
+        meta = probe(args.source)
+        ph = args.height
+        pw = max(2, round(meta.width * ph / meta.height / 2) * 2)
+        out = Path(args.output) if args.output else \
+            Path(args.source).with_name(Path(args.source).stem + "_proxy.y4m")
+        writer = open_writer(out, pw, ph, fps=meta.fps)
+        n = 0
+        ys = np.linspace(0, meta.height - 1, ph).astype(np.int32)
+        xs = np.linspace(0, meta.width - 1, pw).astype(np.int32)
+        with open_reader(args.source) as r:
+            for frame in r:
+                writer.write_frame(frame[ys][:, xs])
+                n += 1
+        writer.close()
+        sidecar = out.with_suffix(".proxy.json")
+        sidecar.write_text(json.dumps({
+            "source": str(Path(args.source).resolve()),
+            "proxy": str(out), "height": ph, "frames": n}))
+        print(json.dumps({"proxy": str(out), "frames": n,
+                          "sidecar": str(sidecar)}, indent=2))
+        return 0
+    # apply: run the restore config against the ORIGINAL source
+    sidecar = Path(args.proxy).with_suffix(".proxy.json")
+    if not sidecar.exists():
+        print(f"error: no proxy sidecar {sidecar}", file=sys.stderr)
+        return 1
+    info = json.loads(sidecar.read_text())
+    args.source = info["source"]
+    return cmd_restore(args)
 
 _COMPLETION_BASH = """\
 _framewright() {
@@ -1048,6 +1145,36 @@ def build_parser() -> argparse.ArgumentParser:
 
     p = sub.add_parser("completion", help="print a bash completion script")
     p.set_defaults(func=cmd_completion)
+
+    p = sub.add_parser("report", help="quality trends / job cost estimate")
+    rsub = p.add_subparsers(dest="report_cmd", required=True)
+    rt = rsub.add_parser("trends", help="quality-over-time history")
+    rt.add_argument("--db", default="./framewright_trends.db")
+    rt.add_argument("--limit", type=int, default=20)
+    re_ = rsub.add_parser("estimate", help="wall-time + cost estimate")
+    re_.add_argument("source")
+    re_.add_argument("--model", default="RealESRGAN_x2plus")
+    re_.add_argument("--chips", type=int, default=1)
+    p.set_defaults(func=cmd_report)
+
+    p = sub.add_parser("audio-sync",
+                       help="detect/fix offset + drift between WAV tracks")
+    p.add_argument("reference")
+    p.add_argument("test")
+    p.add_argument("--fix", default="", help="write corrected WAV here")
+    p.set_defaults(func=cmd_audio_sync)
+
+    p = sub.add_parser("proxy", help="low-res proxy workflow")
+    psub = p.add_subparsers(dest="proxy_cmd", required=True)
+    pc = psub.add_parser("create", help="cut a low-res proxy + sidecar")
+    pc.add_argument("source")
+    pc.add_argument("-o", "--output", default="")
+    pc.add_argument("--height", type=int, default=360)
+    pa = psub.add_parser("apply",
+                         help="restore the ORIGINAL source of a proxy")
+    pa.add_argument("proxy")
+    _add_restore_args(pa, with_source=False)
+    p.set_defaults(func=cmd_proxy)
 
     p = sub.add_parser("audio", help="enhance a WAV audio file")
     p.add_argument("source")

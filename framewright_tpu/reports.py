@@ -128,3 +128,77 @@ class QualityTrends:
 
     def close(self) -> None:
         self._conn.close()
+
+
+# ---------------------------------------------------------------------------
+# Cost / time estimation (reference reports cost calculator)
+# ---------------------------------------------------------------------------
+
+# measured single-chip throughput at 1080p on TPU v5e (PERF.md / family
+# scaling); fps scales inversely with input pixel count
+_FAMILY_FPS_1080P = {
+    "rrdb": 2.7,          # 23-block Real-ESRGAN, int8 static scales
+    "srvgg": 11.0,        # compact distilled (4x fewer FLOPs)
+    "hat": 0.5,
+    "vsr": 2.0,
+    "diffusion": 0.3,
+}
+
+# on-demand accelerator pricing, USD/hour (public list prices; the
+# reference's calculator embeds GPU cloud rates the same way)
+_HOURLY_USD = {
+    "tpu_v5e_1": 1.20,
+    "tpu_v5e_8": 9.60,
+    "cloud_gpu": 0.79,     # the reference's default RunPod-class rate
+}
+
+
+@dataclass
+class CostEstimate:
+    frames: int
+    est_fps: float
+    est_seconds: float
+    est_cost_usd: Dict[str, float]
+    assumptions: Dict[str, object]
+
+    def to_dict(self) -> Dict:
+        return {
+            "frames": self.frames,
+            "est_fps_per_chip": round(self.est_fps, 2),
+            "est_wall_time_s": round(self.est_seconds, 1),
+            "est_wall_time_h": round(self.est_seconds / 3600.0, 2),
+            "est_cost_usd": {k: round(v, 2)
+                             for k, v in self.est_cost_usd.items()},
+            "assumptions": self.assumptions,
+        }
+
+
+def estimate_cost(frames: int, width: int, height: int,
+                  model_family: str = "rrdb",
+                  n_chips: int = 1,
+                  overhead_factor: float = 1.25) -> CostEstimate:
+    """Wall-time + cloud-cost estimate for a restoration job.
+
+    Scaling model: family fps at 1080p / pixel ratio, near-linear chip
+    scaling (frame-parallel SPMD), times an IO/stage overhead factor.
+    """
+    base = _FAMILY_FPS_1080P.get(model_family, 2.0)
+    pixel_ratio = (width * height) / (1920.0 * 1080.0)
+    fps = base / max(pixel_ratio, 1e-6) * n_chips
+    seconds = frames / max(fps, 1e-6) * overhead_factor
+    hours = seconds / 3600.0
+    cost = {
+        "tpu_v5e_single": hours * _HOURLY_USD["tpu_v5e_1"]
+        if n_chips == 1 else hours * _HOURLY_USD["tpu_v5e_1"] * n_chips,
+        "tpu_v5e_pod8": (frames / max(base / max(pixel_ratio, 1e-6) * 8,
+                                      1e-6) * overhead_factor / 3600.0)
+        * _HOURLY_USD["tpu_v5e_8"],
+        "reference_gpu": hours * _HOURLY_USD["cloud_gpu"] * n_chips,
+    }
+    return CostEstimate(
+        frames=frames, est_fps=fps, est_seconds=seconds,
+        est_cost_usd=cost,
+        assumptions={"model_family": model_family, "n_chips": n_chips,
+                     "resolution": f"{width}x{height}",
+                     "fps_base_1080p": base,
+                     "overhead_factor": overhead_factor})

@@ -59,7 +59,12 @@ class TestProfiler:
     def test_monitor_thread(self):
         prof = PerformanceProfiler(sample_interval=0.01)
         prof.start_monitor()
-        time.sleep(0.06)
+        # under load the monitor thread may be starved; wait for the
+        # first sample instead of a fixed sleep (deflaked)
+        for _ in range(100):
+            time.sleep(0.05)
+            if prof.report()["host_samples"] >= 1:
+                break
         prof.stop_monitor()
         assert prof.report()["host_samples"] >= 1
 
@@ -374,3 +379,29 @@ class TestProfiles:
 
         with pytest.raises(ConfigError):
             load_profile("nope")
+
+
+class TestCostEstimate:
+    def test_scales_with_resolution_and_chips(self):
+        from framewright_tpu.reports import estimate_cost
+
+        hd = estimate_cost(1000, 1920, 1080, "rrdb", n_chips=1)
+        sd = estimate_cost(1000, 960, 540, "rrdb", n_chips=1)
+        assert sd.est_fps == pytest.approx(hd.est_fps * 4, rel=1e-6)
+        multi = estimate_cost(1000, 1920, 1080, "rrdb", n_chips=4)
+        assert multi.est_fps == pytest.approx(hd.est_fps * 4, rel=1e-6)
+        assert multi.est_seconds < hd.est_seconds
+
+    def test_report_fields(self):
+        from framewright_tpu.reports import estimate_cost
+
+        d = estimate_cost(7000, 1920, 1080).to_dict()
+        assert d["frames"] == 7000
+        assert d["est_cost_usd"]["tpu_v5e_single"] > 0
+        assert d["assumptions"]["model_family"] == "rrdb"
+
+    def test_unknown_family_defaults(self):
+        from framewright_tpu.reports import estimate_cost
+
+        est = estimate_cost(100, 1920, 1080, "nosuch")
+        assert est.est_fps > 0
