@@ -87,8 +87,9 @@ def _add_restore_args(p: argparse.ArgumentParser,
                    action="store_true", default=None,
                    help="synthesize dropped frames (motion-gap detection)")
     p.add_argument("--hdr", dest="hdr_output",
-                   choices=["none", "hdr10", "hlg"],
-                   help="export expanded HDR (PQ/HLG-encoded)")
+                   choices=["none", "hdr10", "hdr10plus", "hlg"],
+                   help="export expanded HDR (PQ/HLG-encoded; hdr10plus "
+                        "adds an ST 2094-40 dynamic-metadata sidecar)")
     p.add_argument("--grain", dest="grain_mode",
                    choices=["auto", "off", "preserve", "remove", "match"],
                    help="post-SR film-grain handling")

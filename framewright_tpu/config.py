@@ -246,7 +246,7 @@ class Config:
     defect_dust_sensitivity: float = 45.0      # dust/speck detector thresh
     fill_missing_frames: bool = False     # synthesize dropped frames (IFNet)
     gap_jump_ratio: float = 1.8           # motion-discontinuity gap detector
-    hdr_output: str = "none"              # none|hdr10|hlg
+    hdr_output: str = "none"              # none|hdr10|hdr10plus|hlg
     hdr_peak_nits: float = 1000.0         # mastering peak for SDR->HDR expand
     hdr_highlight_boost: float = 0.6
 
@@ -363,8 +363,8 @@ class Config:
             raise ConfigError("stabilize_crop must be in (0, 1]")
         if self.stabilize_smoothing < 1:
             raise ConfigError("stabilize_smoothing must be >= 1")
-        if self.hdr_output not in ("none", "hdr10", "hlg"):
-            raise ConfigError("hdr_output must be none|hdr10|hlg")
+        if self.hdr_output not in ("none", "hdr10", "hdr10plus", "hlg"):
+            raise ConfigError("hdr_output must be none|hdr10|hdr10plus|hlg")
         if self.grain_mode not in ("auto", "off", "preserve", "remove", "match"):
             raise ConfigError("grain_mode must be auto|off|preserve|remove|match")
         if self.subtitle_region not in ("bottom", "top", "full"):

@@ -11,7 +11,7 @@ from __future__ import annotations
 
 import logging
 from dataclasses import dataclass
-from typing import Iterator, Optional
+from typing import Dict, Iterator, List, Optional, Tuple
 
 import numpy as np
 
@@ -75,7 +75,8 @@ def reinhard_tonemap(x: np.ndarray, white: float = 4.0) -> np.ndarray:
 @dataclass
 class HDRConfig:
     mode: str = "expand"            # expand (SDR->HDR) | tonemap (HDR->SDR)
-    target: str = "hdr10"           # hdr10 (PQ) | hlg
+    target: str = "hdr10"           # hdr10 (PQ) | hlg | hdr10plus (PQ +
+                                    # ST 2094-40 dynamic metadata sidecar)
     peak_nits: float = 1000.0       # mastering peak for expansion
     sdr_nits: float = 203.0         # reference white
     highlight_boost: float = 0.6    # how aggressively to expand highlights
@@ -85,6 +86,9 @@ class HDRConfig:
 class HDRConverter:
     def __init__(self, config: Optional[HDRConfig] = None):
         self.config = config or HDRConfig()
+        # hdr10plus: collect ST 2094-40 per-scene stats during expansion
+        self.collector = (Hdr10PlusCollector()
+                          if self.config.target == "hdr10plus" else None)
 
     # ------------------------------------------------------------------
     def expand_frame(self, frame: np.ndarray) -> np.ndarray:
@@ -99,9 +103,11 @@ class HDRConverter:
         boost = 1.0 + cfg.highlight_boost * np.clip(luma - 0.6, 0, 1) ** 2 \
             * (cfg.peak_nits / cfg.sdr_nits - 1.0)
         nits = lin * cfg.sdr_nits * boost
+        if self.collector is not None:
+            self.collector.record(nits)
         if cfg.target == "hlg":
             sig = hlg_oetf(np.clip(nits / cfg.peak_nits, 0, 1))
-        else:
+        else:                       # hdr10 and hdr10plus are PQ-encoded
             sig = pq_encode(nits)
         return np.clip(sig * 255.0 + 0.5, 0, 255).astype(np.uint8)
 
@@ -118,3 +124,77 @@ class HDRConverter:
         fn = self.expand_frame if self.config.mode == "expand" else self.tonemap_frame
         for f in frames_iter:
             yield fn(f)
+
+
+# ---------------------------------------------------------------------------
+# HDR10+ dynamic metadata (SMPTE ST 2094-40)
+# ---------------------------------------------------------------------------
+
+class Hdr10PlusCollector:
+    """Per-scene dynamic tone-mapping metadata for HDR10+ export
+    (reference enhancement/hdr_export.py:711 HDR10+/DolbyVision modes).
+
+    Records per-frame MaxSCL (per-channel peak nits) and average MaxRGB
+    while the HDR expansion runs, segments scenes on luminance jumps,
+    and emits the hdr10plus_tool-compatible JSON the encoder muxes as
+    an itu_t_t35 SEI. Values are in 0.00001-nit units per the spec."""
+
+    def __init__(self, scene_jump_nits: float = 80.0):
+        self.scene_jump = scene_jump_nits
+        self.frames: List[Dict] = []
+        self._last_avg: Optional[float] = None
+
+    def record(self, nits: np.ndarray) -> None:
+        """nits: (H, W, 3) linear luminance in cd/m2 (pre-PQ)."""
+        maxscl = [float(nits[..., c].max()) for c in range(3)]
+        maxrgb = nits.max(axis=-1)
+        avg = float(maxrgb.mean())
+        new_scene = (self._last_avg is None
+                     or abs(avg - self._last_avg) > self.scene_jump)
+        self._last_avg = avg
+        self.frames.append({"maxscl": maxscl, "avg": avg,
+                            "scene_start": new_scene})
+
+    def scenes(self) -> List[Tuple[int, int]]:
+        bounds = [i for i, f in enumerate(self.frames) if f["scene_start"]]
+        bounds.append(len(self.frames))
+        return [(a, b) for a, b in zip(bounds, bounds[1:]) if b > a]
+
+    def to_json(self) -> str:
+        import json as _json
+
+        units = 100000.0   # 0.00001 nit units (ST 2094-40)
+        scene_info = []
+        for idx, (a, b) in enumerate(self.scenes()):
+            seg = self.frames[a:b]
+            maxscl = [int(max(f["maxscl"][c] for f in seg) * units)
+                      for c in range(3)]
+            avg = int(np.mean([f["avg"] for f in seg]) * units)
+            for off in range(b - a):
+                scene_info.append({
+                    "LuminanceParameters": {
+                        "AverageRGB": avg,
+                        "MaxScl": maxscl,
+                        "LuminanceDistributions": {
+                            "DistributionIndex":
+                                [1, 5, 10, 25, 50, 75, 90, 95, 99],
+                            "DistributionValues": maxscl[:1] * 9,
+                        },
+                    },
+                    "NumberOfWindows": 1,
+                    "TargetedSystemDisplayMaximumLuminance": 400,
+                    "SceneFrameIndex": off,
+                    "SceneId": idx,
+                })
+        doc = {
+            "JSONInfo": {"HDR10plusProfile": "B",
+                         "Version": "1.0"},
+            "SceneInfo": scene_info,
+            "SceneInfoSummary": {
+                "SceneFirstFrameIndex":
+                    [a for a, _ in self.scenes()],
+                "SceneFrameNumbers":
+                    [b - a for a, b in self.scenes()],
+            },
+        }
+        return _json.dumps(doc, indent=1)

@@ -642,7 +642,7 @@ class VideoRestorer:
         elif grain_mode == "preserve":
             grain_mode = "match"
         hdr_conv = None
-        if cfg.hdr_output in ("hdr10", "hlg"):
+        if cfg.hdr_output in ("hdr10", "hdr10plus", "hlg"):
             from framewright_tpu.processors.hdr import HDRConfig, HDRConverter
 
             hdr_conv = HDRConverter(HDRConfig(
@@ -892,6 +892,14 @@ class VideoRestorer:
                 self.checkpoints.force_save()
         if cfg.checkpoint_enabled and "checkpoint" in data:
             self.checkpoints.stage_completed("enhance")
+        if (hdr_conv is not None and hdr_conv.collector is not None
+                and hdr_conv.collector.frames):
+            # ST 2094-40 dynamic metadata sidecar (hdr10plus_tool JSON;
+            # the encoder muxes it as an itu_t_t35 SEI)
+            sidecar = Path(str(out_path) + ".hdr10plus.json")
+            sidecar.write_text(hdr_conv.collector.to_json())
+            logger.info("HDR10+ metadata: %d scenes -> %s",
+                        len(hdr_conv.collector.scenes()), sidecar)
         return {
             "frames_out": written,
             "frame_errors": frame_errors,

@@ -92,3 +92,66 @@ class TestHDR:
         conv = HDRConverter(HDRConfig(mode="expand"))
         frames = [rng.integers(0, 256, (8, 8, 3), np.uint8) for _ in range(3)]
         assert len(list(conv.process_stream(iter(frames)))) == 3
+
+
+class TestHdr10Plus:
+    def test_collector_scenes_and_json(self):
+        import json
+
+        from framewright_tpu.processors.hdr import Hdr10PlusCollector
+
+        col = Hdr10PlusCollector(scene_jump_nits=50.0)
+        dim = np.full((8, 8, 3), 10.0, np.float32)
+        bright = np.full((8, 8, 3), 400.0, np.float32)
+        for _ in range(3):
+            col.record(dim)
+        for _ in range(2):
+            col.record(bright)
+        assert col.scenes() == [(0, 3), (3, 5)]
+        doc = json.loads(col.to_json())
+        assert doc["JSONInfo"]["HDR10plusProfile"] == "B"
+        assert len(doc["SceneInfo"]) == 5
+        first, last = doc["SceneInfo"][0], doc["SceneInfo"][-1]
+        assert first["SceneId"] == 0 and last["SceneId"] == 1
+        # 400 nits in 0.00001-nit units
+        assert last["LuminanceParameters"]["MaxScl"][0] == 40_000_000
+        assert doc["SceneInfoSummary"]["SceneFrameNumbers"] == [3, 2]
+
+    def test_converter_collects_when_hdr10plus(self):
+        from framewright_tpu.processors.hdr import HDRConfig, HDRConverter
+
+        conv = HDRConverter(HDRConfig(mode="expand", target="hdr10plus"))
+        frame = np.full((8, 8, 3), 200, np.uint8)
+        out = conv.expand_frame(frame)
+        assert out.shape == frame.shape
+        assert conv.collector is not None
+        assert len(conv.collector.frames) == 1
+        # plain hdr10 does not collect
+        conv2 = HDRConverter(HDRConfig(mode="expand", target="hdr10"))
+        conv2.expand_frame(frame)
+        assert conv2.collector is None
+
+    def test_e2e_sidecar_written(self, tmp_path, monkeypatch):
+        import json
+
+        monkeypatch.setenv("FRAMEWRIGHT_WEIGHTS_DIR", str(tmp_path / "w"))
+        from framewright_tpu.config import Config
+        from framewright_tpu.io.y4m import Y4MWriter
+        from framewright_tpu.restorer import VideoRestorer
+
+        rng = np.random.default_rng(0)
+        clip = tmp_path / "in.y4m"
+        with Y4MWriter(clip, 32, 32, fps=12) as w:
+            for _ in range(4):
+                w.write_frame(rng.integers(0, 256, (32, 32, 3),
+                                           dtype=np.uint8))
+        cfg = Config(project_dir=tmp_path / "p", scale_factor=4,
+                     sr_model="realesr-animevideov3",
+                     compute_dtype="float32", device_platform="cpu",
+                     hdr_output="hdr10plus", validate_output=False)
+        out = tmp_path / "out.y4m"
+        VideoRestorer(cfg).restore_video(clip, out)
+        sidecar = tmp_path / "out.y4m.hdr10plus.json"
+        assert sidecar.exists()
+        doc = json.loads(sidecar.read_text())
+        assert len(doc["SceneInfo"]) == 4
