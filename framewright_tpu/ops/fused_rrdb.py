@@ -47,10 +47,13 @@ from jax.experimental.pallas import tpu as pltpu
 import os as _os
 
 # Block geometry: interior BH = S - 2*HALO; halo 5 covers the 5
-# sequential convs. S=64 -> PX=4096 lanes, ~9 MiB VMEM. Larger S cuts
-# the (S/BH)^2 halo-recompute factor but grows the f32 accumulator;
-# overridable for experiments via FW_RDB_S.
-S = int(_os.environ.get("FW_RDB_S", "64"))
+# sequential convs. Swept on v5e (scripts/bench_kernel_raw.py, raised
+# VMEM limit): ms/frame body at 540x960 — S=64: 328 bf16 / 399 int8 ·
+# S=96: 297/352 · S=112: 270/226 · S=128: 334/308 (padding waste +
+# VMEM pressure reverse the trend). S=112 is the production default
+# ((112/102)^2 = 1.21x halo recompute vs 1.40x at 64); tests pin S=64
+# (smaller interpret-mode blocks) and a slow cross-S test guards 112.
+S = int(_os.environ.get("FW_RDB_S", "112"))
 HALO = 5
 BH = S - 2 * HALO          # 54 valid interior
 NF, GC = 64, 32            # Real-ESRGAN fixed channel plan
@@ -64,6 +67,11 @@ TPC_NF = int(_os.environ.get("FW_TPC_NF", "4"))    # K=4*64=256
 TPC_GC = int(_os.environ.get("FW_TPC_GC", "4"))    # K=4*32=128
 TPC_NF_I8 = int(_os.environ.get("FW_TPC_NF_I8", "4"))
 TPC_GC_I8 = int(_os.environ.get("FW_TPC_GC_I8", "8"))
+# Scoped-VMEM ceiling for the kernels: the default 16 MiB caps S at 64;
+# larger blocks measurably cut the halo-recompute factor (S=96 bf16:
+# 328 -> 279 ms/frame body on v5e) and the kernel working set still
+# fits comfortably in the 128 MiB core VMEM.
+VMEM_LIMIT = int(_os.environ.get("FW_RDB_VMEM_MB", "100")) * 1024 * 1024
 
 
 # ---------------------------------------------------------------------------
@@ -510,13 +518,15 @@ def fused_rdb_blocks_int8(blocks: jnp.ndarray, extents: jnp.ndarray,
             grid_spec=grid_spec,
             out_shape=jax.ShapeDtypeStruct((nb, NF, PX), jnp.bfloat16),
             compiler_params=pltpu.CompilerParams(
-                vmem_limit_bytes=32 * 1024 * 1024),
+                vmem_limit_bytes=VMEM_LIMIT),
             interpret=interpret,
         )(extents, wide["act_q"], blocks, *weights)
     return pl.pallas_call(
         _rdb_kernel_int8,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((nb, NF, PX), jnp.bfloat16),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=VMEM_LIMIT),
         interpret=interpret,
     )(extents, blocks, *weights)
 
@@ -550,6 +560,8 @@ def fused_rdb_blocks(blocks: jnp.ndarray, extents: jnp.ndarray, wide: Dict,
         _rdb_kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((nb, NF, PX), jnp.bfloat16),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=VMEM_LIMIT),
         interpret=interpret,
     )(extents, blocks, wide["Wx"], wide["W1"], wide["W2"], wide["W3"],
       wide["W4"], wide["b"])

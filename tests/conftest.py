@@ -9,6 +9,10 @@ is imported anywhere.
 import os
 
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Interpret-mode kernel tests run at S=64 (the production default is a
+# larger block tuned for v5e VMEM; the kernel logic is S-parametric and
+# a slow cross-S test covers the production block size)
+os.environ.setdefault("FW_RDB_S", "64")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
