@@ -50,6 +50,10 @@ def _add_restore_args(p: argparse.ArgumentParser,
     p.add_argument("--interpolate", dest="interpolation", action="store_true", default=None)
     p.add_argument("--target-fps", dest="target_fps", type=float)
     p.add_argument("--face-restore", dest="face_restore", action="store_true", default=None)
+    p.add_argument("--face-model", dest="face_model",
+                   choices=["gfpgan", "codeformer", "sr"])
+    p.add_argument("--face-fidelity", dest="face_fidelity", type=float,
+                   help="codeformer fidelity weight (0 quality .. 1 fidelity)")
     p.add_argument("--colorize", action="store_true", default=None)
     p.add_argument("--colorize-method", dest="colorize_model",
                    choices=["palette", "exemplar", "eccv16", "ddcolor"])

@@ -203,8 +203,9 @@ class Config:
 
     # --- Faces / inpainting / color --------------------------------------------
     face_restore: bool = False
-    face_model: str = "gfpgan"
+    face_model: str = "gfpgan"            # gfpgan | codeformer | sr
     face_strength: float = 0.8
+    face_fidelity: float = 0.5            # codeformer w: 0 quality..1 fidelity
     inpaint: bool = False
     inpaint_model: str = "lama"
     watermark_removal: bool = False

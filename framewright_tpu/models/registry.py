@@ -25,6 +25,7 @@ import jax.numpy as jnp
 
 from framewright_tpu.errors import ModelError
 from framewright_tpu.models import (
+    codeformer,
     diffusion_sr,
     hat,
     raft,
@@ -131,6 +132,13 @@ _register(ModelSpec(
     apply_fn=tvsr.apply, init_fn=tvsr.init,
     port_fn=None,  # original architecture (VRT-class TMSA); no
                    # published checkpoint to port — models/tvsr.py
+))
+_register(ModelSpec(
+    name="CodeFormer", family="face", scale=1,
+    arch_config=codeformer.CodeFormerConfig(),
+    url="https://github.com/sczhou/CodeFormer/releases/download/v0.1.0/codeformer.pth",
+    apply_fn=codeformer.apply, init_fn=codeformer.init,
+    port_fn=torch_port.port_codeformer,
 ))
 _register(ModelSpec(
     name="raft-things", family="flow", scale=1,

@@ -472,6 +472,107 @@ def port_raft(sd: Mapping[str, Any]) -> Dict:
 
 
 # ---------------------------------------------------------------------------
+# CodeFormer (sczhou/CodeFormer codeformer.pth)
+# ---------------------------------------------------------------------------
+
+def port_codeformer(sd: Mapping[str, Any], cfg=None) -> Dict:
+    """sczhou CodeFormer state dict -> models/codeformer pytree.
+
+    Walks the SAME block-construction order as the model
+    (codeformer._encoder_plan/_generator_plan mirror
+    vqgan_arch.Encoder/Generator), so ``encoder.blocks.N`` numbering
+    lines up. Linear weights transpose (out,in)->(in,out); the
+    MultiheadAttention packed in_proj transposes to (d, 3d) with q|k|v
+    column order."""
+    from framewright_tpu.models import codeformer as cf
+
+    cfg = cfg or cf.CodeFormerConfig()
+
+    def lin(prefix, bias=True):
+        p = {"w": _to_np(sd[prefix + ".weight"]).astype(np.float32).T}
+        if bias:
+            p["b"] = _to_np(sd[prefix + ".bias"]).astype(np.float32)
+        return p
+
+    def norm(prefix):
+        return {"g": _to_np(sd[prefix + ".weight"]).astype(np.float32),
+                "b": _to_np(sd[prefix + ".bias"]).astype(np.float32)}
+
+    def resblock(prefix, cin, cout):
+        p = {"norm1": norm(prefix + ".norm1"),
+             "conv1": _conv(sd, prefix + ".conv1"),
+             "norm2": norm(prefix + ".norm2"),
+             "conv2": _conv(sd, prefix + ".conv2")}
+        if cin != cout:
+            p["conv_out"] = _conv(sd, prefix + ".conv_out")
+        return p
+
+    def attnblock(prefix):
+        return {"norm": norm(prefix + ".norm"),
+                "q": _conv(sd, prefix + ".q"),
+                "k": _conv(sd, prefix + ".k"),
+                "v": _conv(sd, prefix + ".v"),
+                "proj": _conv(sd, prefix + ".proj_out")}
+
+    def blocks(owner, plan):
+        out = []
+        for i, entry in enumerate(plan):
+            kind, cin, cout = entry[0], entry[1], entry[2]
+            pre = f"{owner}.blocks.{i}"
+            if kind in ("conv_in", "conv_out"):
+                out.append({"conv": _conv(sd, pre)})
+            elif kind == "res":
+                out.append(resblock(pre, cin, cout))
+            elif kind == "attn":
+                out.append(attnblock(pre))
+            elif kind in ("down", "up"):
+                out.append({"conv": _conv(sd, pre + ".conv")})
+            elif kind == "norm":
+                out.append({"norm": norm(pre)})
+        return out
+
+    def tf_layer(prefix):
+        d = cfg.dim_embd
+        in_w = _to_np(sd[prefix + ".self_attn.in_proj_weight"]).astype(np.float32)
+        in_b = _to_np(sd[prefix + ".self_attn.in_proj_bias"]).astype(np.float32)
+        return {
+            "norm1": norm(prefix + ".norm1"),
+            "norm2": norm(prefix + ".norm2"),
+            "qkv": {"w": in_w.T, "b": in_b},
+            "proj": lin(prefix + ".self_attn.out_proj"),
+            "fc1": lin(prefix + ".linear1"),
+            "fc2": lin(prefix + ".linear2"),
+        }
+
+    fuse = {}
+    for res in cfg.connect:
+        pre = f"fuse_convs_dict.{res}"
+        ch_map = {cfg.img_size // 2 ** i: cfg.nf * m
+                  for i, m in enumerate(cfg.ch_mult)}
+        ch = ch_map[res]
+        fuse[str(res)] = {
+            "encode_enc": resblock(pre + ".encode_enc", 2 * ch, ch),
+            "scale1": _conv(sd, pre + ".scale.0"),
+            "scale2": _conv(sd, pre + ".scale.2"),
+            "shift1": _conv(sd, pre + ".shift.0"),
+            "shift2": _conv(sd, pre + ".shift.2"),
+        }
+
+    return {
+        "encoder": blocks("encoder", cf._encoder_plan(cfg)),
+        "generator": blocks("generator", cf._generator_plan(cfg)),
+        "codebook": _to_np(sd["quantize.embedding.weight"]).astype(np.float32),
+        "position_emb": _to_np(sd["position_emb"]).astype(np.float32),
+        "feat_emb": lin("feat_emb"),
+        "ft_layers": [tf_layer(f"ft_layers.{i}")
+                      for i in range(cfg.n_layers)],
+        "idx_norm": norm("idx_pred_layer.0"),
+        "idx_pred": lin("idx_pred_layer.1", bias=False),
+        "fuse": fuse,
+    }
+
+
+# ---------------------------------------------------------------------------
 # Generic helpers
 # ---------------------------------------------------------------------------
 

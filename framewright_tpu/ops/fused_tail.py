@@ -244,6 +244,9 @@ def fused_tail_blocks(blocks: jnp.ndarray, extents: jnp.ndarray,
         _tail_kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((nb, 32, PX), jnp.bfloat16),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=int(_os.environ.get("FW_RDB_VMEM_MB", "100"))
+            * 1024 * 1024),
         interpret=interpret,
     )(extents, blocks, wts["Wa"], wts["Wb"], wts["Wc"], wts["ba"],
       wts["bb"], wts["bc"])

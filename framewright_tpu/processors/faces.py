@@ -178,12 +178,13 @@ def make_detector(kind: str = "auto",
 @dataclass
 class FaceRestoreConfig:
     strength: float = 0.8
-    backend: str = "sr"           # sr | gfpgan (when weights land)
+    backend: str = "sr"           # sr | gfpgan | codeformer
     sr_model: str = "realesr-general-x4v3"
     detector: str = "auto"        # auto | retinaface | heuristic
     expand: float = 1.6
     crop_size: int = 128          # model input (static shape for jit)
     weights_dir: Optional[str] = None
+    fidelity_weight: float = 0.5  # codeformer w: 0 quality .. 1 fidelity
 
 
 @dataclass
@@ -244,6 +245,45 @@ class FaceRestorer:
 
             self._fn = run_g
             self._gfpgan = True
+            return
+
+        if self.config.backend == "codeformer":
+            from pathlib import Path
+
+            from framewright_tpu.models import codeformer, torch_port
+
+            arch = codeformer.CodeFormerConfig()
+            params = None
+            if self.config.weights_dir:
+                wdir = Path(self.config.weights_dir)
+                npz = wdir / "CodeFormer.npz"
+                pth = wdir / "CodeFormer.pth"
+                if npz.exists():
+                    params = torch_port.import_npz(npz)
+                elif pth.exists():
+                    sd = torch_port.load_state_dict(pth)
+                    params = torch_port.port_codeformer(sd)
+                    torch_port.export_npz(params, npz)
+            if params is None:
+                # tiny random-init stand-in (tests / missing weights)
+                arch = codeformer.CodeFormerConfig(
+                    img_size=64, nf=8, ch_mult=(1, 2, 4), res_blocks=1,
+                    emb_dim=16, codebook_size=64, dim_embd=32, n_head=4,
+                    n_layers=2, connect=(32,))
+                params = codeformer.init(jax.random.PRNGKey(7), arch)
+            params = jax.tree_util.tree_map(
+                lambda v: jnp.asarray(v) if hasattr(v, "shape") else v,
+                params)
+            self._params = params
+            self.config.crop_size = arch.img_size
+            w = float(self.config.fidelity_weight)
+
+            @jax.jit
+            def run_c(p, x):
+                return codeformer.apply(p, x, arch, w=w)
+
+            self._fn = run_c
+            self._gfpgan = True    # same crop->restore->paste path
             return
 
         from framewright_tpu.models.registry import init_model

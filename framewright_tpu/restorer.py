@@ -448,7 +448,9 @@ class VideoRestorer:
             )
 
             face_restorer = FaceRestorer(FaceRestoreConfig(
-                strength=cfg.face_strength))
+                strength=cfg.face_strength,
+                backend=cfg.face_model,
+                fidelity_weight=cfg.face_fidelity))
             face_restorer.setup(oh, ow)
 
         tracker = _EtaTracker()

@@ -276,7 +276,139 @@ def raft_manifest() -> tuple:
     return keys, ignorable
 
 
+# ---------------------------------------------------------------------------
+# CodeFormer (sczhou/CodeFormer codeformer.pth; vqgan_arch + codeformer_arch)
+# ---------------------------------------------------------------------------
+
+def codeformer_manifest() -> tuple:
+    keys = {}
+    nf, ch_mult, res_blocks = 64, (1, 2, 2, 4, 4, 8), 2
+    emb, book, d, n_layers = 256, 1024, 512, 9
+    img, attn_res = 512, 16
+
+    def gn(name, c):
+        keys[f"{name}.weight"] = [c]
+        keys[f"{name}.bias"] = [c]
+
+    def resblock(pre, cin, cout):
+        gn(f"{pre}.norm1", cin)
+        _conv(keys, f"{pre}.conv1", cout, cin, 3)
+        gn(f"{pre}.norm2", cout)
+        _conv(keys, f"{pre}.conv2", cout, cout, 3)
+        if cin != cout:
+            _conv(keys, f"{pre}.conv_out", cout, cin, 1)
+
+    def attnblock(pre, c):
+        gn(f"{pre}.norm", c)
+        for nm in ("q", "k", "v", "proj_out"):
+            _conv(keys, f"{pre}.{nm}", c, c, 1)
+
+    def encoder(owner):
+        i = 0
+        res = img
+        in_mult = (1,) + ch_mult
+
+        def emit(kind, cin, cout, c_res):
+            nonlocal i
+            pre = f"{owner}.blocks.{i}"
+            if kind == "conv":
+                _conv(keys, pre, cout, cin, 3)
+            elif kind == "res":
+                resblock(pre, cin, cout)
+            elif kind == "attn":
+                attnblock(pre, cin)
+            elif kind in ("down", "up"):
+                _conv(keys, f"{pre}.conv", cout, cin, 3)
+            elif kind == "norm":
+                gn(pre, cin)
+            i += 1
+
+        emit("conv", 3, nf, res)
+        for s in range(len(ch_mult)):
+            cin, cout = nf * in_mult[s], nf * ch_mult[s]
+            for _ in range(res_blocks):
+                emit("res", cin, cout, res)
+                cin = cout
+                if res == attn_res:
+                    emit("attn", cout, cout, res)
+            if s != len(ch_mult) - 1:
+                emit("down", cout, cout, res)
+                res //= 2
+        c = nf * ch_mult[-1]
+        emit("res", c, c, res)
+        emit("attn", c, c, res)
+        emit("res", c, c, res)
+        emit("norm", c, c, res)
+        emit("conv", c, emb, res)
+
+    def generator(owner):
+        i = 0
+        res = img // 2 ** (len(ch_mult) - 1)
+        c = nf * ch_mult[-1]
+
+        def emit(kind, cin, cout):
+            nonlocal i
+            pre = f"{owner}.blocks.{i}"
+            if kind == "conv":
+                _conv(keys, pre, cout, cin, 3)
+            elif kind == "res":
+                resblock(pre, cin, cout)
+            elif kind == "attn":
+                attnblock(pre, cin)
+            elif kind == "up":
+                _conv(keys, f"{pre}.conv", cout, cin, 3)
+            elif kind == "norm":
+                gn(pre, cin)
+            i += 1
+
+        emit("conv", emb, c)
+        emit("res", c, c)
+        emit("attn", c, c)
+        emit("res", c, c)
+        for s in reversed(range(len(ch_mult))):
+            cout = nf * ch_mult[s]
+            for _ in range(res_blocks):
+                emit("res", c, cout)
+                c = cout
+                if res == attn_res:
+                    emit("attn", c, c)
+            if s != 0:
+                emit("up", c, c)
+                res *= 2
+        emit("norm", c, c)
+        emit("conv", c, 3)
+
+    encoder("encoder")
+    generator("generator")
+    keys["quantize.embedding.weight"] = [book, emb]
+    keys["position_emb"] = [256, d]
+    _linear(keys, "feat_emb", d, emb)
+    for li in range(n_layers):
+        pre = f"ft_layers.{li}"
+        keys[f"{pre}.self_attn.in_proj_weight"] = [3 * d, d]
+        keys[f"{pre}.self_attn.in_proj_bias"] = [3 * d]
+        _linear(keys, f"{pre}.self_attn.out_proj", d, d)
+        _linear(keys, f"{pre}.linear1", 2 * d, d)
+        _linear(keys, f"{pre}.linear2", d, 2 * d)
+        gn(f"{pre}.norm1", d)
+        gn(f"{pre}.norm2", d)
+    gn("idx_pred_layer.0", d)
+    keys["idx_pred_layer.1.weight"] = [book, d]
+    channels = {img // 2 ** s: nf * m for s, m in enumerate(ch_mult)}
+    for res in (32, 64, 128, 256):
+        ch = channels[res]
+        pre = f"fuse_convs_dict.{res}"
+        resblock(f"{pre}.encode_enc", 2 * ch, ch)
+        for nm in ("scale", "shift"):
+            _conv(keys, f"{pre}.{nm}.0", ch, ch, 3)
+            _conv(keys, f"{pre}.{nm}.2", ch, ch, 3)
+    return keys, []
+
+
 MANIFESTS = {
+    "CodeFormer": (codeformer_manifest,
+                   "sczhou CodeFormer v0.1.0 (512px, 1024x256 codebook, "
+                   "9-layer transformer)"),
     "raft-things": (raft_manifest,
                     "princeton-vl RAFT basic (corr 4 levels, r=4)"),
     "RealESRGAN_x2plus": (lambda: rrdb_manifest(23, 12),
