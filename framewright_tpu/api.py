@@ -50,11 +50,95 @@ _DASHBOARD_HTML = """<!doctype html><html><head><meta charset="utf-8">
 table{border-collapse:collapse;width:100%}td,th{border-bottom:1px solid #333;
 padding:.45rem .7rem;text-align:left}.state-completed{color:#6c6}
 .state-failed{color:#e66}.state-running{color:#fc6}
-progress{width:140px}</style></head><body>
+progress{width:140px}
+fieldset{border:1px solid #333;border-radius:6px;margin:1rem 0;
+padding:.8rem 1rem}legend{color:#9ab}input,select,button{background:#1e2127;
+color:#e7e7e7;border:1px solid #444;border-radius:4px;padding:.35rem .55rem}
+button{cursor:pointer}button:hover{border-color:#9ab}
+#msg{margin-left:.8rem;color:#9ab}</style></head><body>
 <h1>framewright-tpu</h1>
+<fieldset><legend>submit a restore job</legend>
+<form id="submit" onsubmit="return submitJob(event)">
+<input id="src" placeholder="/path/to/video.y4m" size="38" required>
+<select id="preset"><option value="">default config</option></select>
+<label><input type="checkbox" id="dn"> denoise</label>
+<label><input type="checkbox" id="fr"> faces</label>
+<label><input type="checkbox" id="it"> interpolate</label>
+<button>Submit</button>
+<button type="button" onclick="previewJob()">Preview 48f</button>
+<span id="msg"></span>
+</form></fieldset>
 <table id="jobs"><tr><th>Job</th><th>Source</th><th>State</th>
 <th>Progress</th></tr></table>
+<h3 id="pvh" style="display:none">previews</h3>
+<table id="previews" style="display:none"><tr><th>Task</th><th>Status</th>
+<th>Output</th></tr></table>
 <script>
+async function loadPresets(){
+  const r = await fetch('/api/presets');
+  const sel = document.getElementById('preset');
+  for (const [name, desc] of Object.entries(await r.json())){
+    const o = document.createElement('option');
+    o.value = name; o.textContent = name + (desc ? ' - ' + desc : '');
+    sel.appendChild(o);
+  }
+}
+function jobConfig(){
+  const cfg = {};
+  if (document.getElementById('dn').checked) cfg.denoise = true;
+  if (document.getElementById('fr').checked) cfg.face_restore = true;
+  if (document.getElementById('it').checked) cfg.interpolation = true;
+  return cfg;
+}
+async function submitJob(ev){
+  ev.preventDefault();
+  const body = {source: document.getElementById('src').value,
+                config: jobConfig()};
+  const preset = document.getElementById('preset').value;
+  if (preset) body.config.preset = preset;
+  const r = await fetch('/api/jobs', {method:'POST',
+    headers:{'Content-Type':'application/json'}, body: JSON.stringify(body)});
+  const d = await r.json();
+  document.getElementById('msg').textContent =
+    r.ok ? 'queued ' + d.job_id : 'error: ' + d.error;
+  return false;
+}
+const pvTasks = {};
+async function previewJob(){
+  const body = {source: document.getElementById('src').value,
+                start: 0, n_frames: 48, config: jobConfig()};
+  const r = await fetch('/api/preview', {method:'POST',
+    headers:{'Content-Type':'application/json'}, body: JSON.stringify(body)});
+  const d = await r.json();
+  document.getElementById('msg').textContent =
+    r.ok ? 'preview ' + d.task_id : 'error: ' + d.error;
+  if (r.ok){ pvTasks[d.task_id] = d; pollPreviews(); }
+  return false;
+}
+async function pollPreviews(){
+  const t = document.getElementById('previews');
+  document.getElementById('pvh').style.display = '';
+  t.style.display = '';
+  for (const id of Object.keys(pvTasks)){
+    const r = await fetch('/api/preview/' + id);
+    if (r.ok) pvTasks[id] = await r.json();
+  }
+  t.textContent = '';
+  const hdr = t.insertRow();
+  for (const h of ['Task','Status','Output'])
+    hdr.insertCell().textContent = h;
+  for (const d of Object.values(pvTasks)){
+    const row = t.insertRow();
+    row.insertCell().textContent = d.task_id;
+    row.insertCell().textContent = d.status +
+      (d.status === 'rendering' ? ' ' + Math.round(d.progress*100) + '%' : '');
+    row.insertCell().textContent = d.output || d.error || '';
+  }
+  if (Object.values(pvTasks).some(d =>
+      d.status === 'queued' || d.status === 'rendering'))
+    setTimeout(pollPreviews, 1500);
+}
+loadPresets();
 function render(jobs){
   const t = document.getElementById('jobs');
   t.textContent = '';
@@ -219,7 +303,12 @@ class APIServer:
                     from framewright_tpu.errors import FramewrightError
 
                     try:
-                        cfg = Config.from_dict(body.get("config", {}))
+                        cdict = dict(body.get("config", {}))
+                        preset = cdict.pop("preset", "")
+                        if preset:
+                            cfg = Config.from_preset(preset, **cdict)
+                        else:
+                            cfg = Config.from_dict(cdict)
                     except FramewrightError as exc:
                         return self._send(400, {"error": str(exc)})
                     jid = server.queue.submit(source, body.get("output", ""), cfg)
