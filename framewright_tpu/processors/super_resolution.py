@@ -234,6 +234,13 @@ class SuperResolution(FrameProcessor):
                     "psnr": psnr_per_frame(yf, ref),
                     "ssim": ssim_per_frame(yf, ref),
                     "luma": jnp.mean(y, axis=(1, 2, 3)),
+                    # frame-integrity signals (reference
+                    # validate_frame_integrity, validators.py — called
+                    # after every enhancement): NaN/Inf and flat/black
+                    # detection ride the same program
+                    "std": jnp.std(y, axis=(1, 2, 3)),
+                    "finite": jnp.all(jnp.isfinite(y),
+                                      axis=(1, 2, 3)),
                 }
             if not yuv:
                 # round-half-away like to_uint8 (max 255.5 floors to 255)

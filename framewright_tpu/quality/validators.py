@@ -71,6 +71,7 @@ class QualityValidator:
         self._luma_track: List[float] = []
         self._device_psnr: List[float] = []
         self._device_ssim: List[float] = []
+        self.integrity_failures: List[Tuple[int, str]] = []
 
     def observe(self, in_frame: np.ndarray, out_frame: np.ndarray) -> None:
         """Call with (pre-stage, post-stage) uint8 frames."""
@@ -80,14 +81,28 @@ class QualityValidator:
         if i % self.sample_every == 0 and len(self._pairs) < self.max_samples:
             self._pairs.append((in_frame.copy(), out_frame.copy()))
 
-    def observe_scores(self, psnr, ssim, luma) -> None:
+    def observe_scores(self, psnr, ssim, luma, std=None,
+                       finite=None) -> None:
         """Feed per-frame scores computed ON DEVICE inside the SR jit
-        (SRConfig.device_stats): the gate then costs 3 scalars/frame of
-        transfer and composes with the YUV420 fast path."""
+        (SRConfig.device_stats): the gate then costs a few scalars per
+        frame of transfer and composes with the YUV420 fast path.
+        ``std``/``finite`` carry the frame-integrity signals (reference
+        validate_frame_integrity: NaN/Inf and flat/black frames)."""
+        base = self._frame_count
         self._frame_count += len(psnr)
         self._device_psnr.extend(float(v) for v in psnr)
         self._device_ssim.extend(float(v) for v in ssim)
         self._luma_track.extend(float(v) for v in luma)
+        if finite is not None:
+            for k, ok in enumerate(finite):
+                if not bool(ok):
+                    self.integrity_failures.append(
+                        (base + k, "non-finite pixels"))
+        if std is not None:
+            for k, s in enumerate(std):
+                if float(s) < 0.5 and float(luma[k]) < 4.0:
+                    self.integrity_failures.append(
+                        (base + k, "black/flat frame"))
 
     def validate(self) -> QualityReport:
         import jax.numpy as jnp
@@ -96,6 +111,9 @@ class QualityValidator:
 
         rep = QualityReport(min_psnr=self.min_psnr, min_ssim=self.min_ssim,
                             samples=len(self._pairs))
+        if self.integrity_failures:
+            for idx, why in self.integrity_failures[:8]:
+                rep.notes.append(f"frame {idx} integrity: {why}")
         if self._device_psnr and not self._pairs:
             # scores already computed on device inside the SR program
             rep.samples = len(self._device_psnr)
@@ -107,7 +125,8 @@ class QualityValidator:
                 rep.notes.append(
                     "luma discontinuity: possible dropped/black frames")
             rep.passed = (rep.psnr >= self.min_psnr
-                          and rep.ssim >= self.min_ssim and rep.temporal_ok)
+                          and rep.ssim >= self.min_ssim and rep.temporal_ok
+                          and not self.integrity_failures)
             return rep
         if not self._pairs:
             rep.passed = True

@@ -775,7 +775,8 @@ class VideoRestorer:
                     st = result[1].get("stats_np")
                     if st is not None:
                         validator.observe_scores(
-                            st["psnr"], st["ssim"], st["luma"])
+                            st["psnr"], st["ssim"], st["luma"],
+                            std=st.get("std"), finite=st.get("finite"))
                 if isinstance(out_unique, tuple):     # (y, u, v) batched
                     outs = [tuple(p[i] for p in out_unique)
                             for i in range(len(idxs))]

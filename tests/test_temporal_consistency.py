@@ -112,3 +112,35 @@ class TestManager:
         mgr = LongFormConsistencyManager()
         with pytest.raises(ValueError):
             list(mgr.process_stream(iter([]), lambda c: c))
+
+
+class TestFrameIntegrity:
+    """Per-frame integrity signals (reference validate_frame_integrity,
+    validators.py, called after every enhancement)."""
+
+    def test_nonfinite_flagged(self):
+        from framewright_tpu.quality.validators import QualityValidator
+
+        v = QualityValidator()
+        v.observe_scores([30.0, 31.0], [0.9, 0.9], [120.0, 118.0],
+                         std=[40.0, 41.0], finite=[True, False])
+        assert v.integrity_failures == [(1, "non-finite pixels")]
+        rep = v.validate()
+        assert not rep.passed
+        assert any("integrity" in n for n in rep.notes)
+
+    def test_black_frame_flagged(self):
+        from framewright_tpu.quality.validators import QualityValidator
+
+        v = QualityValidator()
+        v.observe_scores([30.0], [0.9], [0.5], std=[0.1], finite=[True])
+        assert v.integrity_failures == [(0, "black/flat frame")]
+
+    def test_healthy_frames_pass(self):
+        from framewright_tpu.quality.validators import QualityValidator
+
+        v = QualityValidator(min_psnr=20, min_ssim=0.5)
+        v.observe_scores([30.0] * 4, [0.9] * 4, [120.0] * 4,
+                         std=[40.0] * 4, finite=[True] * 4)
+        assert not v.integrity_failures
+        assert v.validate().passed
