@@ -48,6 +48,19 @@ _KEYWORD_RULES: List[Tuple[re.Pattern, Dict]] = [
     (re.compile(r"\b(best|maximum|highest) quality|archival|archive\b"),
      {"_preset": "archive"}),
     (re.compile(r"\b8 ?mm|super ?8\b"), {"_recipe": "home_movie_8mm"}),
+    (re.compile(r"\bhdr10\+|hdr10 ?plus\b"), {"hdr_output": "hdr10plus"}),
+    (re.compile(r"\bhdr\b"), {"hdr_output": "hdr10"}),
+    (re.compile(r"\bblock(y|iness)|compression artifacts?|deblock"),
+     {"qp_removal": True}),
+    (re.compile(r"\bcodeformer\b"),
+     {"face_restore": True, "face_model": "codeformer"}),
+    (re.compile(r"\bscene.{0,6}(aware|adaptive)|adapt.{0,12}per scene"),
+     {"scene_adaptive": True}),
+    (re.compile(r"\b(accurate|precise|best) (optical )?flow|raft\b"),
+     {"flow_model": "raft"}),
+    (re.compile(r"\bensemble\b"),
+     {"sr_ensemble": "realesr-general-x4v3",
+      "ensemble_strategy": "weighted"}),
 ]
 
 

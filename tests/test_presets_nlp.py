@@ -98,3 +98,31 @@ class TestNLP:
     def test_anime(self):
         cfg, _ = build_config_from_text("remaster this anime series")
         assert cfg.sr_model == "RealESRGAN_x4plus_anime_6B"
+
+
+class TestRound2NLPRules:
+    def test_hdr10plus(self):
+        from framewright_tpu.nlp import parse_command
+
+        cmd = parse_command("restore movie.y4m with hdr10+ output")
+        assert cmd.overrides["hdr_output"] == "hdr10plus"
+
+    def test_deblock(self):
+        from framewright_tpu.nlp import parse_command
+
+        cmd = parse_command("remove the compression artifacts from dvd.y4m")
+        assert cmd.overrides["qp_removal"] is True
+
+    def test_codeformer(self):
+        from framewright_tpu.nlp import parse_command
+
+        cmd = parse_command("fix faces with codeformer in old.y4m")
+        assert cmd.overrides["face_model"] == "codeformer"
+        assert cmd.overrides["face_restore"] is True
+
+    def test_scene_adaptive_and_raft(self):
+        from framewright_tpu.nlp import parse_command
+
+        cmd = parse_command("scene-aware restore with accurate flow")
+        assert cmd.overrides["scene_adaptive"] is True
+        assert cmd.overrides["flow_model"] == "raft"
