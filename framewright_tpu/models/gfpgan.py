@@ -223,24 +223,23 @@ def init(key, cfg: GFPGANConfig = GFPGANConfig(), dtype=jnp.float32) -> Dict:
 # ---------------------------------------------------------------------------
 
 def _resblock_down(p, x):
+    """basicsr GFPGANv1Clean ResBlock(mode='down'): conv1 -> lrelu ->
+    bilinear x0.5 -> conv2 -> lrelu; skip = skip_conv(bilinear x0.5(x));
+    sum WITHOUT sqrt-2 normalization (clean arch drops it)."""
+    b, h, w, c = x.shape
     y = lrelu(_conv(p["conv1"], x), 0.2)
-    y = lrelu(_conv(p["conv2"], y, stride=2), 0.2)
-    skip = _conv(p["skip"], _avg_pool2(x))
-    return (y + skip) / math.sqrt(2.0)
+    y = lrelu(_conv(p["conv2"], resize_bilinear(y, (h // 2, w // 2))), 0.2)
+    skip = _conv(p["skip"], resize_bilinear(x, (h // 2, w // 2)))
+    return y + skip
 
 
 def _resblock_up(p, x):
-    y = lrelu(_conv(p["conv1"], x), 0.2)
     b, h, w, c = x.shape
+    y = lrelu(_conv(p["conv1"], x), 0.2)
     up = resize_bilinear(x, (h * 2, w * 2))
     y = lrelu(_conv(p["conv2"], resize_bilinear(y, (h * 2, w * 2))), 0.2)
     skip = _conv(p["skip"], up)
-    return (y + skip) / math.sqrt(2.0)
-
-
-def _avg_pool2(x):
-    return jax.lax.reduce_window(x, 0.0, jax.lax.add, (1, 2, 2, 1),
-                                 (1, 2, 2, 1), "VALID") / 4.0
+    return y + skip
 
 
 def apply(params: Dict, x: jnp.ndarray,

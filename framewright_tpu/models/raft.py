@@ -71,7 +71,10 @@ def _res_unit(p: Dict, x: jnp.ndarray, stride: int, norm: bool) -> jnp.ndarray:
     def n(v):
         return _instance_norm(v) if norm else v
 
-    y = jax.nn.relu(n(conv2d(p["conv1"], x, stride=stride)))
+    # torch pads strided 3x3 convs symmetrically (1,1); XLA SAME would
+    # pad (0,1) at stride 2 — one-pixel misalignment vs the checkpoint
+    pad = ((1, 1), (1, 1)) if stride > 1 else "SAME"
+    y = jax.nn.relu(n(conv2d(p["conv1"], x, stride=stride, padding=pad)))
     y = jax.nn.relu(n(conv2d(p["conv2"], y)))
     if "down" in p:
         x = n(conv2d(p["down"], x, stride=stride))
@@ -95,7 +98,7 @@ def _encoder_init(key, cfg: RAFTConfig, out_dim: int) -> Dict:
 
 def _encoder(p: Dict, x: jnp.ndarray, norm: bool) -> jnp.ndarray:
     """BasicEncoder: 1/8-res features. x: (B, H, W, 3) in [-1, 1]."""
-    y = conv2d(p["conv1"], x, stride=2)
+    y = conv2d(p["conv1"], x, stride=2, padding=((3, 3), (3, 3)))
     y = jax.nn.relu(_instance_norm(y) if norm else y)
     for layer, stride in ((p["layer1"], 1), (p["layer2"], 2),
                           (p["layer3"], 2)):

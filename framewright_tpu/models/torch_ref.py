@@ -168,3 +168,205 @@ def parity_check(name: str, sd: dict, arch_config, family: str,
         "max_abs": float(np.abs(diff).max()),
         "unexpected_keys": list(unexpected),
     }
+
+
+def build_raft(iters: int = 4):
+    """princeton-vl RAFT "basic" re-statement (arXiv:2003.12039) for
+    port-parity checks: parameter names match the released state dict
+    (fnet.*, cnet.*, update_block.*) so manifest-synthesized or real
+    checkpoints load into both this and models/raft.py."""
+    import torch
+    import torch.nn as nn
+    import torch.nn.functional as F
+
+    class ResidualBlock(nn.Module):
+        def __init__(self, cin, cout, norm_fn, stride=1):
+            super().__init__()
+            self.conv1 = nn.Conv2d(cin, cout, 3, padding=1, stride=stride)
+            self.conv2 = nn.Conv2d(cout, cout, 3, padding=1)
+            self.relu = nn.ReLU(inplace=True)
+            mk = (nn.BatchNorm2d if norm_fn == "batch"
+                  else lambda c: nn.InstanceNorm2d(c))
+            self.norm1 = mk(cout)
+            self.norm2 = mk(cout)
+            if stride == 1:
+                self.downsample = None
+            else:
+                self.norm3 = mk(cout)
+                self.downsample = nn.Sequential(
+                    nn.Conv2d(cin, cout, 1, stride=stride), self.norm3)
+
+        def forward(self, x):
+            y = self.relu(self.norm1(self.conv1(x)))
+            y = self.relu(self.norm2(self.conv2(y)))
+            if self.downsample is not None:
+                x = self.downsample(x)
+            return self.relu(x + y)
+
+    class BasicEncoder(nn.Module):
+        def __init__(self, out_dim, norm_fn):
+            super().__init__()
+            self.conv1 = nn.Conv2d(3, 64, 7, stride=2, padding=3)
+            self.norm1 = (nn.BatchNorm2d(64) if norm_fn == "batch"
+                          else nn.InstanceNorm2d(64))
+            self.relu1 = nn.ReLU(inplace=True)
+            self.layer1 = nn.Sequential(
+                ResidualBlock(64, 64, norm_fn),
+                ResidualBlock(64, 64, norm_fn))
+            self.layer2 = nn.Sequential(
+                ResidualBlock(64, 96, norm_fn, stride=2),
+                ResidualBlock(96, 96, norm_fn))
+            self.layer3 = nn.Sequential(
+                ResidualBlock(96, 128, norm_fn, stride=2),
+                ResidualBlock(128, 128, norm_fn))
+            self.conv2 = nn.Conv2d(128, out_dim, 1)
+
+        def forward(self, x):
+            x = self.relu1(self.norm1(self.conv1(x)))
+            x = self.layer3(self.layer2(self.layer1(x)))
+            return self.conv2(x)
+
+    def coords_grid(b, h, w):
+        ys, xs = torch.meshgrid(torch.arange(h).float(),
+                                torch.arange(w).float(), indexing="ij")
+        return torch.stack([xs, ys], dim=0)[None].repeat(b, 1, 1, 1)
+
+    def bilinear_sampler(img, coords):
+        H, W = img.shape[-2:]
+        xg = 2 * coords[..., 0] / (W - 1) - 1
+        yg = 2 * coords[..., 1] / (H - 1) - 1
+        grid = torch.stack([xg, yg], dim=-1)
+        return F.grid_sample(img, grid, align_corners=True)
+
+    class CorrBlock:
+        def __init__(self, f1, f2, levels=4, radius=4):
+            self.radius = radius
+            b, c, h, w = f1.shape
+            corr = torch.einsum(
+                "bchw,bcuv->bhwuv", f1, f2).reshape(b * h * w, 1, h, w)
+            corr = corr / c ** 0.5
+            self.pyr = [corr]
+            for _ in range(levels - 1):
+                corr = F.avg_pool2d(corr, 2, stride=2)
+                self.pyr.append(corr)
+            self.shape = (b, h, w)
+
+        def __call__(self, coords):
+            r = self.radius
+            b, h, w = self.shape
+            coords = coords.permute(0, 2, 3, 1)       # (B,H,W,2)
+            out = []
+            for lvl, corr in enumerate(self.pyr):
+                d = torch.arange(-r, r + 1).float()
+                dy, dx = torch.meshgrid(d, d, indexing="ij")
+                delta = torch.stack([dx, dy], dim=-1)  # (2r+1,2r+1,2)
+                centroid = coords.reshape(b * h * w, 1, 1, 2) / 2 ** lvl
+                win = centroid + delta[None]
+                sampled = bilinear_sampler(corr, win)  # (BHW,1,2r+1,2r+1)
+                out.append(sampled.reshape(b, h, w, -1))
+            return torch.cat(out, dim=-1).permute(0, 3, 1, 2)
+
+    class BasicMotionEncoder(nn.Module):
+        def __init__(self, cor_planes):
+            super().__init__()
+            self.convc1 = nn.Conv2d(cor_planes, 256, 1)
+            self.convc2 = nn.Conv2d(256, 192, 3, padding=1)
+            self.convf1 = nn.Conv2d(2, 128, 7, padding=3)
+            self.convf2 = nn.Conv2d(128, 64, 3, padding=1)
+            self.conv = nn.Conv2d(64 + 192, 128 - 2, 3, padding=1)
+
+        def forward(self, flow, corr):
+            c = F.relu(self.convc1(corr))
+            c = F.relu(self.convc2(c))
+            f = F.relu(self.convf1(flow))
+            f = F.relu(self.convf2(f))
+            out = F.relu(self.conv(torch.cat([c, f], dim=1)))
+            return torch.cat([out, flow], dim=1)
+
+    class SepConvGRU(nn.Module):
+        def __init__(self, hidden=128, inp=256):
+            super().__init__()
+            self.convz1 = nn.Conv2d(hidden + inp, hidden, (1, 5), padding=(0, 2))
+            self.convr1 = nn.Conv2d(hidden + inp, hidden, (1, 5), padding=(0, 2))
+            self.convq1 = nn.Conv2d(hidden + inp, hidden, (1, 5), padding=(0, 2))
+            self.convz2 = nn.Conv2d(hidden + inp, hidden, (5, 1), padding=(2, 0))
+            self.convr2 = nn.Conv2d(hidden + inp, hidden, (5, 1), padding=(2, 0))
+            self.convq2 = nn.Conv2d(hidden + inp, hidden, (5, 1), padding=(2, 0))
+
+        def forward(self, h, x):
+            for z_c, r_c, q_c in ((self.convz1, self.convr1, self.convq1),
+                                  (self.convz2, self.convr2, self.convq2)):
+                hx = torch.cat([h, x], dim=1)
+                z = torch.sigmoid(z_c(hx))
+                r = torch.sigmoid(r_c(hx))
+                q = torch.tanh(q_c(torch.cat([r * h, x], dim=1)))
+                h = (1 - z) * h + z * q
+            return h
+
+    class FlowHead(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.conv1 = nn.Conv2d(128, 256, 3, padding=1)
+            self.conv2 = nn.Conv2d(256, 2, 3, padding=1)
+
+        def forward(self, x):
+            return self.conv2(F.relu(self.conv1(x)))
+
+    class BasicUpdateBlock(nn.Module):
+        def __init__(self, cor_planes):
+            super().__init__()
+            self.encoder = BasicMotionEncoder(cor_planes)
+            self.gru = SepConvGRU()
+            self.flow_head = FlowHead()
+            self.mask = nn.Sequential(
+                nn.Conv2d(128, 256, 3, padding=1),
+                nn.ReLU(inplace=True),
+                nn.Conv2d(256, 64 * 9, 1))
+
+        def forward(self, net, inp, corr, flow):
+            m = self.encoder(flow, corr)
+            net = self.gru(net, torch.cat([inp, m], dim=1))
+            delta = self.flow_head(net)
+            mask = 0.25 * self.mask(net)
+            return net, mask, delta
+
+    class RAFT(nn.Module):
+        def __init__(self):
+            super().__init__()
+            cor_planes = 4 * (2 * 4 + 1) ** 2
+            self.fnet = BasicEncoder(256, "instance")
+            self.cnet = BasicEncoder(256, "batch")
+            self.update_block = BasicUpdateBlock(cor_planes)
+
+        @staticmethod
+        def upsample_flow(flow, mask):
+            n, _, h, w = flow.shape
+            mask = mask.view(n, 1, 9, 8, 8, h, w)
+            mask = torch.softmax(mask, dim=2)
+            up = F.unfold(8 * flow, [3, 3], padding=1)
+            up = up.view(n, 2, 9, 1, 1, h, w)
+            up = torch.sum(mask * up, dim=2)
+            up = up.permute(0, 1, 4, 2, 5, 3)
+            return up.reshape(n, 2, 8 * h, 8 * w)
+
+        def forward(self, img1, img2):
+            # inputs in [0, 1] (caller normalizes like models/raft)
+            x = torch.cat([img1, img2], dim=0) * 2 - 1
+            fmaps = self.fnet(x)
+            f1, f2 = fmaps.chunk(2, dim=0)
+            ctx = self.cnet(img1 * 2 - 1)
+            net = torch.tanh(ctx[:, :128])
+            inp = torch.relu(ctx[:, 128:])
+            corr_fn = CorrBlock(f1, f2)
+            b, _, h8, w8 = f1.shape
+            coords0 = coords_grid(b, h8, w8)
+            coords1 = coords_grid(b, h8, w8)
+            mask = None
+            for _ in range(iters):
+                corr = corr_fn(coords1)
+                flow = coords1 - coords0
+                net, mask, delta = self.update_block(net, inp, corr, flow)
+                coords1 = coords1 + delta
+            return self.upsample_flow(coords1 - coords0, mask)
+
+    return RAFT()

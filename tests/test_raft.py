@@ -147,3 +147,55 @@ class TestPort:
 
         spec = get_model("raft-things")
         assert spec.family == "flow"
+
+
+@pytest.mark.slow
+class TestTorchParity:
+    def test_flow_matches_torch_reference(self):
+        """Load the SAME (manifest-synthesized) weights into the torch
+        RAFT re-statement and the JAX port; flows must match. This is
+        the offline half of the <=0.1 dB parity harness — it proves the
+        port math (norm folding, GRU order, corr lookup, convex
+        upsample) without needing the released .pth."""
+        torch = pytest.importorskip("torch")
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        from framewright_tpu.models import raft, torch_ref, torch_port
+        from tests.test_manifests import load_manifest, synth_sd
+
+        keys, _ = load_manifest("raft-things")
+        sd = synth_sd(keys)
+        # BatchNorm running_var must be non-negative for torch's sqrt
+        for k in list(sd):
+            if k.endswith("running_var"):
+                sd[k] = np.abs(sd[k]) + 0.5
+            if k.endswith("running_mean"):
+                sd[k] = sd[k] * 0.1
+        iters = 3
+        tm = torch_ref.build_raft(iters=iters)
+        missing, unexpected = tm.load_state_dict(
+            {k: torch.as_tensor(v) for k, v in sd.items()}, strict=False)
+        assert not missing, missing[:5]
+        tm.eval()
+
+        params = torch_port.port_raft(sd)
+        cfg = raft.RAFTConfig(iters=iters)
+        rng = np.random.default_rng(0)
+        # >=128 px so the coarsest correlation level is >=2x2 (the
+        # normalized-grid sampler divides by (size-1))
+        a = rng.random((1, 128, 128, 3), dtype=np.float32)
+        b = np.roll(a, 2, axis=2)
+
+        with torch.no_grad():
+            yt = tm(torch.as_tensor(a.transpose(0, 3, 1, 2)),
+                    torch.as_tensor(b.transpose(0, 3, 1, 2)))
+        flow_t = yt.numpy().transpose(0, 2, 3, 1)
+        flow_j = np.asarray(raft.apply(params, jnp.asarray(a),
+                                       jnp.asarray(b), cfg))
+        err = np.abs(flow_j - flow_t)
+        scale = np.abs(flow_t).max() + 1e-3
+        assert err.max() / scale < 0.01, (
+            f"max rel err {err.max() / scale:.4f} "
+            f"(abs {err.max():.4f} vs scale {scale:.3f})")
