@@ -82,7 +82,11 @@ def init(key, cfg: ECCV16Config = ECCV16Config(), dtype=jnp.float32) -> Dict:
 
 def _conv(p, x, stride=1, dilation=1):
     y = jax.lax.conv_general_dilated(
-        x, p["w"].astype(x.dtype), (stride, stride), "SAME",
+        x, p["w"].astype(x.dtype), (stride, stride),
+        # torch pads k//2 both sides; XLA SAME at stride 2 pads (0,1) -
+        # explicit padding keeps released-checkpoint parity
+        ("SAME" if stride == 1 else
+         ((p["w"].shape[0] // 2,) * 2, (p["w"].shape[1] // 2,) * 2)),
         rhs_dilation=(dilation, dilation),
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         preferred_element_type=jnp.float32)

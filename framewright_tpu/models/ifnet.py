@@ -80,7 +80,11 @@ def init(key, cfg: IFNetConfig = IFNetConfig(), dtype=jnp.float32) -> Dict:
 
 
 def _apply_conv_prelu(p, x, stride=1):
-    y = conv2d({"w": p["w"], "b": p["b"]}, x, stride=stride)
+    # torch RIFE pads its stride-2 3x3 convs (1,1); XLA SAME at stride
+    # 2 would pad (0,1) — explicit padding keeps checkpoint parity
+    k = p["w"].shape[0]
+    pad = "SAME" if stride == 1 else ((k // 2, k // 2), (k // 2, k // 2))
+    y = conv2d({"w": p["w"], "b": p["b"]}, x, stride=stride, padding=pad)
     return prelu(y, p["alpha"])
 
 

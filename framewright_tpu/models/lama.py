@@ -46,7 +46,11 @@ def _bn(p, x, eps=1e-5):
 
 def _conv(p, x, stride=1):
     y = jax.lax.conv_general_dilated(
-        x, p["w"].astype(x.dtype), (stride, stride), "SAME",
+        x, p["w"].astype(x.dtype), (stride, stride),
+        # torch pads k//2 both sides; XLA SAME at stride 2 pads (0,1) -
+        # explicit padding keeps released-checkpoint parity
+        ("SAME" if stride == 1 else
+         ((p["w"].shape[0] // 2,) * 2, (p["w"].shape[1] // 2,) * 2)),
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         precision=(jax.lax.Precision.HIGHEST if x.dtype == jnp.float32
                    else jax.lax.Precision.DEFAULT),

@@ -103,8 +103,12 @@ def init(key, cfg: RetinaFaceConfig = RetinaFaceConfig(),
 # ---------------------------------------------------------------------------
 
 def _conv(p, x, stride=1, groups=1, relu=True):
+    # torch pads k//2 on BOTH sides; XLA SAME at stride 2 pads
+    # asymmetrically (0,1) — explicit padding keeps checkpoint parity
+    k = p["w"].shape[0]
+    pad = "SAME" if stride == 1 else ((k // 2, k // 2), (k // 2, k // 2))
     y = jax.lax.conv_general_dilated(
-        x, p["w"].astype(x.dtype), (stride, stride), "SAME",
+        x, p["w"].astype(x.dtype), (stride, stride), pad,
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         feature_group_count=groups,
         preferred_element_type=jnp.float32)
