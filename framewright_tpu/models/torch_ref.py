@@ -370,3 +370,116 @@ def build_raft(iters: int = 4):
             return self.upsample_flow(coords1 - coords0, mask)
 
     return RAFT()
+
+
+def build_retinaface():
+    """biubug6/Pytorch_Retinaface mobilenet0.25 re-statement for
+    port-parity: parameter names match the released state dict
+    (body.stage*.N..., fpn.*, ssh*, ClassHead/BboxHead/LandmarkHead).
+    Forward returns RAW head outputs (cls logits, box deltas, landmark
+    deltas) reshaped to anchors — compared against the JAX heads."""
+    import torch
+    import torch.nn as nn
+    import torch.nn.functional as F
+
+    def conv_bn(inp, oup, stride=1, leaky=0.1):
+        return nn.Sequential(
+            nn.Conv2d(inp, oup, 3, stride, 1, bias=False),
+            nn.BatchNorm2d(oup), nn.LeakyReLU(leaky, inplace=True))
+
+    def conv_bn1x1(inp, oup, stride=1, leaky=0.1):
+        return nn.Sequential(
+            nn.Conv2d(inp, oup, 1, stride, 0, bias=False),
+            nn.BatchNorm2d(oup), nn.LeakyReLU(leaky, inplace=True))
+
+    def conv_bn_no_relu(inp, oup, stride=1):
+        return nn.Sequential(
+            nn.Conv2d(inp, oup, 3, stride, 1, bias=False),
+            nn.BatchNorm2d(oup))
+
+    def conv_dw(inp, oup, stride, leaky=0.1):
+        return nn.Sequential(
+            nn.Conv2d(inp, inp, 3, stride, 1, groups=inp, bias=False),
+            nn.BatchNorm2d(inp), nn.LeakyReLU(leaky, inplace=True),
+            nn.Conv2d(inp, oup, 1, 1, 0, bias=False),
+            nn.BatchNorm2d(oup), nn.LeakyReLU(leaky, inplace=True))
+
+    class Body(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.stage1 = nn.Sequential(
+                conv_bn(3, 8, 2), conv_dw(8, 16, 1), conv_dw(16, 32, 2),
+                conv_dw(32, 32, 1), conv_dw(32, 64, 2), conv_dw(64, 64, 1))
+            self.stage2 = nn.Sequential(
+                conv_dw(64, 128, 2), *[conv_dw(128, 128, 1)
+                                       for _ in range(5)])
+            self.stage3 = nn.Sequential(
+                conv_dw(128, 256, 2), conv_dw(256, 256, 1))
+
+    class SSH(nn.Module):
+        def __init__(self, c=64):
+            super().__init__()
+            self.conv3X3 = conv_bn_no_relu(c, c // 2)
+            self.conv5X5_1 = conv_bn(c, c // 4)
+            self.conv5X5_2 = conv_bn_no_relu(c // 4, c // 4)
+            self.conv7X7_2 = conv_bn(c // 4, c // 4)
+            self.conv7x7_3 = conv_bn_no_relu(c // 4, c // 4)
+
+        def forward(self, x):
+            c3 = self.conv3X3(x)
+            c51 = self.conv5X5_1(x)
+            c5 = self.conv5X5_2(c51)
+            c7 = self.conv7x7_3(self.conv7X7_2(c51))
+            return F.relu(torch.cat([c3, c5, c7], dim=1))
+
+    class Head(nn.Module):
+        def __init__(self, out_per_anchor):
+            super().__init__()
+            self.conv1x1 = nn.Conv2d(64, 2 * out_per_anchor, 1)
+            self.n = out_per_anchor
+
+        def forward(self, x):
+            y = self.conv1x1(x).permute(0, 2, 3, 1).contiguous()
+            return y.view(y.shape[0], -1, self.n)
+
+    class FPN(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.output1 = conv_bn1x1(64, 64)
+            self.output2 = conv_bn1x1(128, 64)
+            self.output3 = conv_bn1x1(256, 64)
+            self.merge1 = conv_bn(64, 64)
+            self.merge2 = conv_bn(64, 64)
+
+        def forward(self, f1, f2, f3):
+            o1, o2, o3 = self.output1(f1), self.output2(f2), self.output3(f3)
+            u3 = F.interpolate(o3, size=o2.shape[-2:], mode="nearest")
+            o2 = self.merge2(o2 + u3)
+            u2 = F.interpolate(o2, size=o1.shape[-2:], mode="nearest")
+            o1 = self.merge1(o1 + u2)
+            return o1, o2, o3
+
+    class RetinaFace(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.body = Body()
+            self.fpn = FPN()
+            self.ssh1, self.ssh2, self.ssh3 = SSH(), SSH(), SSH()
+            self.ClassHead = nn.ModuleList([Head(2) for _ in range(3)])
+            self.BboxHead = nn.ModuleList([Head(4) for _ in range(3)])
+            self.LandmarkHead = nn.ModuleList([Head(10) for _ in range(3)])
+
+        def forward(self, x):
+            # x: BGR, mean-subtracted, (B,3,H,W)
+            f1 = self.body.stage1(x)
+            f2 = self.body.stage2(f1)
+            f3 = self.body.stage3(f2)
+            p1, p2, p3 = self.fpn(f1, f2, f3)
+            feats = [self.ssh1(p1), self.ssh2(p2), self.ssh3(p3)]
+            cls = torch.cat([h(f) for h, f in zip(self.ClassHead, feats)], 1)
+            box = torch.cat([h(f) for h, f in zip(self.BboxHead, feats)], 1)
+            ldm = torch.cat([h(f) for h, f in zip(self.LandmarkHead, feats)],
+                            1)
+            return cls, box, ldm
+
+    return RetinaFace()

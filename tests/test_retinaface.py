@@ -96,3 +96,49 @@ class TestDetectorSelection:
         boxes = det.detect(frame)  # random weights: just runs cleanly
         for b in boxes:
             assert 0 <= b.x0 < b.x1 <= 56 and 0 <= b.y0 < b.y1 <= 40
+
+
+@pytest.mark.slow
+class TestTorchParity:
+    def test_scores_match_torch_reference(self, tmp_path):
+        """Manifest-synthesized weights into the biubug6 torch
+        re-statement and the BN-folded JAX port: anchor scores must
+        match (validates BN folding, depthwise padding, FPN/SSH wiring
+        and anchor ordering without the released .pth)."""
+        torch = pytest.importorskip("torch")
+        import numpy as np
+        import jax.numpy as jnp
+
+        from framewright_tpu.models import retinaface, torch_port, torch_ref
+        from tests.test_manifests import load_manifest, synth_sd
+
+        keys, _ = load_manifest("retinaface_mnet025")
+        sd = synth_sd(keys)
+        for k in list(sd):
+            if k.endswith("running_var"):
+                sd[k] = np.abs(sd[k]) + 0.5
+            if k.endswith("running_mean"):
+                sd[k] = sd[k] * 0.1
+        tm = torch_ref.build_retinaface()
+        missing, _unexpected = tm.load_state_dict(
+            {k: torch.as_tensor(v) for k, v in sd.items()}, strict=False)
+        assert not missing, missing[:5]
+        tm.eval()
+
+        params = torch_port.port_retinaface(sd)
+        rng = np.random.default_rng(0)
+        x = rng.random((1, 64, 96, 3), dtype=np.float32)
+
+        xb = x[..., ::-1] * 255.0 - np.asarray([104.0, 117.0, 123.0],
+                                               np.float32)
+        with torch.no_grad():
+            cls_t, _box_t, _ldm_t = tm(
+                torch.as_tensor(np.ascontiguousarray(
+                    xb.transpose(0, 3, 1, 2))))
+        scores_t = torch.softmax(cls_t, dim=-1)[..., 1].numpy()
+
+        scores_j, _boxes, _ldm = retinaface.apply(params, jnp.asarray(x))
+        scores_j = np.asarray(scores_j)
+        assert scores_j.shape == scores_t.shape
+        err = np.abs(scores_j - scores_t).max()
+        assert err < 5e-3, f"score mismatch {err:.5f}"
