@@ -565,6 +565,10 @@ def cmd_interpolate(args: argparse.Namespace) -> int:
         interpolation_factor,
     )
 
+    if args.device != "auto":
+        import jax
+
+        jax.config.update("jax_platforms", args.device)
     meta = probe(args.source)
     target = args.target_fps or meta.fps * args.factor
     cfg = InterpolationConfig(target_fps=target,
@@ -1096,6 +1100,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--target-fps", dest="target_fps", type=float, default=0.0)
     p.add_argument("--dtype", default="float32",
                    choices=["bfloat16", "float32"])
+    p.add_argument("--device", choices=["auto", "tpu", "cpu"],
+                   default="auto")
     p.set_defaults(func=cmd_interpolate)
 
     p = sub.add_parser("extract-frames",

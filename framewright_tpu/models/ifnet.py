@@ -6,9 +6,11 @@ an in-process coarse-to-fine flow network, following the published
 RIFE v4 IFNet design (arXiv:2011.06294; Practical-RIFE IFNet_HDv3):
 
 - 4 IFBlocks at scales [8, 4, 2, 1], channels [192, 128, 96, 64];
-- each block: 2 stride-2 conv+PReLU downs, 8 residual conv+PReLU
-  blocks, ConvTranspose2d(c, 4*(4+1+?)...) -> PixelShuffle(2) head
-  emitting a flow residual (4ch: flow0 xy + flow1 xy) and mask logit;
+- each block: 2 stride-2 conv+PReLU downs (torch-parity symmetric
+  padding), an 8-conv PReLU chain with ONE residual skip around it,
+  ConvTranspose2d(c, 4*6, 4, 2, 1) -> PixelShuffle(2) head emitting a
+  flow residual (4ch: flow0 xy + flow1 xy), mask logit, and an unused
+  aux channel (the v4.6 head layout);
 - between blocks both inputs are backward-warped by the current flow;
 - output frame = warp(img0, f0)*sigmoid(mask) + warp(img1, f1)*(1-m).
 
@@ -65,12 +67,13 @@ def init(key, cfg: IFNetConfig = IFNetConfig(), dtype=jnp.float32) -> Dict:
             _conv_prelu_init(bk[2 + i], 3, c, c)
             for i in range(cfg.num_res_convs)
         ]
-        # head: ConvTranspose2d(c, 5*4, 4, 2, 1) + PixelShuffle(2):
-        # net 4x upsample back to block input res, 5 channels out
+        # head: ConvTranspose2d(c, 6*4, 4, 2, 1) + PixelShuffle(2):
+        # net 4x upsample back to block input res, 6 channels out
+        # (flow 4 + mask 1 + aux 1 — IFNet_HDv3 v4.6 layout)
         wkey = bk[-1]
         head = {
-            "w": jax.random.normal(wkey, (4, 4, c, 20), jnp.float32) * 0.01,
-            "b": jnp.zeros((20,), jnp.float32),
+            "w": jax.random.normal(wkey, (4, 4, c, 24), jnp.float32) * 0.01,
+            "b": jnp.zeros((24,), jnp.float32),
         }
         blocks.append({"conv0": conv0, "convblock": convblock, "head": head})
     params = {"blocks": blocks}
@@ -91,12 +94,16 @@ def _apply_conv_prelu(p, x, stride=1):
 def _ifblock(p, x, cfg) -> jnp.ndarray:
     feat = _apply_conv_prelu(p["conv0"][0], x, stride=2)
     feat = _apply_conv_prelu(p["conv0"][1], feat, stride=2)
+    # IFNet_HDv3 (v4.6): ONE residual skip around the whole conv chain
+    # (`self.convblock(feat) + feat`), not per-conv residuals
+    y = feat
     for rp in p["convblock"]:
-        feat = feat + _apply_conv_prelu(rp, feat)
+        y = _apply_conv_prelu(rp, y)
+    feat = y + feat
     from framewright_tpu.models.layers import pixel_shuffle
 
     out = conv2d_transpose(p["head"], feat, stride=2, kernel=4, pad=1)
-    out = pixel_shuffle(out, 2)  # (B, h, w, 5) at block input res
+    out = pixel_shuffle(out, 2)  # (B, h, w, 6) at block input res
     return out
 
 
