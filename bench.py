@@ -21,8 +21,20 @@ import numpy as np
 
 
 def main() -> int:
+    import os
+
     import jax
     import jax.numpy as jnp
+
+    # persistent compilation cache: the S=112 kernels take minutes on
+    # the remote compile server; cache hits make repeat benches ~60 s
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             ".xla_bench_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:  # noqa: BLE001 — older jax: cache is best-effort
+        pass
 
     from framewright_tpu.models import rrdb
 
