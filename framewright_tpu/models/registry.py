@@ -190,9 +190,15 @@ def init_model(
         # eager init is ~400 small RNG dispatches (~15 s for RRDB on
         # CPU) that every weightless run would otherwise repeat.
         rand_npz = wdir / f"{name}.rand{seed}.npz"
+        params = None
         if rand_npz.exists():
-            params = torch_port.import_npz(rand_npz)
-        else:
+            try:
+                params = torch_port.import_npz(rand_npz)
+            except ValueError:
+                # stale cache from before None-leaf encoding (object
+                # arrays refuse to load): regenerate
+                rand_npz.unlink(missing_ok=True)
+        if params is None:
             # Run init on the host CPU backend: on remote-compile TPU
             # stacks each RNG op is a compile round-trip (measured:
             # minutes of startup). Params move to device on first use.

@@ -587,6 +587,11 @@ def export_npz(params: Dict, path: Path) -> None:
         elif isinstance(node, (list, tuple)):
             for i, v in enumerate(node):
                 walk(v, f"{prefix}.{i}")
+        elif node is None:
+            # optional leaves (e.g. diffusion skip=None): a zero-size
+            # marker array — np.savez would otherwise pickle an object
+            # array that import refuses to load
+            flat[prefix + ".__none__"] = np.zeros((0,), np.int8)
         else:
             flat[prefix] = np.asarray(node)
 
@@ -604,11 +609,14 @@ def import_npz(path: Path) -> Dict:
     data = np.load(path)
     root: Dict = {}
     for key in data.files:
+        none_leaf = key.endswith(".__none__")
+        if none_leaf:
+            key = key[: -len(".__none__")]
         node = root
         parts = key.split(".")
         for part in parts[:-1]:
             node = node.setdefault(part, {})
-        node[parts[-1]] = data[key]
+        node[parts[-1]] = None if none_leaf else data[key]
 
     def listify(node):
         if not isinstance(node, dict):

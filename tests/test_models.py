@@ -190,3 +190,35 @@ class TestRegistry:
                                   allow_random=False)
         assert (tmp_path / "realesr-animevideov3.npz").exists()  # cached port
         assert len(params["body"]) == 17
+
+
+class TestNpzNoneLeaves:
+    def test_none_leaves_roundtrip(self, tmp_path):
+        """Optional pytree leaves (skip=None) must survive the npz
+        cache: np.savez would silently pickle them as object arrays
+        that np.load(allow_pickle=False) then refuses — poisoning the
+        seeded-init cache on the SECOND run (regression)."""
+        import numpy as np
+
+        tree = {"a": {"skip": None, "w": np.ones((2, 2), np.float32)},
+                "b": [None, np.zeros(3, np.float32)]}
+        p = tmp_path / "t.npz"
+        torch_port.export_npz(tree, p)
+        back = torch_port.import_npz(p)
+        assert back["a"]["skip"] is None
+        assert back["b"][0] is None
+        np.testing.assert_array_equal(back["a"]["w"], tree["a"]["w"])
+
+    def test_stale_object_cache_regenerates(self, tmp_path, monkeypatch):
+        """A pre-fix cache file with object arrays is deleted and the
+        init regenerated instead of crashing."""
+        import numpy as np
+
+        from framewright_tpu.models.registry import init_model
+
+        monkeypatch.setenv("FRAMEWRIGHT_WEIGHTS_DIR", str(tmp_path))
+        bad = tmp_path / "DiffusionSR_x4.rand0.npz"
+        np.savez(bad, **{"mid.skip": np.asarray(None, dtype=object)})
+        spec, params = init_model("DiffusionSR_x4",
+                                  weights_dir=str(tmp_path))
+        assert params is not None
