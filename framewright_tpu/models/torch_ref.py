@@ -483,3 +483,204 @@ def build_retinaface():
             return cls, box, ldm
 
     return RetinaFace()
+
+
+def build_codeformer():
+    """sczhou/CodeFormer re-statement (vqgan_arch + codeformer_arch)
+    for port parity: parameter names match codeformer.pth
+    (encoder.blocks.N.*, generator.blocks.N.*, quantize.embedding,
+    position_emb, feat_emb, ft_layers.N.*, idx_pred_layer.*,
+    fuse_convs_dict.<res>.*). Forward takes (B,3,512,512) in [0,1] and
+    a fidelity weight w; returns the restored crop in [0,1]."""
+    import torch
+    import torch.nn as nn
+    import torch.nn.functional as F
+
+    def normalize(c):
+        return nn.GroupNorm(32, c, eps=1e-6, affine=True)
+
+    def swish(x):
+        return x * torch.sigmoid(x)
+
+    class ResBlock(nn.Module):
+        def __init__(self, cin, cout):
+            super().__init__()
+            self.norm1 = normalize(cin)
+            self.conv1 = nn.Conv2d(cin, cout, 3, 1, 1)
+            self.norm2 = normalize(cout)
+            self.conv2 = nn.Conv2d(cout, cout, 3, 1, 1)
+            self.has_skip = cin != cout
+            if self.has_skip:
+                self.conv_out = nn.Conv2d(cin, cout, 1)
+
+        def forward(self, x):
+            y = self.conv1(swish(self.norm1(x)))
+            y = self.conv2(swish(self.norm2(y)))
+            if self.has_skip:
+                x = self.conv_out(x)
+            return x + y
+
+    class AttnBlock(nn.Module):
+        def __init__(self, c):
+            super().__init__()
+            self.norm = normalize(c)
+            self.q = nn.Conv2d(c, c, 1)
+            self.k = nn.Conv2d(c, c, 1)
+            self.v = nn.Conv2d(c, c, 1)
+            self.proj_out = nn.Conv2d(c, c, 1)
+
+        def forward(self, x):
+            h = self.norm(x)
+            q, k, v = self.q(h), self.k(h), self.v(h)
+            b, c, hh, ww = q.shape
+            q = q.reshape(b, c, hh * ww).permute(0, 2, 1)
+            k = k.reshape(b, c, hh * ww)
+            att = torch.softmax(torch.bmm(q, k) / c ** 0.5, dim=2)
+            v = v.reshape(b, c, hh * ww)
+            out = torch.bmm(v, att.permute(0, 2, 1))
+            return x + self.proj_out(out.reshape(b, c, hh, ww))
+
+    class Downsample(nn.Module):
+        def __init__(self, c):
+            super().__init__()
+            self.conv = nn.Conv2d(c, c, 3, stride=2, padding=0)
+
+        def forward(self, x):
+            return self.conv(F.pad(x, (0, 1, 0, 1)))
+
+    class Upsample(nn.Module):
+        def __init__(self, c):
+            super().__init__()
+            self.conv = nn.Conv2d(c, c, 3, 1, 1)
+
+        def forward(self, x):
+            return self.conv(F.interpolate(x, scale_factor=2,
+                                           mode="nearest"))
+
+    nf, ch_mult, res_blocks = 64, (1, 2, 2, 4, 4, 8), 2
+    emb, book = 256, 1024
+
+    class Encoder(nn.Module):
+        def __init__(self):
+            super().__init__()
+            blocks = [nn.Conv2d(3, nf, 3, 1, 1)]
+            res = 512
+            in_mult = (1,) + ch_mult
+            for i in range(len(ch_mult)):
+                cin, cout = nf * in_mult[i], nf * ch_mult[i]
+                for _ in range(res_blocks):
+                    blocks.append(ResBlock(cin, cout))
+                    cin = cout
+                    if res == 16:
+                        blocks.append(AttnBlock(cout))
+                if i != len(ch_mult) - 1:
+                    blocks.append(Downsample(cout))
+                    res //= 2
+            c = nf * ch_mult[-1]
+            blocks += [ResBlock(c, c), AttnBlock(c), ResBlock(c, c),
+                       normalize(c), nn.Conv2d(c, emb, 3, 1, 1)]
+            self.blocks = nn.ModuleList(blocks)
+
+        def forward(self, x, taps):
+            feats = {}
+            for blk in self.blocks:
+                x = blk(x)
+                feats[x.shape[-1]] = x
+            for r in taps:
+                taps[r] = feats[r]
+            return x
+
+    class Generator(nn.Module):
+        def __init__(self):
+            super().__init__()
+            res = 16
+            c = nf * ch_mult[-1]
+            blocks = [nn.Conv2d(emb, c, 3, 1, 1), ResBlock(c, c),
+                      AttnBlock(c), ResBlock(c, c)]
+            self.fuse_at = {}
+            for i in reversed(range(len(ch_mult))):
+                cout = nf * ch_mult[i]
+                for j in range(res_blocks):
+                    blocks.append(ResBlock(c, cout))
+                    if j == 0 and i != len(ch_mult) - 1:
+                        self.fuse_at[len(blocks) - 1] = res
+                    c = cout
+                    if res == 16:
+                        blocks.append(AttnBlock(c))
+                if i != 0:
+                    blocks.append(Upsample(c))
+                    res *= 2
+            blocks += [normalize(c), nn.Conv2d(c, 3, 3, 1, 1)]
+            self.blocks = nn.ModuleList(blocks)
+
+    class FuseSFT(nn.Module):
+        def __init__(self, c):
+            super().__init__()
+            self.encode_enc = ResBlock(2 * c, c)
+            self.scale = nn.Sequential(
+                nn.Conv2d(c, c, 3, 1, 1), nn.LeakyReLU(0.2, inplace=True),
+                nn.Conv2d(c, c, 3, 1, 1))
+            self.shift = nn.Sequential(
+                nn.Conv2d(c, c, 3, 1, 1), nn.LeakyReLU(0.2, inplace=True),
+                nn.Conv2d(c, c, 3, 1, 1))
+
+        def forward(self, enc, dec, w):
+            e = self.encode_enc(torch.cat([enc, dec], dim=1))
+            return dec + w * (dec * self.scale(e) + self.shift(e))
+
+    class TransformerSALayer(nn.Module):
+        def __init__(self, d=512, nhead=8, mlp=1024):
+            super().__init__()
+            self.self_attn = nn.MultiheadAttention(d, nhead)
+            self.linear1 = nn.Linear(d, mlp)
+            self.linear2 = nn.Linear(mlp, d)
+            self.norm1 = nn.LayerNorm(d)
+            self.norm2 = nn.LayerNorm(d)
+
+        def forward(self, tgt, pos):
+            t2 = self.norm1(tgt)
+            q = k = t2 + pos
+            t2 = self.self_attn(q, k, value=t2)[0]
+            tgt = tgt + t2
+            t2 = self.norm2(tgt)
+            return tgt + self.linear2(F.gelu(self.linear1(t2)))
+
+    class CodeFormer(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.encoder = Encoder()
+            self.generator = Generator()
+            self.quantize = nn.Module()
+            self.quantize.embedding = nn.Embedding(book, emb)
+            self.position_emb = nn.Parameter(torch.zeros(256, 512))
+            self.feat_emb = nn.Linear(emb, 512)
+            self.ft_layers = nn.ModuleList(
+                [TransformerSALayer() for _ in range(9)])
+            self.idx_pred_layer = nn.Sequential(
+                nn.LayerNorm(512), nn.Linear(512, book, bias=False))
+            channels = {512 // 2 ** i: nf * m
+                        for i, m in enumerate(ch_mult)}
+            self.fuse_convs_dict = nn.ModuleDict(
+                {str(r): FuseSFT(channels[r]) for r in (32, 64, 128, 256)})
+
+        def forward(self, x, w=0.5):
+            x = x * 2 - 1
+            taps = {32: None, 64: None, 128: None, 256: None}
+            lq = self.encoder(x, taps)
+            b = lq.shape[0]
+            tok = self.feat_emb(lq.flatten(2).permute(2, 0, 1))  # (N,B,d)
+            pos = self.position_emb.unsqueeze(1)
+            for layer in self.ft_layers:
+                tok = layer(tok, pos)
+            logits = self.idx_pred_layer(tok).permute(1, 0, 2)   # (B,N,book)
+            idx = logits.argmax(dim=-1)
+            quant = self.quantize.embedding(idx)                  # (B,N,emb)
+            h = quant.permute(0, 2, 1).reshape(b, emb, 16, 16)
+            for i, blk in enumerate(self.generator.blocks):
+                h = blk(h)
+                r = self.generator.fuse_at.get(i)
+                if r is not None and str(r) in self.fuse_convs_dict:
+                    h = self.fuse_convs_dict[str(r)](taps[r], h, w)
+            return torch.clamp((h + 1) / 2, 0, 1)
+
+    return CodeFormer()
