@@ -210,12 +210,17 @@ class Config:
     inpaint_model: str = "lama"
     watermark_removal: bool = False
     watermark_auto_detect: bool = True
+    watermark_regions: Tuple[Tuple[int, int, int, int], ...] = ()
+                                          # explicit (x, y, w, h) masks
+                                          # (ref watermark_mask_path analog)
     subtitle_removal: bool = False
     subtitle_region: str = "bottom"       # OCR band: bottom|top|full
     subtitle_ocr_engine: str = "auto"     # auto|tesseract|none (timing only)
     subtitle_languages: Tuple[str, ...] = ("eng",)
     colorize: bool = False
     colorize_model: str = "ddcolor"
+    colorize_saturation: float = 0.5      # chroma strength (0-1)
+    colorize_keyframe_interval: int = 24  # flow-propagation keyframe gap
     colorize_strength: float = 1.0        # chroma blend vs source
 
     # --- Diffusion SR (reference diffusion_steps/guidance) ----------------------
@@ -278,6 +283,12 @@ class Config:
     checkpoint_enabled: bool = True
     checkpoint_interval: int = 50         # frames between checkpoint saves
     resume: bool = True
+    max_runtime_minutes: float = 0.0      # 0 = unlimited; else stop the
+                                          # enhance loop gracefully at the
+                                          # budget (checkpoint lets a rerun
+                                          # resume — ref max_runtime_minutes)
+    stage_max_retries: int = 1            # DAG stage retry count
+                                          # (ref max_retries)
 
     # --- Validation / quality gates -----------------------------------------------------
     validate_output: bool = True

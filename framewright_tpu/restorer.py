@@ -181,7 +181,7 @@ class VideoRestorer:
             .stage("dedup", self._stage_dedup, depends_on=("probe",),
                    enabled=cfg.deduplicate)
             .stage("enhance", self._stage_enhance,
-                   depends_on=("probe",), max_retries=1)
+                   depends_on=("probe",), max_retries=cfg.stage_max_retries)
             .stage("interpolate", self._stage_interpolate,
                    depends_on=("enhance",), enabled=cfg.interpolation)
             .stage("validate", self._stage_validate, depends_on=("enhance",),
@@ -556,6 +556,7 @@ class VideoRestorer:
                 method=cfg.inpaint_model if cfg.inpaint_model in ("lama", "diffusion")
                 else "lama",
                 auto_detect=cfg.watermark_auto_detect,
+                custom_masks=list(cfg.watermark_regions),
             )).process_stream(src_iter)
         if cfg.colorize:
             from framewright_tpu.processors.colorize import ColorizeConfig, Colorizer
@@ -563,6 +564,8 @@ class VideoRestorer:
             src_iter = Colorizer(ColorizeConfig(
                 method=cfg.colorize_model,
                 scene_change_threshold=cfg.scene_threshold,
+                saturation=cfg.colorize_saturation,
+                keyframe_interval=cfg.colorize_keyframe_interval,
             )).colorize_stream(src_iter)
         if cfg.qp_removal:
             from framewright_tpu.processors.qp_removal import (
@@ -845,10 +848,23 @@ class VideoRestorer:
             self.events.emit(EventType.FRAME_PROCESSED, frames=written)
             self._progress("enhance", written, total_unique, tracker)
 
+        deadline = (time.time() + cfg.max_runtime_minutes * 60.0
+                    if cfg.max_runtime_minutes > 0 else None)
+        budget_hit = False
         try:
             for batch in ring:
                 if ctx is not None:
                     ctx.checkpoint_wait()
+                if deadline is not None and time.time() > deadline:
+                    # graceful wall-clock budget stop (reference
+                    # max_runtime_minutes): checkpoints let the next
+                    # run of the same command resume here
+                    budget_hit = True
+                    logger.warning(
+                        "runtime budget (%.1f min) reached at frame %d; "
+                        "stopping — rerun to resume",
+                        cfg.max_runtime_minutes, written)
+                    break
                 frames = batch.frames[: batch.valid]
                 idxs = list(range(batch.start_frame, batch.start_frame + batch.valid))
 
@@ -893,6 +909,14 @@ class VideoRestorer:
             if cfg.checkpoint_enabled and "checkpoint" in data:
                 self.checkpoints.frames_completed("enhance", written)
                 self.checkpoints.force_save()
+        if budget_hit:
+            # non-retryable on purpose: the point is to stop NOW; the
+            # checkpoint makes a rerun of the same command resume here
+            from framewright_tpu.errors import FatalError
+
+            raise FatalError(
+                f"runtime budget reached after {written} frames; "
+                "rerun the same command to resume")
         if cfg.checkpoint_enabled and "checkpoint" in data:
             self.checkpoints.stage_completed("enhance")
         if (hdr_conv is not None and hdr_conv.collector is not None

@@ -82,3 +82,46 @@ class TestAutoEnhanceMapping:
         rep.degradations = [DegradationType.COMPRESSION]
         rec = recommend_settings(rep)
         assert rec.get("qp_removal") is True
+
+
+class TestRound2LateFlags:
+    def test_new_flags_exist_and_roundtrip(self):
+        from framewright_tpu.config import Config
+
+        cfg = Config(colorize_saturation=0.8, colorize_keyframe_interval=12,
+                     watermark_regions=((4, 4, 16, 8),),
+                     max_runtime_minutes=90.0, stage_max_retries=3)
+        d = cfg.to_dict()
+        back = Config.from_dict(d)
+        assert back.colorize_saturation == 0.8
+        assert back.max_runtime_minutes == 90.0
+        assert tuple(tuple(r) for r in back.watermark_regions) == ((4, 4, 16, 8),)
+
+    def test_runtime_budget_stops_and_resumes(self, tmp_path, monkeypatch):
+        import numpy as np
+
+        monkeypatch.setenv("FRAMEWRIGHT_WEIGHTS_DIR", str(tmp_path / "w"))
+        from framewright_tpu.config import Config
+        from framewright_tpu.errors import FramewrightError
+        from framewright_tpu.io.y4m import Y4MReader, Y4MWriter
+        from framewright_tpu.restorer import VideoRestorer
+
+        rng = np.random.default_rng(0)
+        clip = tmp_path / "in.y4m"
+        with Y4MWriter(clip, 32, 32, fps=12) as w:
+            for _ in range(24):
+                w.write_frame(rng.integers(0, 256, (32, 32, 3),
+                                           dtype=np.uint8))
+        cfg = Config(project_dir=tmp_path / "p", scale_factor=4,
+                     sr_model="realesr-animevideov3",
+                     compute_dtype="float32", device_platform="cpu",
+                     validate_output=False,
+                     max_runtime_minutes=1e-9)   # budget expires instantly
+        out = tmp_path / "out.y4m"
+        with pytest.raises(FramewrightError, match="runtime budget"):
+            VideoRestorer(cfg).restore_video(clip, out)
+        # rerun WITHOUT the budget: resumes and completes
+        cfg2 = cfg.with_overrides(max_runtime_minutes=0.0)
+        VideoRestorer(cfg2).restore_video(clip, out)
+        with Y4MReader(out) as r:
+            assert r.count_frames() == 24
