@@ -684,3 +684,163 @@ def build_codeformer():
             return torch.clamp((h + 1) / 2, 0, 1)
 
     return CodeFormer()
+
+
+def build_basicvsr(num_blocks: int = 30, mid: int = 64):
+    """mmediting BasicVSRNet re-statement for port parity: parameter
+    names match basicvsr_reds4.pth (spynet.basic_module.N.basic_module
+    .M.conv.*, backward_resblocks.main.*, fusion, upsample1/2
+    .upsample_conv, conv_hr, conv_last). Forward: (N,T,3,H,W) in [0,1]
+    -> (N,T,3,4H,4W); H, W multiples of 32."""
+    import torch
+    import torch.nn as nn
+    import torch.nn.functional as F
+
+    def flow_warp(x, flow, padding_mode="zeros"):
+        n, _, h, w = x.shape
+        ys, xs = torch.meshgrid(torch.arange(h).float(),
+                                torch.arange(w).float(), indexing="ij")
+        gx = 2 * (xs[None] + flow[:, :, :, 0]) / max(w - 1, 1) - 1
+        gy = 2 * (ys[None] + flow[:, :, :, 1]) / max(h - 1, 1) - 1
+        grid = torch.stack([gx, gy], dim=-1)
+        return F.grid_sample(x, grid, mode="bilinear",
+                             padding_mode=padding_mode, align_corners=True)
+
+    class SPyNetBasicModule(nn.Module):
+        def __init__(self):
+            super().__init__()
+            chans = [(8, 32), (32, 64), (64, 32), (32, 16), (16, 2)]
+            mods = []
+            for i, (ci, co) in enumerate(chans):
+                m = nn.Module()
+                m.conv = nn.Conv2d(ci, co, 7, 1, 3)
+                mods.append(m)
+            self.basic_module = nn.ModuleList(mods)
+
+        def forward(self, x):
+            for i, m in enumerate(self.basic_module):
+                x = m.conv(x)
+                if i < len(self.basic_module) - 1:
+                    x = F.relu(x)
+            return x
+
+    class SPyNet(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.basic_module = nn.ModuleList(
+                [SPyNetBasicModule() for _ in range(6)])
+            self.register_buffer(
+                "mean", torch.tensor([0.485, 0.456, 0.406]).view(1, 3, 1, 1),
+                persistent=False)
+            self.register_buffer(
+                "std", torch.tensor([0.229, 0.224, 0.225]).view(1, 3, 1, 1),
+                persistent=False)
+
+        def forward(self, ref, supp):
+            n, _, h, w = ref.shape
+            refs = [(ref - self.mean) / self.std]
+            supps = [(supp - self.mean) / self.std]
+            for _ in range(5):
+                refs.append(F.avg_pool2d(refs[-1], 2, 2))
+                supps.append(F.avg_pool2d(supps[-1], 2, 2))
+            refs, supps = refs[::-1], supps[::-1]
+            flow = ref.new_zeros(n, 2, h // 32, w // 32)
+            for level in range(len(refs)):
+                if level == 0:
+                    flow_up = flow
+                else:
+                    flow_up = F.interpolate(
+                        flow, scale_factor=2, mode="bilinear",
+                        align_corners=True) * 2.0
+                warped = flow_warp(supps[level],
+                                   flow_up.permute(0, 2, 3, 1),
+                                   padding_mode="border")
+                flow = flow_up + self.basic_module[level](
+                    torch.cat([refs[level], warped, flow_up], dim=1))
+            return flow
+
+    class ResidualBlockNoBN(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.conv1 = nn.Conv2d(mid, mid, 3, 1, 1)
+            self.conv2 = nn.Conv2d(mid, mid, 3, 1, 1)
+
+        def forward(self, x):
+            return x + self.conv2(F.relu(self.conv1(x)))
+
+    class ResBlocksWithInputConv(nn.Module):
+        def __init__(self, cin):
+            super().__init__()
+            # mmediting: make_layer wraps the blocks in ONE Sequential
+            # at main.2 (keys main.2.{i}.conv1 ...)
+            self.main = nn.Sequential(
+                nn.Conv2d(cin, mid, 3, 1, 1),
+                nn.LeakyReLU(0.1, inplace=True),
+                nn.Sequential(*[ResidualBlockNoBN()
+                                for _ in range(num_blocks)]))
+
+        def forward(self, x):
+            return self.main(x)
+
+    class PixelShufflePack(nn.Module):
+        def __init__(self, cin, cout):
+            super().__init__()
+            self.upsample_conv = nn.Conv2d(cin, cout * 4, 3, 1, 1)
+
+        def forward(self, x):
+            return F.pixel_shuffle(self.upsample_conv(x), 2)
+
+    class BasicVSRNet(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.spynet = SPyNet()
+            self.backward_resblocks = ResBlocksWithInputConv(3 + mid)
+            self.forward_resblocks = ResBlocksWithInputConv(3 + mid)
+            self.fusion = nn.Conv2d(2 * mid, mid, 1, 1, 0)
+            self.upsample1 = PixelShufflePack(mid, mid)
+            self.upsample2 = PixelShufflePack(mid, 64)
+            self.conv_hr = nn.Conv2d(64, 64, 3, 1, 1)
+            self.conv_last = nn.Conv2d(64, 3, 3, 1, 1)
+            self.lrelu = nn.LeakyReLU(0.1, inplace=True)
+
+        def forward(self, lrs):
+            n, t, c, h, w = lrs.shape
+            lrs_1 = lrs[:, :-1].reshape(-1, c, h, w)
+            lrs_2 = lrs[:, 1:].reshape(-1, c, h, w)
+            flows_backward = self.spynet(lrs_1, lrs_2).view(n, t - 1, 2, h, w)
+            flows_forward = self.spynet(lrs_2, lrs_1).view(n, t - 1, 2, h, w)
+
+            outputs = []
+            feat_prop = lrs.new_zeros(n, mid, h, w)
+            for i in range(t - 1, -1, -1):
+                if i < t - 1:
+                    flow = flows_backward[:, i]
+                    feat_prop = flow_warp(feat_prop,
+                                          flow.permute(0, 2, 3, 1))
+                feat_prop = torch.cat([lrs[:, i], feat_prop], dim=1)
+                feat_prop = self.backward_resblocks(feat_prop)
+                outputs.append(feat_prop)
+            outputs = outputs[::-1]
+
+            feat_prop = torch.zeros_like(feat_prop)
+            final = []
+            for i in range(t):
+                lr_curr = lrs[:, i]
+                if i > 0:
+                    flow = flows_forward[:, i - 1]
+                    feat_prop = flow_warp(feat_prop,
+                                          flow.permute(0, 2, 3, 1))
+                feat_prop = torch.cat([lr_curr, feat_prop], dim=1)
+                feat_prop = self.forward_resblocks(feat_prop)
+                out = torch.cat([outputs[i], feat_prop], dim=1)
+                out = self.lrelu(self.fusion(out))
+                out = self.lrelu(self.upsample1(out))
+                out = self.lrelu(self.upsample2(out))
+                out = self.lrelu(self.conv_hr(out))
+                out = self.conv_last(out)
+                base = F.interpolate(lr_curr, scale_factor=4,
+                                     mode="bilinear", align_corners=False)
+                final.append(out + base)
+            return torch.stack(final, dim=1)
+
+    return BasicVSRNet()

@@ -186,7 +186,9 @@ def _propagate(trunk_params, frames_t, flows_t, reverse: bool):
 
     def step(carry, inp):
         x, flow = inp
-        warped = flow_warp(carry, flow)
+        # mmediting's propagation warp uses zeros padding (SpyNet's own
+        # internal warp stays border) — checkpoint parity at frame edges
+        warped = flow_warp(carry, flow, padding_mode="zeros")
         out = _trunk(trunk_params, jnp.concatenate([x, warped], axis=-1))
         return out, out
 

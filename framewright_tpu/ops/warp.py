@@ -53,9 +53,13 @@ def grid_sample(img: jnp.ndarray, grid: jnp.ndarray,
     return (top * (1 - wy) + bot * wy).astype(img.dtype)
 
 
-def flow_warp(img: jnp.ndarray, flow: jnp.ndarray) -> jnp.ndarray:
+def flow_warp(img: jnp.ndarray, flow: jnp.ndarray,
+              padding_mode: str = "border") -> jnp.ndarray:
     """Backward-warp img by flow (B,H,W,2) in PIXELS ((x, y) order):
-    out(p) = img(p + flow(p)). Matches the RIFE reference's warp()."""
+    out(p) = img(p + flow(p)). Matches the RIFE reference's warp().
+
+    padding_mode: "border" (RIFE/SpyNet convention) or "zeros"
+    (mmediting's propagation warp — out-of-frame samples vanish)."""
     b, h, w, c = img.shape
     xs = jnp.arange(w, dtype=jnp.float32)
     ys = jnp.arange(h, dtype=jnp.float32)
@@ -66,4 +70,13 @@ def flow_warp(img: jnp.ndarray, flow: jnp.ndarray) -> jnp.ndarray:
     # normalize to [-1,1] align_corners=True
     gx = 2.0 * fx / max(w - 1, 1) - 1.0
     gy = 2.0 * fy / max(h - 1, 1) - 1.0
-    return grid_sample(img, jnp.stack([gx, gy], axis=-1), align_corners=True)
+    out = grid_sample(img, jnp.stack([gx, gy], axis=-1), align_corners=True)
+    if padding_mode == "zeros":
+        # grid_sample clamps to the border texel; multiplying by the
+        # bilinear in-bounds weight reproduces torch's zeros padding
+        # EXACTLY: at the clamp the sample is the border texel v0 and
+        # torch's partial sum v0*(1-frac) equals v0 * this weight
+        mask = (jnp.clip(jnp.minimum(fx + 1.0, w - fx), 0.0, 1.0)
+                * jnp.clip(jnp.minimum(fy + 1.0, h - fy), 0.0, 1.0))
+        out = out * mask[..., None].astype(out.dtype)
+    return out

@@ -146,3 +146,36 @@ class TestInterpolator:
         it.setup(32, 32)
         out = list(it.interpolate_to_fps(iter(frames), source_fps=25.0))
         assert len(out) == 4
+
+
+class TestZerosPaddingWarp:
+    def test_matches_torch_grid_sample_zeros(self, rng):
+        """flow_warp(padding_mode='zeros') must match torch's
+        grid_sample zeros padding exactly, including the partial
+        bilinear fade across the boundary (mmediting's propagation
+        warp convention)."""
+        torch = pytest.importorskip("torch")
+        import torch.nn.functional as F
+
+        import jax.numpy as jnp
+
+        from framewright_tpu.ops.warp import flow_warp
+
+        img = rng.random((2, 8, 10, 3)).astype(np.float32)
+        flow = (rng.random((2, 8, 10, 2)).astype(np.float32) - 0.5) * 6.0
+
+        out_j = np.asarray(flow_warp(jnp.asarray(img), jnp.asarray(flow),
+                                     padding_mode="zeros"))
+
+        t_img = torch.as_tensor(img.transpose(0, 3, 1, 2))
+        h, w = 8, 10
+        ys, xs = np.mgrid[0:h, 0:w].astype(np.float32)
+        fx = xs[None] + flow[..., 0]
+        fy = ys[None] + flow[..., 1]
+        gx = 2 * fx / (w - 1) - 1
+        gy = 2 * fy / (h - 1) - 1
+        grid = torch.as_tensor(np.stack([gx, gy], axis=-1))
+        out_t = F.grid_sample(t_img, grid, mode="bilinear",
+                              padding_mode="zeros", align_corners=True)
+        out_t = out_t.numpy().transpose(0, 2, 3, 1)
+        np.testing.assert_allclose(out_j, out_t, atol=1e-5)
