@@ -149,6 +149,26 @@ def resize_bilinear(x: jnp.ndarray, out_hw: Tuple[int, int],
         top = g00 * (1 - wx) + g01 * wx
         bot = g10 * (1 - wx) + g11 * wx
         return (top * (1 - wy) + bot * wy).astype(x.dtype)
+    if oh < h or ow < w:
+        # DOWNSAMPLING: torch interpolate (antialias=False) samples at
+        # half-pixel centers WITHOUT prefiltering; jax.image.resize
+        # would antialias — implement torch's gather exactly
+        # (src = scale*(dst+0.5)-0.5, clamped at 0)
+        ys = jnp.maximum((jnp.arange(oh) + 0.5) * (h / oh) - 0.5, 0.0)
+        xs = jnp.maximum((jnp.arange(ow) + 0.5) * (w / ow) - 0.5, 0.0)
+        y0 = jnp.floor(ys).astype(jnp.int32)
+        x0 = jnp.floor(xs).astype(jnp.int32)
+        y1 = jnp.minimum(y0 + 1, h - 1)
+        x1 = jnp.minimum(x0 + 1, w - 1)
+        wy = (ys - y0)[None, :, None, None].astype(x.dtype)
+        wx = (xs - x0)[None, None, :, None].astype(x.dtype)
+        g00 = x[:, y0][:, :, x0]
+        g01 = x[:, y0][:, :, x1]
+        g10 = x[:, y1][:, :, x0]
+        g11 = x[:, y1][:, :, x1]
+        top = g00 * (1 - wx) + g01 * wx
+        bot = g10 * (1 - wx) + g11 * wx
+        return (top * (1 - wy) + bot * wy).astype(x.dtype)
     return jax.image.resize(x, (n, oh, ow, c), method="linear").astype(x.dtype)
 
 

@@ -844,3 +844,83 @@ def build_basicvsr(num_blocks: int = 30, mid: int = 64):
             return torch.stack(final, dim=1)
 
     return BasicVSRNet()
+
+
+def build_ifnet(channels=(192, 128, 96, 64), scales=(8, 4, 2, 1),
+                num_res_convs=8):
+    """Practical-RIFE IFNet (v4.6 block structure) re-statement for
+    implementation parity with models/ifnet.py: stride-2 conv+PReLU
+    downs, one residual skip around the conv chain, ConvTranspose2d
+    (c, 24, 4, 2, 1) + PixelShuffle(2) head, coarse-to-fine pyramid
+    with bilinear flow rescaling and backward warping."""
+    import torch
+    import torch.nn as nn
+    import torch.nn.functional as F
+
+    def conv(cin, cout, stride=1):
+        return nn.Sequential(nn.Conv2d(cin, cout, 3, stride, 1),
+                             nn.PReLU(cout))
+
+    def warp(x, flow):
+        n, _, h, w = x.shape
+        ys, xs = torch.meshgrid(torch.arange(h).float(),
+                                torch.arange(w).float(), indexing="ij")
+        gx = 2 * (xs[None] + flow[:, 0]) / max(w - 1, 1) - 1
+        gy = 2 * (ys[None] + flow[:, 1]) / max(h - 1, 1) - 1
+        grid = torch.stack([gx, gy], dim=-1)
+        return F.grid_sample(x, grid, mode="bilinear",
+                             padding_mode="border", align_corners=True)
+
+    class IFBlock(nn.Module):
+        def __init__(self, in_planes, c):
+            super().__init__()
+            self.conv0 = nn.Sequential(conv(in_planes, c // 2, 2),
+                                       conv(c // 2, c, 2))
+            self.convblock = nn.Sequential(
+                *[conv(c, c) for _ in range(num_res_convs)])
+            self.lastconv = nn.Sequential(
+                nn.ConvTranspose2d(c, 24, 4, 2, 1), nn.PixelShuffle(2))
+
+        def forward(self, x):
+            feat = self.conv0(x)
+            feat = self.convblock(feat) + feat
+            return self.lastconv(feat)
+
+    class IFNet(nn.Module):
+        def __init__(self):
+            super().__init__()
+            blocks = []
+            for b, c in enumerate(channels):
+                in_ch = 7 if b == 0 else 12
+                blocks.append(IFBlock(in_ch, c))
+            self.blocks = nn.ModuleList(blocks)
+
+        def forward(self, img0, img1, timestep=0.5):
+            n, _, h, w = img0.shape
+            flow = img0.new_zeros(n, 4, h, w)
+            mask = img0.new_zeros(n, 1, h, w)
+            warped0, warped1 = img0, img1
+            tmap = img0.new_full((n, 1, h, w), timestep)
+            for bi, (blk, scale) in enumerate(zip(self.blocks, scales)):
+                sh, sw = h // scale, w // scale
+                if bi == 0:
+                    x = torch.cat([img0, img1, tmap], dim=1)
+                else:
+                    x = torch.cat([warped0, warped1, tmap, mask, flow],
+                                  dim=1)
+                xs = F.interpolate(x, size=(sh, sw), mode="bilinear",
+                                   align_corners=False)
+                if bi > 0:
+                    xs = torch.cat([xs[:, :-4],
+                                    xs[:, -4:] / scale], dim=1)
+                out = blk(xs)
+                out = F.interpolate(out, size=(h, w), mode="bilinear",
+                                    align_corners=False)
+                flow = flow + out[:, :4] * scale
+                mask = out[:, 4:5]
+                warped0 = warp(img0, flow[:, 0:2])
+                warped1 = warp(img1, flow[:, 2:4])
+            m = torch.sigmoid(mask)
+            return torch.clamp(warped0 * m + warped1 * (1 - m), 0, 1)
+
+    return IFNet()

@@ -179,3 +179,58 @@ class TestZerosPaddingWarp:
                               padding_mode="zeros", align_corners=True)
         out_t = out_t.numpy().transpose(0, 2, 3, 1)
         np.testing.assert_allclose(out_j, out_t, atol=1e-5)
+
+
+@pytest.mark.slow
+class TestIFNetTorchParity:
+    def test_full_net_matches_torch_reference(self):
+        """Shared random weights into the RIFE v4.6-structure torch
+        re-statement and the JAX IFNet: interpolated frames must match
+        (validates the pyramid resizes, flow rescaling, warp, residual
+        skip and the ConvTranspose+PixelShuffle head)."""
+        torch = pytest.importorskip("torch")
+        import jax
+        import jax.numpy as jnp
+
+        from framewright_tpu.models import ifnet, torch_ref
+
+        arch = ifnet.IFNetConfig(channels=(64, 48), scales=(4, 2),
+                                 num_res_convs=3)
+        params = ifnet.init(jax.random.PRNGKey(0), arch)
+        tm = torch_ref.build_ifnet(channels=arch.channels,
+                                   scales=arch.scales,
+                                   num_res_convs=arch.num_res_convs)
+
+        sd = {}
+        for b, blk in enumerate(params["blocks"]):
+            for j, p in enumerate(blk["conv0"]):
+                sd[f"blocks.{b}.conv0.{j}.0.weight"] = np.transpose(
+                    np.asarray(p["w"]), (3, 2, 0, 1))
+                sd[f"blocks.{b}.conv0.{j}.0.bias"] = np.asarray(p["b"])
+                sd[f"blocks.{b}.conv0.{j}.1.weight"] = np.asarray(p["alpha"])
+            for i, p in enumerate(blk["convblock"]):
+                sd[f"blocks.{b}.convblock.{i}.0.weight"] = np.transpose(
+                    np.asarray(p["w"]), (3, 2, 0, 1))
+                sd[f"blocks.{b}.convblock.{i}.0.bias"] = np.asarray(p["b"])
+                sd[f"blocks.{b}.convblock.{i}.1.weight"] = np.asarray(
+                    p["alpha"])
+            # ConvTranspose2d weight is (in, out, kH, kW); ours is HWIO
+            sd[f"blocks.{b}.lastconv.0.weight"] = np.transpose(
+                np.asarray(blk["head"]["w"]), (2, 3, 0, 1))
+            sd[f"blocks.{b}.lastconv.0.bias"] = np.asarray(blk["head"]["b"])
+        missing, unexpected = tm.load_state_dict(
+            {k: torch.as_tensor(v) for k, v in sd.items()}, strict=False)
+        assert not missing and not unexpected, (missing[:3], unexpected[:3])
+        tm.eval()
+
+        r = np.random.default_rng(0)
+        img0 = r.random((1, 32, 32, 3), dtype=np.float32)
+        img1 = np.roll(img0, 2, axis=2)
+        with torch.no_grad():
+            yt = tm(torch.as_tensor(img0.transpose(0, 3, 1, 2)),
+                    torch.as_tensor(img1.transpose(0, 3, 1, 2)), 0.5)
+        y_torch = yt.numpy().transpose(0, 2, 3, 1)
+        y_jax = np.asarray(ifnet.apply(params, jnp.asarray(img0),
+                                       jnp.asarray(img1), 0.5, arch))
+        err = np.abs(y_jax - y_torch).max()
+        assert err < 1e-3, f"max abs err {err:.5f}"
