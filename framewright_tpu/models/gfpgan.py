@@ -122,12 +122,13 @@ def _style_conv(p, x, style, upsample=False, noise=None):
     if upsample:
         b, h, w, c = x.shape
         x = resize_bilinear(x, (h * 2, w * 2))
-    y = _modulated_conv(p["modulated_conv"], x, style)
+    # official clean StyleConv: the sqrt-2 "conversion" gain scales the
+    # CONV OUTPUT only (before noise/bias), then plain LeakyReLU(0.2)
+    y = _modulated_conv(p["modulated_conv"], x, style) * math.sqrt(2.0)
     if noise is not None:
         y = y + p["noise_weight"].astype(y.dtype) * noise
     y = y + p["bias"].astype(y.dtype)
-    # fused leaky relu with sqrt(2) gain (official)
-    return jnp.where(y >= 0, y, 0.2 * y) * math.sqrt(2.0)
+    return jnp.where(y >= 0, y, 0.2 * y)
 
 
 def _to_rgb_init(key, cin, num_style):
@@ -257,8 +258,10 @@ def apply(params: Dict, x: jnp.ndarray,
         unet_skips.insert(0, feat)       # official: record AFTER the block
     feat = lrelu(_conv(params["final_conv"], feat), 0.2)
 
-    # style code
-    code = _linear(params["final_linear"], feat.reshape(feat.shape[0], -1))
+    # style code — torch flattens NCHW (channel-major); transpose so the
+    # ported final_linear weights see the same input ordering
+    code = _linear(params["final_linear"],
+                   feat.transpose(0, 3, 1, 2).reshape(feat.shape[0], -1))
 
     # decoder conditions from the U-Net up path
     conditions: List[Tuple[jnp.ndarray, jnp.ndarray]] = []
@@ -298,11 +301,13 @@ def apply(params: Dict, x: jnp.ndarray,
         if ci < len(conditions):
             scale, shift = conditions[ci]
             if cfg.sft_half:
+                # basicsr CSFT multiplies by the RAW scale condition
+                # (no +1 convention)
                 half = out.shape[-1] // 2
-                mod = out[..., half:] * (scale + 1.0) + shift
+                mod = out[..., half:] * scale + shift
                 out = jnp.concatenate([out[..., :half], mod], axis=-1)
             else:
-                out = out * (scale + 1.0) + shift
+                out = out * scale + shift
             ci += 1
         out = _style_conv(sg["style_convs"][2 * i + 1], out, latent[:, li + 1])
         skip = _to_rgb(sg["to_rgbs"][i], out, latent[:, li + 2], skip=skip)

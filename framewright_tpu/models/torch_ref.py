@@ -924,3 +924,218 @@ def build_ifnet(channels=(192, 128, 96, 64), scales=(8, 4, 2, 1),
             return torch.clamp(warped0 * m + warped1 * (1 - m), 0, 1)
 
     return IFNet()
+
+
+def build_gfpgan(out_size: int = 64, num_style_feat: int = 64,
+                 channel_multiplier: int = 1, num_mlp: int = 2,
+                 narrow: float = 0.25):
+    """basicsr GFPGANv1Clean re-statement (gfpganv1_clean_arch +
+    stylegan2_clean_arch, the torch-free "clean" ops) for port parity.
+    Defaults match the tiny test config of models/gfpgan.py; pass the
+    512/512/2/8/1 plan for the released GFPGANv1.4 layout."""
+    import math
+
+    import torch
+    import torch.nn as nn
+    import torch.nn.functional as F
+
+    channels = {
+        4: int(512 * narrow), 8: int(512 * narrow), 16: int(512 * narrow),
+        32: int(512 * narrow), 64: int(256 * channel_multiplier * narrow),
+        128: int(128 * channel_multiplier * narrow),
+        256: int(64 * channel_multiplier * narrow),
+        512: int(32 * channel_multiplier * narrow),
+        1024: int(16 * channel_multiplier * narrow),
+    }
+    log_size = int(math.log2(out_size))
+
+    class NormStyleCode(nn.Module):
+        def forward(self, x):
+            return x * torch.rsqrt(torch.mean(x ** 2, dim=1,
+                                              keepdim=True) + 1e-8)
+
+    class ModulatedConv2d(nn.Module):
+        def __init__(self, cin, cout, k, demodulate=True, sample_mode=None):
+            super().__init__()
+            self.demodulate = demodulate
+            self.sample_mode = sample_mode
+            self.kernel_size = k
+            self.modulation = nn.Linear(num_style_feat, cin, bias=True)
+            self.weight = nn.Parameter(
+                torch.randn(1, cout, cin, k, k)
+                / math.sqrt(cin * k ** 2))
+
+        def forward(self, x, style):
+            b, c, h, w = x.shape
+            style = self.modulation(style).view(b, 1, c, 1, 1)
+            weight = self.weight * style
+            if self.demodulate:
+                demod = torch.rsqrt(weight.pow(2).sum([2, 3, 4]) + 1e-8)
+                weight = weight * demod.view(b, -1, 1, 1, 1)
+            weight = weight.view(-1, c, self.kernel_size, self.kernel_size)
+            if self.sample_mode == "upsample":
+                x = F.interpolate(x, scale_factor=2, mode="bilinear",
+                                  align_corners=False)
+            b, c, h, w = x.shape
+            x = x.view(1, b * c, h, w)
+            out = F.conv2d(x, weight, padding=self.kernel_size // 2,
+                           groups=b)
+            return out.view(b, -1, h, w)
+
+    class StyleConv(nn.Module):
+        def __init__(self, cin, cout, k, sample_mode=None):
+            super().__init__()
+            self.modulated_conv = ModulatedConv2d(
+                cin, cout, k, sample_mode=sample_mode)
+            self.weight = nn.Parameter(torch.zeros(1))     # noise weight
+            self.bias = nn.Parameter(torch.zeros(1, cout, 1, 1))
+            self.activate = nn.LeakyReLU(negative_slope=0.2, inplace=True)
+
+        def forward(self, x, style, noise=None):
+            out = self.modulated_conv(x, style) * 2 ** 0.5  # for conversion
+            if noise is not None:
+                out = out + self.weight * noise
+            out = out + self.bias
+            return self.activate(out)
+
+    class ToRGB(nn.Module):
+        def __init__(self, cin):
+            super().__init__()
+            self.modulated_conv = ModulatedConv2d(cin, 3, 1,
+                                                  demodulate=False)
+            self.bias = nn.Parameter(torch.zeros(1, 3, 1, 1))
+
+        def forward(self, x, style, skip=None):
+            out = self.modulated_conv(x, style) + self.bias
+            if skip is not None:
+                skip = F.interpolate(skip, scale_factor=2, mode="bilinear",
+                                     align_corners=False)
+                out = out + skip
+            return out
+
+    class StyleGAN2GeneratorCSFT(nn.Module):
+        def __init__(self, sft_half=True):
+            super().__init__()
+            self.sft_half = sft_half
+            mlp = [NormStyleCode()]
+            for _ in range(num_mlp):
+                mlp += [nn.Linear(num_style_feat, num_style_feat),
+                        nn.LeakyReLU(0.2, True)]
+            self.style_mlp = nn.Sequential(*mlp)
+
+            class ConstantInput(nn.Module):
+                def __init__(self):
+                    super().__init__()
+                    self.weight = nn.Parameter(
+                        torch.randn(1, channels[4], 4, 4))
+
+            self.constant_input = ConstantInput()
+            self.style_conv1 = StyleConv(channels[4], channels[4], 3)
+            self.to_rgb1 = ToRGB(channels[4])
+            self.style_convs = nn.ModuleList()
+            self.to_rgbs = nn.ModuleList()
+            cin = channels[4]
+            for i in range(3, log_size + 1):
+                cout = channels[2 ** i]
+                self.style_convs.append(
+                    StyleConv(cin, cout, 3, sample_mode="upsample"))
+                self.style_convs.append(StyleConv(cout, cout, 3))
+                self.to_rgbs.append(ToRGB(cout))
+                cin = cout
+
+        def forward(self, latent, conditions):
+            # latent: (b, n_latents, nsf), input_is_latent=True,
+            # noise disabled (None) for parity determinism
+            out = self.constant_input.weight.repeat(
+                latent.shape[0], 1, 1, 1)
+            out = self.style_conv1(out, latent[:, 0])
+            skip = self.to_rgb1(out, latent[:, 1])
+            i = 1
+            for conv1, conv2, to_rgb in zip(self.style_convs[::2],
+                                            self.style_convs[1::2],
+                                            self.to_rgbs):
+                out = conv1(out, latent[:, i])
+                if i < len(conditions):
+                    if self.sft_half:
+                        out_same, out_sft = torch.split(
+                            out, out.size(1) // 2, dim=1)
+                        out_sft = out_sft * conditions[i - 1] \
+                            + conditions[i]
+                        out = torch.cat([out_same, out_sft], dim=1)
+                    else:
+                        out = out * conditions[i - 1] + conditions[i]
+                out = conv2(out, latent[:, i + 1])
+                skip = to_rgb(out, latent[:, i + 2], skip)
+                i += 2
+            return skip
+
+    class ResBlock(nn.Module):
+        def __init__(self, cin, cout, mode):
+            super().__init__()
+            self.conv1 = nn.Conv2d(cin, cin, 3, 1, 1)
+            self.conv2 = nn.Conv2d(cin, cout, 3, 1, 1)
+            self.skip = nn.Conv2d(cin, cout, 1, bias=False)
+            self.scale_factor = 0.5 if mode == "down" else 2
+
+        def forward(self, x):
+            out = F.leaky_relu(self.conv1(x), 0.2)
+            out = F.interpolate(out, scale_factor=self.scale_factor,
+                                mode="bilinear", align_corners=False)
+            out = F.leaky_relu(self.conv2(out), 0.2)
+            x = F.interpolate(x, scale_factor=self.scale_factor,
+                              mode="bilinear", align_corners=False)
+            return out + self.skip(x)
+
+    class GFPGANv1Clean(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.conv_body_first = nn.Conv2d(3, channels[out_size], 1)
+            self.conv_body_down = nn.ModuleList()
+            res = out_size
+            while res > 4:
+                self.conv_body_down.append(
+                    ResBlock(channels[res], channels[res // 2], "down"))
+                res //= 2
+            self.final_conv = nn.Conv2d(channels[4], channels[4], 3, 1, 1)
+            n_latents = log_size * 2 - 2
+            self.final_linear = nn.Linear(channels[4] * 16,
+                                          n_latents * num_style_feat)
+            self.conv_body_up = nn.ModuleList()
+            self.condition_scale = nn.ModuleList()
+            self.condition_shift = nn.ModuleList()
+            self.toRGB = nn.ModuleList()
+            res = 4
+            while res < out_size:
+                cin, cout = channels[res], channels[res * 2]
+                self.conv_body_up.append(ResBlock(cin, cout, "up"))
+                sft = cout // 2
+                self.condition_scale.append(nn.Sequential(
+                    nn.Conv2d(cout, cout, 3, 1, 1),
+                    nn.LeakyReLU(0.2, True),
+                    nn.Conv2d(cout, sft, 3, 1, 1)))
+                self.condition_shift.append(nn.Sequential(
+                    nn.Conv2d(cout, cout, 3, 1, 1),
+                    nn.LeakyReLU(0.2, True),
+                    nn.Conv2d(cout, sft, 3, 1, 1)))
+                self.toRGB.append(nn.Conv2d(cout, 3, 1))
+                res *= 2
+            self.stylegan_decoder = StyleGAN2GeneratorCSFT()
+
+        def forward(self, x):
+            feat = F.leaky_relu(self.conv_body_first(x), 0.2)
+            skips = []
+            for blk in self.conv_body_down:
+                feat = blk(feat)
+                skips.insert(0, feat)
+            feat = F.leaky_relu(self.final_conv(feat), 0.2)
+            code = self.final_linear(feat.flatten(1))
+            code = code.view(code.shape[0], -1, num_style_feat)
+            conditions = []
+            for i, blk in enumerate(self.conv_body_up):
+                feat = feat + skips[i]
+                feat = blk(feat)
+                conditions.append(self.condition_scale[i](feat))
+                conditions.append(self.condition_shift[i](feat))
+            return self.stylegan_decoder(code, conditions)
+
+    return GFPGANv1Clean()

@@ -298,3 +298,100 @@ class TestECCV16:
         y_in, _, _ = rgb_to_ycbcr(gray.astype(np.float32))
         y_out, _, _ = rgb_to_ycbcr(out.astype(np.float32))
         assert np.abs(y_in - y_out).mean() < 8.0
+
+
+@pytest.mark.slow
+class TestGFPGANTorchParity:
+    def test_full_model_matches_clean_reference(self):
+        """Shared weights into the basicsr GFPGANv1Clean re-statement
+        and the JAX model: outputs must match (validates the clean
+        ResBlock interpolate semantics, modulated-conv demodulation,
+        the StyleConv sqrt-2 gain placement, and raw-scale CS-SFT)."""
+        torch = pytest.importorskip("torch")
+        import jax
+        import jax.numpy as jnp
+
+        from framewright_tpu.models import gfpgan, torch_ref
+
+        cfg = gfpgan.GFPGANConfig(out_size=64, num_style_feat=64,
+                                  channel_multiplier=1, num_mlp=2,
+                                  narrow=0.25)
+        params = gfpgan.init(jax.random.PRNGKey(0), cfg)
+        # released skip convs are bias-free; zero ours for comparison
+        for grp in ("conv_body_down", "conv_body_up"):
+            for blk in params[grp]:
+                blk["skip"]["b"] = blk["skip"]["b"] * 0.0
+
+        def conv_w(p):
+            return np.transpose(np.asarray(p["w"]), (3, 2, 0, 1))
+
+        sd = {}
+
+        def put_conv(name, p, bias=True):
+            sd[name + ".weight"] = conv_w(p)
+            if bias:
+                sd[name + ".bias"] = np.asarray(p["b"])
+
+        put_conv("conv_body_first", params["conv_body_first"])
+        put_conv("final_conv", params["final_conv"])
+        sd["final_linear.weight"] = np.asarray(params["final_linear"]["w"]).T
+        sd["final_linear.bias"] = np.asarray(params["final_linear"]["b"])
+        for grp, tname in (("conv_body_down", "conv_body_down"),
+                           ("conv_body_up", "conv_body_up")):
+            for i, blk in enumerate(params[grp]):
+                put_conv(f"{tname}.{i}.conv1", blk["conv1"])
+                put_conv(f"{tname}.{i}.conv2", blk["conv2"])
+                put_conv(f"{tname}.{i}.skip", blk["skip"], bias=False)
+        for i, (sc, sh) in enumerate(zip(params["condition_scale"],
+                                         params["condition_shift"])):
+            put_conv(f"condition_scale.{i}.0", sc["c1"])
+            put_conv(f"condition_scale.{i}.2", sc["c2"])
+            put_conv(f"condition_shift.{i}.0", sh["c1"])
+            put_conv(f"condition_shift.{i}.2", sh["c2"])
+        for i, rgb in enumerate(params["toRGB"]):
+            put_conv(f"toRGB.{i}", rgb)
+        for i, mlp in enumerate(params["style_mlp"]):
+            sd[f"stylegan_decoder.style_mlp.{2 * i + 1}.weight"] = \
+                np.asarray(mlp["w"]).T
+            sd[f"stylegan_decoder.style_mlp.{2 * i + 1}.bias"] = \
+                np.asarray(mlp["b"])
+        sg = params["stylegan_decoder"]
+        sd["stylegan_decoder.constant_input.weight"] = np.transpose(
+            np.asarray(sg["constant_input"]), (0, 3, 1, 2))
+
+        def put_style(prefix, p):
+            mc = p["modulated_conv"]
+            sd[prefix + ".modulated_conv.weight"] = np.transpose(
+                np.asarray(mc["weight"]), (3, 2, 0, 1))[None]
+            sd[prefix + ".modulated_conv.modulation.weight"] = \
+                np.asarray(mc["modulation"]["w"]).T
+            sd[prefix + ".modulated_conv.modulation.bias"] = \
+                np.asarray(mc["modulation"]["b"])
+            if "noise_weight" in p:
+                sd[prefix + ".weight"] = np.asarray(
+                    p["noise_weight"]).reshape(1)
+            sd[prefix + ".bias"] = np.asarray(p["bias"]).reshape(1, -1, 1, 1)
+
+        put_style("stylegan_decoder.style_conv1", sg["style_conv1"])
+        put_style("stylegan_decoder.to_rgb1", sg["to_rgb1"])
+        for i, p in enumerate(sg["style_convs"]):
+            put_style(f"stylegan_decoder.style_convs.{i}", p)
+        for i, p in enumerate(sg["to_rgbs"]):
+            put_style(f"stylegan_decoder.to_rgbs.{i}", p)
+
+        tm = torch_ref.build_gfpgan()
+        missing, unexpected = tm.load_state_dict(
+            {k: torch.as_tensor(np.ascontiguousarray(v))
+             for k, v in sd.items()}, strict=False)
+        assert not missing, missing[:5]
+        assert not unexpected, unexpected[:5]
+        tm.eval()
+
+        rng = np.random.default_rng(0)
+        x = (rng.random((1, 64, 64, 3), dtype=np.float32) * 2 - 1)
+        with torch.no_grad():
+            yt = tm(torch.as_tensor(x.transpose(0, 3, 1, 2)))
+        y_torch = yt.numpy().transpose(0, 2, 3, 1)
+        y_jax = np.asarray(gfpgan.apply(params, jnp.asarray(x), cfg))
+        err = np.abs(y_jax - y_torch).max()
+        assert err < 1e-2, f"max abs err {err:.5f}"
