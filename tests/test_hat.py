@@ -164,3 +164,166 @@ def test_sr_processor_with_tiny_hat(tmp_path):
         assert out.shape == (2, 96, 128, 3) and out.dtype == np.uint8
     finally:
         MODEL_SPECS.pop(name, None)
+
+
+@pytest.mark.slow
+class TestHABTorchParity:
+    def test_hab_block_matches_official(self):
+        """One HAB (window attention + CAB + MLP) with manifest-
+        synthesized official weights, torch vs the JAX port — both
+        unshifted and shifted-window paths. Validates qkv packing, the
+        swin relative-position-bias indexing, the SW-MSA mask, CAB
+        channel attention and residual wiring."""
+        torch = pytest.importorskip("torch")
+        import math
+
+        import jax
+        import jax.numpy as jnp
+        import torch.nn as nn
+        import torch.nn.functional as F
+
+        from framewright_tpu.models import hat, torch_port
+        from tests.test_manifests import load_manifest, synth_sd
+
+        cfg = hat.official_config()
+        keys, _ = load_manifest("HAT_SRx4")
+        sd = synth_sd(keys)
+        params = torch_port.port_hat(sd)
+        win, heads, dim = cfg.window, cfg.num_heads, cfg.embed_dim
+
+        class CAB(nn.Module):
+            def __init__(self, c, compress=3, squeeze=30):
+                super().__init__()
+                self.cab = nn.Sequential(
+                    nn.Conv2d(c, c // compress, 3, 1, 1), nn.GELU(),
+                    nn.Conv2d(c // compress, c, 3, 1, 1),
+                    nn.Sequential())     # placeholder; CA below
+                self.attention = nn.Sequential(
+                    nn.AdaptiveAvgPool2d(1),
+                    nn.Conv2d(c, c // squeeze, 1), nn.ReLU(True),
+                    nn.Conv2d(c // squeeze, c, 1), nn.Sigmoid())
+
+            def forward(self, x):
+                y = self.cab[2](self.cab[1](self.cab[0](x)))
+                return y * self.attention(y)
+
+        class WindowAttention(nn.Module):
+            def __init__(self):
+                super().__init__()
+                self.qkv = nn.Linear(dim, dim * 3)
+                self.proj = nn.Linear(dim, dim)
+                self.relative_position_bias_table = nn.Parameter(
+                    torch.zeros((2 * win - 1) ** 2, heads))
+                coords = torch.stack(torch.meshgrid(
+                    torch.arange(win), torch.arange(win),
+                    indexing="ij")).flatten(1)
+                rel = coords[:, :, None] - coords[:, None, :]
+                rel = rel.permute(1, 2, 0) + win - 1
+                self.register_buffer(
+                    "rpi", rel[:, :, 0] * (2 * win - 1) + rel[:, :, 1],
+                    persistent=False)
+
+            def forward(self, x, mask=None):
+                b_, n, c = x.shape
+                qkv = self.qkv(x).reshape(b_, n, 3, heads,
+                                          c // heads).permute(2, 0, 3, 1, 4)
+                q, k, v = qkv[0], qkv[1], qkv[2]
+                q = q * (c // heads) ** -0.5
+                attn = q @ k.transpose(-2, -1)
+                bias = self.relative_position_bias_table[
+                    self.rpi.view(-1)].view(n, n, -1).permute(2, 0, 1)
+                attn = attn + bias.unsqueeze(0)
+                if mask is not None:
+                    nw = mask.shape[0]
+                    attn = attn.view(b_ // nw, nw, heads, n, n) \
+                        + mask.unsqueeze(1).unsqueeze(0)
+                    attn = attn.view(-1, heads, n, n)
+                attn = torch.softmax(attn, dim=-1)
+                x = (attn @ v).transpose(1, 2).reshape(b_, n, c)
+                return self.proj(x)
+
+        def win_part(x):
+            b, h, w, c = x.shape
+            x = x.view(b, h // win, win, w // win, win, c)
+            return x.permute(0, 1, 3, 2, 4, 5).reshape(-1, win * win, c)
+
+        def win_merge(x, b, h, w):
+            c = x.shape[-1]
+            x = x.view(b, h // win, w // win, win, win, c)
+            return x.permute(0, 1, 3, 2, 4, 5).reshape(b, h, w, c)
+
+        class HAB(nn.Module):
+            def __init__(self):
+                super().__init__()
+                self.norm1 = nn.LayerNorm(dim)
+                self.attn = WindowAttention()
+                self.conv_block = CAB(dim)
+                self.norm2 = nn.LayerNorm(dim)
+                self.mlp_fc1 = nn.Linear(dim, int(dim * cfg.mlp_ratio))
+                self.mlp_fc2 = nn.Linear(int(dim * cfg.mlp_ratio), dim)
+
+            def forward(self, x, shift, mask):
+                b, h, w, c = x.shape
+                shortcut = x
+                xn = self.norm1(x)
+                conv_x = self.conv_block(
+                    xn.permute(0, 3, 1, 2)).permute(0, 2, 3, 1)
+                xs = torch.roll(xn, (-shift, -shift), dims=(1, 2)) \
+                    if shift else xn
+                att = self.attn(win_part(xs), mask)
+                att = win_merge(att, b, h, w)
+                if shift:
+                    att = torch.roll(att, (shift, shift), dims=(1, 2))
+                x = shortcut + att + cfg.conv_scale * conv_x
+                return x + self.mlp_fc2(F.gelu(
+                    self.mlp_fc1(self.norm2(x))))
+
+        blk = params["layers"][0]["blocks"][1]   # block 1 = shifted
+        tm = HAB()
+        jp = {
+            "norm1.weight": blk["norm1"]["g"], "norm1.bias": blk["norm1"]["b"],
+            "norm2.weight": blk["norm2"]["g"], "norm2.bias": blk["norm2"]["b"],
+            "attn.qkv.weight": np.asarray(blk["attn"]["qkv"]["w"]).T,
+            "attn.qkv.bias": blk["attn"]["qkv"]["b"],
+            "attn.proj.weight": np.asarray(blk["attn"]["proj"]["w"]).T,
+            "attn.proj.bias": blk["attn"]["proj"]["b"],
+            "attn.relative_position_bias_table": blk["attn"]["rpb"],
+            "conv_block.cab.0.weight": np.transpose(
+                np.asarray(blk["cab"]["conv1"]["w"]), (3, 2, 0, 1)),
+            "conv_block.cab.0.bias": blk["cab"]["conv1"]["b"],
+            "conv_block.cab.2.weight": np.transpose(
+                np.asarray(blk["cab"]["conv2"]["w"]), (3, 2, 0, 1)),
+            "conv_block.cab.2.bias": blk["cab"]["conv2"]["b"],
+            "conv_block.attention.1.weight": np.asarray(
+                blk["cab"]["att_down"]["w"]).T[:, :, None, None],
+            "conv_block.attention.1.bias": blk["cab"]["att_down"]["b"],
+            "conv_block.attention.3.weight": np.asarray(
+                blk["cab"]["att_up"]["w"]).T[:, :, None, None],
+            "conv_block.attention.3.bias": blk["cab"]["att_up"]["b"],
+            "mlp_fc1.weight": np.asarray(blk["fc1"]["w"]).T,
+            "mlp_fc1.bias": blk["fc1"]["b"],
+            "mlp_fc2.weight": np.asarray(blk["fc2"]["w"]).T,
+            "mlp_fc2.bias": blk["fc2"]["b"],
+        }
+        missing, unexpected = tm.load_state_dict(
+            {k: torch.as_tensor(np.ascontiguousarray(np.asarray(v)))
+             for k, v in jp.items()}, strict=False)
+        assert not missing, missing[:4]
+        tm.eval()
+
+        h = w = 2 * win
+        rng = np.random.default_rng(0)
+        x = rng.standard_normal((1, h, w, dim)).astype(np.float32) * 0.5
+        shift = win // 2
+        mask_j = hat._shift_mask(h, w, win, shift, jnp.float32)
+        for sh in (0, shift):
+            mask_t = None
+            if sh:
+                mask_t = torch.as_tensor(
+                    np.asarray(mask_j)[:, 0])          # (nW, Q, K)
+            with torch.no_grad():
+                yt = tm(torch.as_tensor(x), sh, mask_t).numpy()
+            yj = np.asarray(hat._hab(blk, jnp.asarray(x), cfg, sh,
+                                     mask_j if sh else None))
+            err = np.abs(yj - yt).max()
+            assert err < 1e-3, f"shift={sh}: max abs err {err:.5f}"
