@@ -269,7 +269,9 @@ class Normalizer:
 class AudioEnhanceConfig:
     denoise: bool = True
     denoise_strength: float = 1.0
-    denoise_model: str = "wiener"       # wiener (masking) | spectral (sub)
+    # ai (learned mask net) | wiener (masking) | spectral (subtraction)
+    denoise_model: str = "wiener"
+    ai_checkpoint: Optional[Path] = None   # default: packaged audio_mask_v1
     hum_removal: bool = True
     hum_freq: float = 50.0
     click_removal: bool = True
@@ -290,7 +292,26 @@ class AudioEnhancer:
         if cfg.hum_removal:
             x = HumRemover(cfg.hum_freq).process(x, sr)
         if cfg.denoise:
-            if cfg.denoise_model == "wiener":
+            if cfg.denoise_model == "ai":
+                # learned DeepFilterNet-class mask net (models/audio_net);
+                # falls back to the Wiener estimator if the checkpoint is
+                # unavailable (reference deepfilter.py backend-chain
+                # fallback behavior)
+                try:
+                    from framewright_tpu.models import audio_net
+
+                    params = (None if cfg.ai_checkpoint is None
+                              else audio_net.load_params(cfg.ai_checkpoint))
+                    mask_fn = audio_net.make_mask_fn(params)
+                    x = WienerMaskDenoiser(
+                        cfg.denoise_strength, mask_fn=mask_fn).process(x, sr)
+                except (FileNotFoundError, OSError) as e:
+                    logger.warning(
+                        "audio AI checkpoint unavailable (%s); "
+                        "falling back to wiener", e)
+                    x = WienerMaskDenoiser(
+                        cfg.denoise_strength).process(x, sr)
+            elif cfg.denoise_model == "wiener":
                 x = WienerMaskDenoiser(cfg.denoise_strength).process(x, sr)
             else:
                 x = SpectralDenoiser(cfg.denoise_strength).process(x, sr)

@@ -1,0 +1,299 @@
+"""On-device SR training: distillation + synthetic-degradation pairs.
+
+Two training modes for the fast 6-block RRDB body (the "distilled"
+path PERF.md identifies as the credible route past the 8 fps target —
+ref arch params: reference processors/pytorch_realesrgan.py:103-128,
+which ships `RealESRGAN_x4plus_anime_6B` as its own fewer-block model):
+
+1. **Teacher distillation** (``mode="distill"``): the student mimics
+   the 23-block teacher's outputs on synthetic clips — with real
+   ported teacher weights this produces a general distilled model; the
+   loop runs entirely on device (one jitted step).
+2. **Self-training** (``mode="synthetic"``): supervised HR/LR pairs
+   from the synthetic degradation model (blur + area downsample +
+   noise + quantization), the Real-ESRGAN recipe's shape. Makes the
+   student a genuinely useful SR net with no external data — gated by
+   the PSNR-vs-bicubic validator (tests/test_distill.py).
+
+The same machinery trains the compact diffusion-SR net
+(models/diffusion_sr.py) — see ``train_diffusion``.
+"""
+
+from __future__ import annotations
+
+import functools
+from pathlib import Path
+from typing import Callable, Dict, Optional, Tuple
+
+import numpy as np
+
+# ---------------------------------------------------------------------------
+# Synthetic image-like HR patches + the degradation model
+# ---------------------------------------------------------------------------
+
+
+def synth_hr_patch(rng: np.random.Generator, size: int) -> np.ndarray:
+    """(size, size, 3) float32 in [0,1]: gradients + shapes + texture +
+    high-contrast strokes — enough structure for SR nets to learn
+    edge/texture statistics."""
+    yy, xx = np.meshgrid(np.arange(size), np.arange(size), indexing="ij")
+    # smooth background gradient
+    a, b, c = rng.uniform(-1, 1, 3)
+    img = 0.5 + 0.25 * (a * xx + b * yy) / size + 0.1 * c
+    img = np.repeat(img[:, :, None], 3, axis=2)
+    img += rng.uniform(-0.1, 0.1, (1, 1, 3))
+    # sinusoidal texture patch
+    if rng.random() < 0.8:
+        fx, fy = rng.uniform(0.05, 0.45, 2)
+        ph = rng.uniform(0, 2 * np.pi)
+        amp = rng.uniform(0.05, 0.25)
+        tex = amp * np.sin(2 * np.pi * (fx * xx + fy * yy) + ph)
+        img += tex[:, :, None] * rng.uniform(0.3, 1.0, (1, 1, 3))
+    # random rectangles / disks (hard edges)
+    for _ in range(rng.integers(2, 6)):
+        col = rng.uniform(0, 1, 3)
+        x0, y0 = rng.integers(0, size, 2)
+        if rng.random() < 0.5:
+            w, h = rng.integers(size // 8, size // 2, 2)
+            img[y0:y0 + h, x0:x0 + w] = (
+                0.6 * img[y0:y0 + h, x0:x0 + w] + 0.4 * col)
+        else:
+            r = rng.integers(size // 10, size // 3)
+            mask = (yy - y0) ** 2 + (xx - x0) ** 2 < r * r
+            img[mask] = 0.5 * img[mask] + 0.5 * col
+    # thin strokes (text-like high frequency)
+    for _ in range(rng.integers(1, 5)):
+        y = rng.integers(0, size - 2)
+        x0, x1 = sorted(rng.integers(0, size, 2))
+        img[y:y + rng.integers(1, 3), x0:x1] = rng.uniform(0, 1)
+    # fine grain
+    img += rng.standard_normal((size, size, 3)) * 0.01
+    return np.clip(img, 0, 1).astype(np.float32)
+
+
+def _gaussian_blur(img: np.ndarray, sigma: float) -> np.ndarray:
+    if sigma <= 0.05:
+        return img
+    r = max(1, int(3 * sigma))
+    x = np.arange(-r, r + 1)
+    k = np.exp(-x * x / (2 * sigma * sigma))
+    k /= k.sum()
+    out = img
+    out = np.apply_along_axis(
+        lambda m: np.convolve(np.pad(m, r, mode="edge"), k, "valid"), 0, out)
+    out = np.apply_along_axis(
+        lambda m: np.convolve(np.pad(m, r, mode="edge"), k, "valid"), 1, out)
+    return out.astype(np.float32)
+
+
+def degrade(rng: np.random.Generator, hr: np.ndarray, scale: int) -> np.ndarray:
+    """HR (H, W, 3) -> LR (H/s, W/s, 3): random blur -> area downsample
+    -> noise -> 8-bit quantization (the classic Real-ESRGAN first-order
+    degradation, reference pytorch_realesrgan.py pipeline)."""
+    img = _gaussian_blur(hr, rng.uniform(0.0, 1.6))
+    h, w, _ = img.shape
+    lr = img.reshape(h // scale, scale, w // scale, scale, 3).mean((1, 3))
+    if rng.random() < 0.7:
+        lr = lr + rng.standard_normal(lr.shape) * rng.uniform(0.0, 0.03)
+    lr = np.round(np.clip(lr, 0, 1) * 255.0) / 255.0
+    return lr.astype(np.float32)
+
+
+def make_sr_batch(rng: np.random.Generator, batch: int, hr_size: int,
+                  scale: int) -> Tuple[np.ndarray, np.ndarray]:
+    hrs = np.stack([synth_hr_patch(rng, hr_size) for _ in range(batch)])
+    lrs = np.stack([degrade(rng, h, scale) for h in hrs])
+    return lrs, hrs
+
+
+# ---------------------------------------------------------------------------
+# Student training (supervised or distilled)
+# ---------------------------------------------------------------------------
+
+
+def train_student(
+    student_cfg=None,
+    steps: int = 1500,
+    batch: int = 8,
+    hr_size: int = 128,
+    lr: float = 2e-4,
+    seed: int = 0,
+    mode: str = "synthetic",           # synthetic | distill
+    teacher: Optional[Tuple[Dict, object]] = None,  # (params, cfg)
+    log_every: int = 0,
+    params: Optional[Dict] = None,     # warm start
+) -> Dict:
+    """Train a (6-block) RRDB student. Returns trained params (f32).
+
+    ``mode="distill"`` additionally needs ``teacher=(params, cfg)``;
+    the loss becomes L1 to the teacher's output (+0.1 L1 to GT as an
+    anchor). All compute is jitted on the default device.
+    """
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from framewright_tpu.models import rrdb
+
+    if student_cfg is None:
+        student_cfg = rrdb.RRDBConfig(num_block=6, scale=2)
+    scale = student_cfg.scale
+    rng = np.random.default_rng(seed)
+    if params is None:
+        try:
+            cpu = jax.local_devices(backend="cpu")[0]
+        except RuntimeError:
+            cpu = None
+        if cpu is not None:
+            with jax.default_device(cpu):
+                params = rrdb.init(jax.random.PRNGKey(seed), student_cfg)
+        else:
+            params = rrdb.init(jax.random.PRNGKey(seed), student_cfg)
+        params = rrdb.stack_body(params)
+    params = jax.device_put(params)
+
+    opt = optax.adam(optax.cosine_decay_schedule(lr, steps, alpha=0.1))
+    opt_state = opt.init(params)
+
+    if mode == "distill":
+        t_params, t_cfg = teacher
+        t_params = jax.device_put(rrdb.stack_body(dict(t_params)))
+
+        @jax.jit
+        def target_fn(lr_b):
+            return rrdb.apply(t_params, lr_b, t_cfg)
+    else:
+        target_fn = None
+
+    def loss_fn(p, lr_b, tgt_b, gt_b):
+        out = rrdb.apply(p, lr_b, student_cfg)
+        l_main = jnp.mean(jnp.abs(out - tgt_b))
+        l_gt = jnp.mean(jnp.abs(out - gt_b))
+        return l_main + (0.1 * l_gt if mode == "distill" else 0.0)
+
+    @jax.jit
+    def step_fn(p, o, lr_b, tgt_b, gt_b):
+        loss, g = jax.value_and_grad(loss_fn)(p, lr_b, tgt_b, gt_b)
+        updates, o = opt.update(g, o, p)
+        return optax.apply_updates(p, updates), o, loss
+
+    for step in range(1, steps + 1):
+        lrs, hrs = make_sr_batch(rng, batch, hr_size, scale)
+        lr_b = jnp.asarray(lrs)
+        gt_b = jnp.asarray(hrs)
+        tgt_b = target_fn(lr_b) if target_fn is not None else gt_b
+        params, opt_state, loss = step_fn(params, opt_state, lr_b, tgt_b, gt_b)
+        if log_every and step % log_every == 0:
+            print(f"step {step}: loss {float(loss):.5f}", flush=True)
+    return jax.tree_util.tree_map(
+        lambda v: np.asarray(v, np.float32), params)
+
+
+# ---------------------------------------------------------------------------
+# Diffusion-SR training (VERDICT round-2 item 5)
+# ---------------------------------------------------------------------------
+
+
+def train_diffusion(
+    cfg=None,
+    steps: int = 2000,
+    batch: int = 8,
+    hr_size: int = 64,
+    lr: float = 3e-4,
+    seed: int = 0,
+    log_every: int = 0,
+    params: Optional[Dict] = None,
+) -> Dict:
+    """Train the compact pixel-space diffusion-SR net (x0-prediction)
+    on synthetic degradations until its DDIM output carries real
+    detail (ref: reference enhancement/diffusion_sr.py:359 — trained
+    backends produce detail; untrained = bicubic)."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from framewright_tpu.models import diffusion_sr
+    from framewright_tpu.models.layers import resize_bicubic
+
+    if cfg is None:
+        cfg = diffusion_sr.DiffusionSRConfig()
+    scale = cfg.scale
+    rng = np.random.default_rng(seed)
+    if params is None:
+        try:
+            cpu = jax.local_devices(backend="cpu")[0]
+        except RuntimeError:
+            cpu = None
+        if cpu is not None:
+            with jax.default_device(cpu):
+                params = diffusion_sr.init(jax.random.PRNGKey(seed), cfg)
+        else:
+            params = diffusion_sr.init(jax.random.PRNGKey(seed), cfg)
+    params = jax.device_put(params)
+    acp = diffusion_sr.alphas_cumprod(cfg.train_steps)
+
+    opt = optax.adam(optax.cosine_decay_schedule(lr, steps, alpha=0.1))
+    opt_state = opt.init(params)
+
+    def loss_fn(p, hr_b, lr_b, t_idx, noise):
+        cond = resize_bicubic(lr_b, scale)
+        a = acp[t_idx][:, None, None, None]
+        x0 = hr_b * 2.0 - 1.0                       # net works in [-1,1]
+        x_noisy = jnp.sqrt(a) * x0 + jnp.sqrt(1 - a) * noise
+        t_frac = t_idx.astype(jnp.float32) / cfg.train_steps
+        pred_x0 = diffusion_sr.denoise(p, x_noisy, cond * 2.0 - 1.0, t_frac,
+                                       cfg)
+        return jnp.mean(jnp.abs(pred_x0 - x0))
+
+    @jax.jit
+    def step_fn(p, o, hr_b, lr_b, t_idx, noise):
+        loss, g = jax.value_and_grad(loss_fn)(p, hr_b, lr_b, t_idx, noise)
+        updates, o = opt.update(g, o, p)
+        return optax.apply_updates(p, updates), o, loss
+
+    for step in range(1, steps + 1):
+        lrs, hrs = make_sr_batch(rng, batch, hr_size, scale)
+        t_idx = jnp.asarray(
+            rng.integers(0, cfg.train_steps, batch), jnp.int32)
+        noise = jnp.asarray(
+            rng.standard_normal(hrs.shape).astype(np.float32))
+        params, opt_state, loss = step_fn(
+            params, opt_state, jnp.asarray(hrs), jnp.asarray(lrs), t_idx,
+            noise)
+        if log_every and step % log_every == 0:
+            print(f"step {step}: loss {float(loss):.5f}", flush=True)
+    return jax.tree_util.tree_map(
+        lambda v: np.asarray(v, np.float32), params)
+
+
+# ---------------------------------------------------------------------------
+# Evaluation helpers (the PSNR gate)
+# ---------------------------------------------------------------------------
+
+
+def eval_psnr(apply_fn: Callable, scale: int, n: int = 8,
+              hr_size: int = 128, seed: int = 123) -> Tuple[float, float]:
+    """-> (psnr_model, psnr_bicubic) on held-out synthetic pairs."""
+    import jax.numpy as jnp
+
+    from framewright_tpu.models.layers import resize_bicubic
+
+    rng = np.random.default_rng(seed)
+    lrs, hrs = make_sr_batch(rng, n, hr_size, scale)
+    out = np.asarray(apply_fn(jnp.asarray(lrs)), np.float32)
+    bic = np.asarray(resize_bicubic(jnp.asarray(lrs), scale), np.float32)
+
+    def psnr(a, b):
+        mse = float(np.mean((np.clip(a, 0, 1) - b) ** 2))
+        return 10.0 * np.log10(1.0 / max(mse, 1e-12))
+
+    return psnr(out, hrs), psnr(bic, hrs)
+
+
+def save_npz(params: Dict, path: Path) -> Path:
+    from framewright_tpu.models import torch_port
+
+    path = Path(path)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    torch_port.export_npz(params, path)
+    return path

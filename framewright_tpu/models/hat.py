@@ -48,6 +48,8 @@ class HATConfig:
     cab_squeeze: int = 4                  # channel-attention reduction
     conv_scale: float = 0.01              # CAB branch weight (official)
     scale: int = 4
+    img_range: float = 1.0                # official input scaling
+    rgb_mean: Tuple[float, float, float] = (0.4488, 0.4371, 0.4040)
 
 
 def official_config() -> HATConfig:
@@ -107,6 +109,11 @@ def init(key, cfg: HATConfig = HATConfig(), dtype=jnp.float32) -> Dict:
     kv_win = int(cfg.window * (1 + cfg.overlap_ratio))
     p: Dict = {
         "conv_first": conv_init(next(keys), 3, 3, d),
+        # official HAT (SwinIR lineage): patch_embed LayerNorm after
+        # conv_first tokens (patch_norm=True default) and a final
+        # LayerNorm before conv_after_body
+        "patch_norm": _ln_init(d),
+        "norm": _ln_init(d),
         "layers": [],
         "conv_after_body": conv_init(next(keys), 3, d, d),
         "conv_before_upsample": conv_init(next(keys), 3, d, 64),
@@ -133,6 +140,13 @@ def init(key, cfg: HATConfig = HATConfig(), dtype=jnp.float32) -> Dict:
 
 
 # ---------------------------------------------------------------------------
+
+
+def _gelu(x):
+    # exact (erf) GELU: torch nn.GELU default; jax.nn.gelu defaults to
+    # the tanh approximation, which diverges visibly over 40+ blocks
+    # (caught by the full-model twin, tests/test_hat.py)
+    return jax.nn.gelu(x, approximate=False)
 
 
 def _ln(p, x, eps=1e-5):
@@ -221,7 +235,7 @@ def _shift_mask(h, w, win, shift, dtype):
 
 
 def _cab(p, x):
-    y = _conv(p["conv2"], jax.nn.gelu(_conv(p["conv1"], x)))
+    y = _conv(p["conv2"], _gelu(_conv(p["conv1"], x)))
     s = y.mean(axis=(1, 2))                          # (B,C) global pool
     s = jax.nn.sigmoid(_lin(p["att_up"], jax.nn.relu(_lin(p["att_down"], s))))
     return y * s[:, None, None, :]
@@ -245,7 +259,7 @@ def _hab(block, x, cfg: HATConfig, shift: int, mask):
     if shift:
         att = jnp.roll(att, (shift, shift), axis=(1, 2))
     x = x + att + cfg.conv_scale * conv_x
-    return x + _lin(block["fc2"], jax.nn.gelu(
+    return x + _lin(block["fc2"], _gelu(
         _lin(block["fc1"], _ln(block["norm2"], x))))
 
 
@@ -268,14 +282,21 @@ def _ocab(p, x, cfg: HATConfig):
     att = _msa(p["attn"], q_tok, kv_tok, cfg.num_heads, win, kv_win)
     att = _unwindows(att, win, b, h, w)
     x = x + att
-    return x + _lin(p["fc2"], jax.nn.gelu(
+    return x + _lin(p["fc2"], _gelu(
         _lin(p["fc1"], _ln(p["norm2"], x))))
 
 
 def apply(params: Dict, x: jnp.ndarray, cfg: HATConfig = HATConfig()) -> jnp.ndarray:
-    """RGB (B,H,W,3) in [0,1] -> (B, H·scale, W·scale, 3)."""
+    """RGB (B,H,W,3) in [0,1] -> (B, H·scale, W·scale, 3).
+
+    Follows the official HAT forward exactly (verified by the
+    full-model torch twin in tests/test_hat.py): mean/img_range input
+    normalization, patch_embed LayerNorm after conv_first, final
+    LayerNorm before conv_after_body, un-normalization at the end."""
     b, h0, w0, _ = x.shape
     win = cfg.window
+    mean = jnp.asarray(cfg.rgb_mean, x.dtype)
+    x = (x - mean) * cfg.img_range
     ph, pw = -h0 % win, -w0 % win
     if ph or pw:
         x = jnp.pad(x, ((0, 0), (0, ph), (0, pw), (0, 0)), mode="reflect")
@@ -284,17 +305,19 @@ def apply(params: Dict, x: jnp.ndarray, cfg: HATConfig = HATConfig()) -> jnp.nda
     mask = _shift_mask(h, w, win, shift, x.dtype)
 
     feat = _conv(params["conv_first"], x)
-    body = feat
+    body = _ln(params["patch_norm"], feat)
     for group in params["layers"]:
         g = body
         for bi, block in enumerate(group["blocks"]):
             g = _hab(block, g, cfg, shift if bi % 2 else 0, mask)
         g = _ocab(group["ocab"], g, cfg)
         body = body + _conv(group["conv"], g)
+    body = _ln(params["norm"], body)
     feat = feat + _conv(params["conv_after_body"], body)
 
     y = jax.nn.leaky_relu(_conv(params["conv_before_upsample"], feat), 0.01)
     for up in params["upsample"]:
         y = pixel_shuffle(_conv(up, y), 2)
     y = _conv(params["conv_last"], y)
+    y = y / cfg.img_range + mean
     return y[:, : h0 * cfg.scale, : w0 * cfg.scale, :]

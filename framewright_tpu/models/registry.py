@@ -179,8 +179,13 @@ def init_model(
     wdir = Path(weights_dir) if weights_dir else default_weights_dir()
     npz = wdir / f"{name}.npz"
     pth = wdir / f"{name}.pth"
+    # trained-in-repo checkpoints (distilled/self-trained models) ship
+    # under models/weights/ and act as the fallback below user weights
+    packaged = Path(__file__).parent / "weights" / f"{name}.npz"
     if npz.exists():
         params = torch_port.import_npz(npz)
+    elif packaged.exists():
+        params = torch_port.import_npz(packaged)
     elif pth.exists():
         sd = torch_port.load_state_dict(pth)
         params = spec.port_fn(sd)

@@ -304,7 +304,7 @@ def port_hat(sd: Mapping[str, Any], depths=(6, 6, 6, 6, 6, 6),
     layers = []
     for g, depth in enumerate(depths):
         base = f"layers.{g}"
-        oc = f"{base}.overlap_attn"
+        oc = f"{base}.residual_group.overlap_attn"
         layers.append({
             "blocks": [block(f"{base}.residual_group.blocks.{b}")
                        for b in range(depth)],
@@ -319,6 +319,8 @@ def port_hat(sd: Mapping[str, Any], depths=(6, 6, 6, 6, 6, 6),
         })
     return {
         "conv_first": _conv(sd, "conv_first"),
+        "patch_norm": _ln_t(sd, "patch_embed.norm"),
+        "norm": _ln_t(sd, "norm"),
         "layers": layers,
         "conv_after_body": _conv(sd, "conv_after_body"),
         "conv_before_upsample": _conv(sd, "conv_before_upsample.0"),
@@ -627,3 +629,40 @@ def import_npz(path: Path) -> Dict:
         return node
 
     return listify(root)
+
+
+def port_tvsr(sd: Mapping[str, Any], depth: int = 6) -> Dict:
+    """TVSR twin state_dict (torch_ref.build_tvsr / manifests/
+    TVSR_x4.json) -> models/tvsr.py pytree (pairs stacked for
+    lax.scan)."""
+
+    def lin(prefix):
+        return {"w": _to_np(sd[prefix + ".weight"]).T,
+                "b": _to_np(sd[prefix + ".bias"])}
+
+    def block(prefix):
+        return {
+            "ln1_g": _to_np(sd[f"{prefix}.ln1.weight"]),
+            "ln1_b": _to_np(sd[f"{prefix}.ln1.bias"]),
+            "qkv": lin(f"{prefix}.qkv"),
+            "proj": lin(f"{prefix}.proj"),
+            "ln2_g": _to_np(sd[f"{prefix}.ln2.weight"]),
+            "ln2_b": _to_np(sd[f"{prefix}.ln2.bias"]),
+            "fc1": lin(f"{prefix}.fc1"),
+            "fc2": lin(f"{prefix}.fc2"),
+        }
+
+    pairs = [{"a": block(f"pairs.{i}.a"), "b": block(f"pairs.{i}.b")}
+             for i in range(depth // 2)]
+    import jax
+
+    stacked = jax.tree_util.tree_map(lambda *xs: np.stack(xs), *pairs)
+    return {
+        "conv_first": _conv(sd, "conv_first"),
+        "pairs": stacked,
+        "conv_body": _conv(sd, "conv_body"),
+        "up1": _conv(sd, "up1"),
+        "up2": _conv(sd, "up2"),
+        "conv_hr": _conv(sd, "conv_hr"),
+        "conv_last": _conv(sd, "conv_last"),
+    }

@@ -1139,3 +1139,516 @@ def build_gfpgan(out_size: int = 64, num_style_feat: int = 64,
             return self.stylegan_decoder(code, conditions)
 
     return GFPGANv1Clean()
+
+
+def build_hat(embed: int = 180, depths=(6,) * 6, heads: int = 6,
+              window: int = 16, overlap: float = 0.5, mlp_ratio: float = 2.0,
+              compress: int = 3, squeeze: int = 30, scale: int = 4,
+              img_range: float = 1.0):
+    """Official HAT (Chen et al. CVPR 2023, XPixelGroup/HAT hat_arch.py;
+    reference processors/hat_upscaler.py:120 loads these checkpoints):
+    full model — conv_first, patch_embed LayerNorm, RHAG groups (HAB
+    blocks + OCAB + conv), final norm, conv_after_body residual,
+    pixelshuffle upsampler, rgb-mean/img_range wrapper. State-dict keys
+    match the released HAT_SRx4.pth layout (the manifest)."""
+    import torch
+    import torch.nn as nn
+    import torch.nn.functional as F
+
+    win = window
+    kv_win = int(win * (1 + overlap))
+    hidden = int(embed * mlp_ratio)
+    head_dim = embed // heads
+
+    def win_part(x, w):
+        b, h, ww, c = x.shape
+        x = x.view(b, h // w, w, ww // w, w, c)
+        return x.permute(0, 1, 3, 2, 4, 5).reshape(-1, w * w, c)
+
+    def win_merge(x, w, b, h, ww):
+        c = x.shape[-1]
+        x = x.view(b, h // w, ww // w, w, w, c)
+        return x.permute(0, 1, 3, 2, 4, 5).reshape(b, h, ww, c)
+
+    def rpi_sa():
+        coords = torch.stack(torch.meshgrid(
+            torch.arange(win), torch.arange(win), indexing="ij")).flatten(1)
+        rel = (coords[:, :, None] - coords[:, None, :]).permute(1, 2, 0)
+        rel = rel + win - 1
+        return rel[:, :, 0] * (2 * win - 1) + rel[:, :, 1]
+
+    def rpi_oca():
+        cq = torch.stack(torch.meshgrid(
+            torch.arange(win), torch.arange(win), indexing="ij")).flatten(1)
+        ck = torch.stack(torch.meshgrid(
+            torch.arange(kv_win), torch.arange(kv_win),
+            indexing="ij")).flatten(1)
+        rel = (cq[:, :, None] - ck[:, None, :]).permute(1, 2, 0) + kv_win - 1
+        return rel[:, :, 0] * (win + kv_win - 1) + rel[:, :, 1]
+
+    class ChannelAttention(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.attention = nn.Sequential(
+                nn.AdaptiveAvgPool2d(1),
+                nn.Conv2d(embed, embed // squeeze, 1), nn.ReLU(True),
+                nn.Conv2d(embed // squeeze, embed, 1), nn.Sigmoid())
+
+        def forward(self, x):
+            return x * self.attention(x)
+
+    class CAB(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.cab = nn.Sequential(
+                nn.Conv2d(embed, embed // compress, 3, 1, 1), nn.GELU(),
+                nn.Conv2d(embed // compress, embed, 3, 1, 1),
+                ChannelAttention())
+
+        def forward(self, x):
+            return self.cab(x)
+
+    class WindowAttention(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.qkv = nn.Linear(embed, embed * 3)
+            self.proj = nn.Linear(embed, embed)
+            self.relative_position_bias_table = nn.Parameter(
+                torch.zeros((2 * win - 1) ** 2, heads))
+
+        def forward(self, x, rpi, mask=None):
+            b_, n, c = x.shape
+            qkv = self.qkv(x).reshape(b_, n, 3, heads, head_dim) \
+                .permute(2, 0, 3, 1, 4)
+            q, k, v = qkv[0], qkv[1], qkv[2]
+            q = q * head_dim ** -0.5
+            attn = q @ k.transpose(-2, -1)
+            bias = self.relative_position_bias_table[rpi.view(-1)] \
+                .view(n, n, -1).permute(2, 0, 1)
+            attn = attn + bias.unsqueeze(0)
+            if mask is not None:
+                nw = mask.shape[0]
+                attn = attn.view(b_ // nw, nw, heads, n, n) \
+                    + mask.unsqueeze(1).unsqueeze(0)
+                attn = attn.view(-1, heads, n, n)
+            attn = torch.softmax(attn, dim=-1)
+            x = (attn @ v).transpose(1, 2).reshape(b_, n, c)
+            return self.proj(x)
+
+    class Mlp(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.fc1 = nn.Linear(embed, hidden)
+            self.fc2 = nn.Linear(hidden, embed)
+
+        def forward(self, x):
+            return self.fc2(F.gelu(self.fc1(x)))
+
+    class HAB(nn.Module):
+        def __init__(self, shift):
+            super().__init__()
+            self.shift = shift
+            self.norm1 = nn.LayerNorm(embed)
+            self.attn = WindowAttention()
+            self.conv_block = CAB()
+            self.norm2 = nn.LayerNorm(embed)
+            self.mlp = Mlp()
+
+        def forward(self, x, x_size, rpi, mask):
+            h, w = x_size
+            b, _, c = x.shape
+            shortcut = x
+            x = self.norm1(x).view(b, h, w, c)
+            conv_x = self.conv_block(x.permute(0, 3, 1, 2))
+            conv_x = conv_x.permute(0, 2, 3, 1).reshape(b, h * w, c)
+            if self.shift:
+                sx = torch.roll(x, (-self.shift, -self.shift), dims=(1, 2))
+                m = mask
+            else:
+                sx, m = x, None
+            tok = win_part(sx, win)
+            att = self.attn(tok, rpi, m)
+            att = win_merge(att, win, b, h, w)
+            if self.shift:
+                att = torch.roll(att, (self.shift, self.shift), dims=(1, 2))
+            att = att.reshape(b, h * w, c)
+            x = shortcut + att + conv_x * 0.01
+            return x + self.mlp(self.norm2(x))
+
+    class OCAB(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.norm1 = nn.LayerNorm(embed)
+            self.qkv = nn.Linear(embed, embed * 3)
+            self.relative_position_bias_table = nn.Parameter(
+                torch.zeros((win + kv_win - 1) ** 2, heads))
+            self.proj = nn.Linear(embed, embed)
+            self.norm2 = nn.LayerNorm(embed)
+            self.mlp = Mlp()
+            self.unfold = nn.Unfold(kernel_size=(kv_win, kv_win),
+                                    stride=win, padding=(kv_win - win) // 2)
+
+        def forward(self, x, x_size, rpi):
+            h, w = x_size
+            b, _, c = x.shape
+            shortcut = x
+            x = self.norm1(x).view(b, h, w, c)
+            qkv = self.qkv(x).reshape(b, h, w, 3, c).permute(3, 0, 4, 1, 2)
+            q = qkv[0].permute(0, 2, 3, 1)                 # (b, h, w, c)
+            kv = torch.cat([qkv[1], qkv[2]], dim=1)        # (b, 2c, h, w)
+            q_tok = win_part(q, win)                       # (nw*b, win², c)
+            kv_tok = self.unfold(kv)                       # (b, 2c·kv², nW)
+            kv_tok = kv_tok.view(
+                b, 2 * c, kv_win * kv_win, -1).permute(0, 3, 2, 1)
+            kv_tok = kv_tok.reshape(-1, kv_win * kv_win, 2 * c)
+            k_tok, v_tok = kv_tok[:, :, :c], kv_tok[:, :, c:]
+
+            b_, nq, _ = q_tok.shape
+            qh = q_tok.reshape(b_, nq, heads, head_dim).permute(0, 2, 1, 3)
+            kh = k_tok.reshape(b_, -1, heads, head_dim).permute(0, 2, 1, 3)
+            vh = v_tok.reshape(b_, -1, heads, head_dim).permute(0, 2, 1, 3)
+            qh = qh * head_dim ** -0.5
+            attn = qh @ kh.transpose(-2, -1)
+            bias = self.relative_position_bias_table[rpi.view(-1)] \
+                .view(nq, kv_win * kv_win, -1).permute(2, 0, 1)
+            attn = torch.softmax(attn + bias.unsqueeze(0), dim=-1)
+            out = (attn @ vh).transpose(1, 2).reshape(b_, nq, c)
+            out = win_merge(self.proj(out), win, b, h, w).reshape(b, h * w, c)
+            x = shortcut + out
+            return x + self.mlp(self.norm2(x))
+
+    class AttenBlocks(nn.Module):
+        def __init__(self, depth):
+            super().__init__()
+            self.blocks = nn.ModuleList(
+                [HAB(0 if i % 2 == 0 else win // 2) for i in range(depth)])
+            self.overlap_attn = OCAB()
+
+        def forward(self, x, x_size, params):
+            for blk in self.blocks:
+                x = blk(x, x_size, params["rpi_sa"], params["attn_mask"])
+            return self.overlap_attn(x, x_size, params["rpi_oca"])
+
+    class RHAG(nn.Module):
+        def __init__(self, depth):
+            super().__init__()
+            self.residual_group = AttenBlocks(depth)
+            self.conv = nn.Conv2d(embed, embed, 3, 1, 1)
+
+        def forward(self, x, x_size, params):
+            h, w = x_size
+            y = self.residual_group(x, x_size, params)
+            b, _, c = y.shape
+            y = y.transpose(1, 2).view(b, c, h, w)
+            y = self.conv(y).flatten(2).transpose(1, 2)
+            return y + x
+
+    class HAT(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.register_buffer(
+                "mean",
+                torch.tensor([0.4488, 0.4371, 0.4040]).view(1, 3, 1, 1),
+                persistent=False)
+            self.conv_first = nn.Conv2d(3, embed, 3, 1, 1)
+            self.patch_embed = nn.Module()
+            self.patch_embed.norm = nn.LayerNorm(embed)
+            self.layers = nn.ModuleList([RHAG(d) for d in depths])
+            self.norm = nn.LayerNorm(embed)
+            self.conv_after_body = nn.Conv2d(embed, embed, 3, 1, 1)
+            self.conv_before_upsample = nn.Sequential(
+                nn.Conv2d(embed, 64, 3, 1, 1), nn.LeakyReLU(inplace=True))
+            ups = []
+            for _ in range(scale // 2):
+                ups += [nn.Conv2d(64, 256, 3, 1, 1), nn.PixelShuffle(2)]
+            self.upsample = nn.Sequential(*ups)
+            self.conv_last = nn.Conv2d(64, 3, 3, 1, 1)
+            self.register_buffer("rpi_sa_buf", rpi_sa(), persistent=False)
+            self.register_buffer("rpi_oca_buf", rpi_oca(), persistent=False)
+
+        def calculate_mask(self, x_size):
+            h, w = x_size
+            shift = win // 2
+            img = torch.zeros(1, h, w, 1)
+            cnt = 0
+            for hs in (slice(0, -win), slice(-win, -shift),
+                       slice(-shift, None)):
+                for ws in (slice(0, -win), slice(-win, -shift),
+                           slice(-shift, None)):
+                    img[:, hs, ws, :] = cnt
+                    cnt += 1
+            tok = win_part(img, win).view(-1, win * win)
+            diff = tok.unsqueeze(1) - tok.unsqueeze(2)
+            return diff.masked_fill(diff != 0, -100.0) \
+                .masked_fill(diff == 0, 0.0)
+
+        def forward(self, x):
+            h0, w0 = x.shape[2:]
+            x = (x - self.mean) * img_range
+            ph, pw = (-h0) % win, (-w0) % win
+            if ph or pw:
+                x = F.pad(x, (0, pw, 0, ph), mode="reflect")
+            h, w = x.shape[2:]
+            params = {
+                "attn_mask": self.calculate_mask((h, w)).to(x.device),
+                "rpi_sa": self.rpi_sa_buf,
+                "rpi_oca": self.rpi_oca_buf,
+            }
+            feat = self.conv_first(x)
+            b, c = feat.shape[0], feat.shape[1]
+            tok = self.patch_embed.norm(feat.flatten(2).transpose(1, 2))
+            for layer in self.layers:
+                tok = layer(tok, (h, w), params)
+            tok = self.norm(tok)
+            body = tok.transpose(1, 2).view(b, c, h, w)
+            feat = feat + self.conv_after_body(body)
+            y = self.conv_before_upsample(feat)
+            y = self.conv_last(self.upsample(y))
+            y = y / img_range + self.mean
+            return y[:, :, : h0 * scale, : w0 * scale]
+
+    return HAT()
+
+
+def build_tvsr(dim: int = 64, heads: int = 4, window: int = 8,
+               depth: int = 6, mlp_ratio: int = 2, scale: int = 4):
+    """Torch restatement of models/tvsr.py (VRT-class TMSA VSR — the
+    reference's VRTProcessor slot, advanced_models.py:768). TVSR is an
+    original architecture, so the twin exists to pin the JAX
+    implementation's window/shift/mask algebra against an independent
+    torch implementation (same role as the GFPGAN/CodeFormer twins).
+    State-dict layout == manifests/TVSR_x4.json."""
+    import torch
+    import torch.nn as nn
+    import torch.nn.functional as F
+
+    win = window
+    shift = win // 2
+    head_dim = dim // heads
+
+    class Block(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.ln1 = nn.LayerNorm(dim)
+            self.qkv = nn.Linear(dim, 3 * dim)
+            self.proj = nn.Linear(dim, dim)
+            self.ln2 = nn.LayerNorm(dim)
+            self.fc1 = nn.Linear(dim, mlp_ratio * dim)
+            self.fc2 = nn.Linear(mlp_ratio * dim, dim)
+
+        def tmsa(self, x, sh, mask):
+            b, t, h, w, c = x.shape
+            if sh:
+                x = torch.roll(x, (-sh, -sh), dims=(2, 3))
+            nh, nw = h // win, w // win
+            tok = x.view(b, t, nh, win, nw, win, c)
+            tok = tok.permute(0, 2, 4, 1, 3, 5, 6).reshape(
+                b * nh * nw, t * win * win, c)
+            q, k, v = self.qkv(self.ln1(tok)).chunk(3, dim=-1)
+            L = t * win * win
+
+            def split(z):
+                return z.view(-1, L, heads, head_dim).transpose(1, 2)
+
+            q, k, v = split(q), split(k), split(v)
+            att = (q @ k.transpose(-2, -1)) * head_dim ** -0.5
+            if sh and mask is not None:
+                att = att.view(b, nh * nw, heads, L, L) + \
+                    mask[None, :, None]
+                att = att.view(b * nh * nw, heads, L, L)
+            att = torch.softmax(att, dim=-1)
+            out = (att @ v).transpose(1, 2).reshape(-1, L, c)
+            out = self.proj(out)
+            out = out.view(b, nh, nw, t, win, win, c)
+            out = out.permute(0, 3, 1, 4, 2, 5, 6).reshape(b, t, h, w, c)
+            if sh:
+                out = torch.roll(out, (sh, sh), dims=(2, 3))
+            return out
+
+        def mlp(self, x):
+            # tanh-approximate GELU on both sides: this original arch's
+            # contract is the TPU-fast jax.nn.gelu default
+            return self.fc2(
+                F.gelu(self.fc1(self.ln2(x)), approximate="tanh"))
+
+    class Pair(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.a = Block()
+            self.b = Block()
+
+    class TVSR(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.conv_first = nn.Conv2d(3, dim, 3, 1, 1)
+            self.pairs = nn.ModuleList(
+                [Pair() for _ in range(depth // 2)])
+            self.conv_body = nn.Conv2d(dim, dim, 3, 1, 1)
+            self.up1 = nn.Conv2d(dim, dim * 4, 3, 1, 1)
+            self.up2 = nn.Conv2d(dim, dim * 4, 3, 1, 1)
+            self.conv_hr = nn.Conv2d(dim, dim, 3, 1, 1)
+            self.conv_last = nn.Conv2d(dim, 3, 3, 1, 1)
+
+        def forward(self, frames, mask, base=None):
+            # frames: (b, t, h, w, 3) in [0,1]; mask: (nW, L, L);
+            # base: optional precomputed bicubic upsample (b*t, 3, sH, sW)
+            # — jax and torch bicubic kernels differ (a=-0.5 vs -0.75),
+            # parity tests inject the jax one
+            b, t, h, w, _ = frames.shape
+            flat = frames.reshape(b * t, h, w, 3).permute(0, 3, 1, 2)
+            x = self.conv_first(flat)
+            x0 = x
+            x = x.permute(0, 2, 3, 1).view(b, t, h, w, dim)
+            for pair in self.pairs:
+                x = x + pair.a.tmsa(x, 0, None)
+                x = x + pair.a.mlp(x)
+                x = x + pair.b.tmsa(x, shift, mask)
+                x = x + pair.b.mlp(x)
+            feat = x.reshape(b * t, h, w, dim).permute(0, 3, 1, 2)
+            feat = self.conv_body(feat) + x0
+            y = F.leaky_relu(
+                F.pixel_shuffle(self.up1(feat), 2), 0.1)
+            if scale == 4:
+                y = F.leaky_relu(
+                    F.pixel_shuffle(self.up2(y), 2), 0.1)
+            y = self.conv_last(F.leaky_relu(self.conv_hr(y), 0.1))
+            if base is None:
+                base = F.interpolate(flat, scale_factor=scale,
+                                     mode="bicubic", align_corners=False)
+            out = base + y
+            return out.permute(0, 2, 3, 1).view(
+                b, t, h * scale, w * scale, 3)
+
+    return TVSR()
+
+
+def build_ddcolor(dims=(96, 192, 384, 768), depths=(3, 3, 9, 3),
+                  num_queries: int = 100, embed_dim: int = 256,
+                  pixel_dim: int = 64, heads: int = 8,
+                  dec_layers_per_scale: int = 3):
+    """Torch restatement of models/ddcolor.py at large_config() dims
+    (DDColor-class query colorization — reference restoration/
+    colorization.py:248-569 DDColorBackend). Pins the JAX
+    implementation numerically: ConvNeXt encoder (dwconv7x7 + LN(1e-6)
+    + MLP + layer scale), FPN pixel decoder, query cross-attention
+    color decoder, correlation volume + tanh ab head. GELU is tanh-
+    approximate on both sides (the TPU-fast variant is the contract
+    for this original-arch model)."""
+    import torch
+    import torch.nn as nn
+    import torch.nn.functional as F
+
+    gelu = nn.GELU(approximate="tanh")
+    n_scales = len(dims)
+
+    class Block(nn.Module):
+        def __init__(self, dim):
+            super().__init__()
+            self.dw = nn.Conv2d(dim, dim, 7, 1, 3, groups=dim)
+            self.ln = nn.LayerNorm(dim, eps=1e-6)
+            self.fc1 = nn.Linear(dim, dim * 4)
+            self.fc2 = nn.Linear(dim * 4, dim)
+            self.gamma = nn.Parameter(torch.full((dim,), 1e-2))
+
+        def forward(self, x):        # x: (B,H,W,C)
+            y = self.dw(x.permute(0, 3, 1, 2)).permute(0, 2, 3, 1)
+            y = self.ln(y)
+            y = self.fc2(gelu(self.fc1(y)))
+            return x + self.gamma * y
+
+    class Down(nn.Module):
+        def __init__(self, cin, cout):
+            super().__init__()
+            self.ln = nn.LayerNorm(cin, eps=1e-6)
+            self.conv = nn.Conv2d(cin, cout, 2, 2, 0)
+
+        def forward(self, x):
+            return self.conv(self.ln(x).permute(0, 3, 1, 2)) \
+                .permute(0, 2, 3, 1)
+
+    class Dec(nn.Module):
+        def __init__(self):
+            super().__init__()
+            d = embed_dim
+            self.q = nn.Linear(d, d)
+            self.k = nn.Linear(d, d)
+            self.v = nn.Linear(d, d)
+            self.o = nn.Linear(d, d)
+            self.ln1 = nn.LayerNorm(d, eps=1e-6)
+            self.ffn1 = nn.Linear(d, d * 2)
+            self.ffn2 = nn.Linear(d * 2, d)
+            self.ln2 = nn.LayerNorm(d, eps=1e-6)
+
+        def forward(self, q, kv):
+            b, kq, d = q.shape
+            hd = d // heads
+
+            def split(t):
+                return t.view(b, -1, heads, hd).transpose(1, 2)
+
+            att = torch.softmax(
+                split(self.q(q)) @ split(self.k(kv)).transpose(-2, -1)
+                / hd ** 0.5, dim=-1)
+            o = (att @ split(self.v(kv))).transpose(1, 2).reshape(b, kq, d)
+            q = self.ln1(q + self.o(o))
+            return self.ln2(q + self.ffn2(gelu(self.ffn1(q))))
+
+    class DDColor(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.stem = nn.Conv2d(1, dims[0], 4, 4, 0)
+            self.stages = nn.ModuleList(
+                [nn.ModuleList([Block(d) for _ in range(depths[i])])
+                 for i, d in enumerate(dims)])
+            self.downs = nn.ModuleList(
+                [Down(dims[i], dims[i + 1]) for i in range(n_scales - 1)])
+            self.lateral = nn.ModuleList(
+                [nn.Conv2d(d, pixel_dim, 1) for d in dims])
+            self.fpn_out = nn.ModuleList(
+                [nn.Conv2d(pixel_dim, pixel_dim, 3, 1, 1) for _ in dims])
+            self.pix_up = nn.Conv2d(pixel_dim, pixel_dim, 3, 1, 1)
+            self.queries = nn.Parameter(torch.zeros(num_queries, embed_dim))
+            self.feat_proj = nn.ModuleList(
+                [nn.Linear(d, embed_dim) for d in dims[1:]])
+            self.dec = nn.ModuleList(
+                [Dec() for _ in range(3 * dec_layers_per_scale)])
+            self.q_final = nn.Linear(embed_dim, pixel_dim)
+            self.out = nn.Conv2d(num_queries, 2, 1)
+
+        def forward(self, l_channel):   # (B,H,W,1) in [0,100]
+            b, h, w, _ = l_channel.shape
+            x = l_channel / 100.0 - 0.5
+            feats = []
+            hx = self.stem(x.permute(0, 3, 1, 2)).permute(0, 2, 3, 1)
+            for si in range(n_scales):
+                for blk in self.stages[si]:
+                    hx = blk(hx)
+                feats.append(hx)
+                if si + 1 < n_scales:
+                    hx = self.downs[si](hx)
+            pix = self.lateral[-1](feats[-1].permute(0, 3, 1, 2))
+            for si in range(n_scales - 2, -1, -1):
+                lat = self.lateral[si](feats[si].permute(0, 3, 1, 2))
+                pix = lat + F.interpolate(
+                    pix, size=lat.shape[2:], mode="bilinear",
+                    align_corners=False)
+                pix = self.fpn_out[si](pix)
+            pix = F.interpolate(pix, size=(h, w), mode="bilinear",
+                                align_corners=False)
+            pix = self.pix_up(pix).permute(0, 2, 3, 1)
+
+            q = self.queries.unsqueeze(0).expand(b, -1, -1)
+            li = 0
+            for scale_idx in (2, 1, 0):
+                feat = feats[scale_idx + 1]
+                kv = self.feat_proj[scale_idx](
+                    feat.reshape(b, -1, feat.shape[-1]))
+                for _ in range(dec_layers_per_scale):
+                    q = self.dec[li](q, kv)
+                    li += 1
+            qp = self.q_final(q)
+            vol = torch.einsum("bhwd,bkd->bhwk", pix, qp)
+            ab = self.out(vol.permute(0, 3, 1, 2)).permute(0, 2, 3, 1)
+            return torch.tanh(ab) * 110.0
+
+    return DDColor()

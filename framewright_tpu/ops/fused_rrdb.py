@@ -72,6 +72,9 @@ TPC_GC_I8 = int(_os.environ.get("FW_TPC_GC_I8", "8"))
 # 328 -> 279 ms/frame body on v5e) and the kernel working set still
 # fits comfortably in the 128 MiB core VMEM.
 VMEM_LIMIT = int(_os.environ.get("FW_RDB_VMEM_MB", "100")) * 1024 * 1024
+# Body variant default (see rrdb_body_fast): flipped to "1" once the
+# block-resident path measured faster on v5e.
+_RESIDENT_DEFAULT = "0"
 
 
 # ---------------------------------------------------------------------------
@@ -575,6 +578,148 @@ def _grid_dims(h: int, w: int) -> Tuple[int, int]:
     return -(-h // BH), -(-w // BH)
 
 
+def _block_extents(h: int, w: int, nh: int, nw: int) -> np.ndarray:
+    """(nh*nw, 4) int32 valid rects [r0, r1, c0, c1) in block coords."""
+    extents = []
+    for i in range(nh):
+        for j in range(nw):
+            r0 = HALO if i == 0 else 0
+            r1 = min(S, HALO + h - i * BH)
+            c0 = HALO if j == 0 else 0
+            c1 = min(S, HALO + w - j * BH)
+            extents.append((r0, r1, c0, c1))
+    return np.asarray(extents, np.int32)
+
+
+def extract_blocks(feat_cm: jnp.ndarray, h: int, w: int) -> jnp.ndarray:
+    """Channel-major image (B, 64, h, w) -> halo blocks (B*nh*nw, 64, S, S).
+
+    Zero padding supplies both the frame-border halo ring and the
+    grid-alignment slack (both outside the frame, where SAME convs see
+    zeros)."""
+    b = feat_cm.shape[0]
+    nh, nw = _grid_dims(h, w)
+    hp, wp = nh * BH, nw * BH
+    x = jnp.pad(feat_cm, ((0, 0), (0, 0), (HALO, hp - h + HALO),
+                          (HALO, wp - w + HALO)))
+    windows = []
+    for i in range(nh):
+        for j in range(nw):
+            windows.append(jax.lax.slice(
+                x, (0, 0, i * BH, j * BH), (b, NF, i * BH + S, j * BH + S)))
+    return jnp.stack(windows, axis=1).reshape(b * nh * nw, NF, S, S)
+
+
+def assemble_blocks(blocks: jnp.ndarray, b: int, h: int, w: int) -> jnp.ndarray:
+    """Halo blocks (B*nh*nw, 64, S, S) -> channel-major image (B, 64, h, w)
+    from the block interiors."""
+    nh, nw = _grid_dims(h, w)
+    hp, wp = nh * BH, nw * BH
+    out = blocks.reshape(b, nh, nw, NF, S, S)[
+        :, :, :, :, HALO:S - HALO, HALO:S - HALO]
+    out = out.transpose(0, 3, 1, 4, 2, 5).reshape(b, NF, hp, wp)
+    return out[:, :, :h, :w]
+
+
+# ---------------------------------------------------------------------------
+# Block-resident body: halo refresh between RDB kernels instead of a
+# full image round-trip per RDB (PERF.md round-3 lever (a)).
+# ---------------------------------------------------------------------------
+
+def halo_refresh_xla(blocks: jnp.ndarray, b: int, nh: int, nw: int) -> jnp.ndarray:
+    """Rebuild every block's HALO ring from its neighbors' interiors
+    (pure XLA; the CPU/interpret fallback for halo_refresh_pallas).
+
+    blocks: (b*nh*nw, NF, S, S) where interiors are valid and rings are
+    stale. Returns blocks with rings refreshed (zero outside the grid).
+    """
+    x = blocks.reshape(b, nh, nw, NF, S, S)
+    inter = x[:, :, :, :, HALO:S - HALO, HALO:S - HALO]
+    ip = jnp.pad(inter, ((0, 0), (1, 1), (1, 1), (0, 0), (0, 0), (0, 0)))
+    # columns first: (b, nh+2, nw, NF, BH, S)
+    cols = jnp.concatenate([
+        ip[:, :, :-2, :, :, BH - HALO:],
+        ip[:, :, 1:-1],
+        ip[:, :, 2:, :, :, :HALO],
+    ], axis=-1)
+    # then rows: (b, nh, nw, NF, S, S)
+    wins = jnp.concatenate([
+        cols[:, :-2, :, :, BH - HALO:, :],
+        cols[:, 1:-1],
+        cols[:, 2:, :, :, :HALO, :],
+    ], axis=-2)
+    return wins.reshape(b * nh * nw, NF, S, S)
+
+
+def halo_refresh(blocks: jnp.ndarray, b: int, nh: int, nw: int) -> jnp.ndarray:
+    """Two-phase halo ring exchange via static dynamic-update-slices.
+
+    Moves ONLY the rings (~17% of block area) instead of rebuilding
+    full windows: phase A copies top/bottom rings over interior
+    columns from vertical neighbors; phase B copies left/right rings
+    full height (corners become exact because phase A already fixed
+    the neighbors' top/bottom rows). Blocks whose ring lies outside
+    the grid keep their zeros. XLA applies the updates in place on the
+    dead intermediate (no full-buffer copies).
+
+    NOTE: a Pallas in-place DMA variant was tried first and rejected
+    by Mosaic — ring slices (5 sublanes) violate the (8, 128) tiling
+    alignment for VMEM memrefs ("Slice shape along dimension 2 must be
+    aligned to tiling (8)").
+    """
+    x = blocks.reshape(b, nh, nw, NF, S, S)
+    H = HALO
+    if nh > 1:
+        x = x.at[:, 1:, :, :, 0:H, H:S - H].set(
+            x[:, :-1, :, :, BH:BH + H, H:S - H])
+        x = x.at[:, :-1, :, :, S - H:S, H:S - H].set(
+            x[:, 1:, :, :, H:2 * H, H:S - H])
+    if nw > 1:
+        x = x.at[:, :, 1:, :, :, 0:H].set(x[:, :, :-1, :, :, BH:BH + H])
+        x = x.at[:, :, :-1, :, :, S - H:S].set(x[:, :, 1:, :, :, H:2 * H])
+    return x.reshape(b * nh * nw, NF, S, S)
+
+
+def rrdb_body_resident(feat: jnp.ndarray, fast_params: Dict,
+                       interpret: bool = False) -> jnp.ndarray:
+    """The RRDB trunk with BLOCK-RESIDENT activations.
+
+    Extraction and assembly happen ONCE per frame; between the 69 RDB
+    kernel passes only the halo rings move (halo_refresh_pallas),
+    replacing the per-RDB pad/slice/stack/crop/transpose image round
+    trip (~50-60 ms/frame at 1080p, PERF.md).  Numerics identical to
+    rrdb_body_fast: the kernels already mask frame borders via the
+    extents, and out-of-grid rings stay zero through the whole chain
+    (kernel outputs preserve the (zero) input outside the valid rect).
+    """
+    b, h, w, c = feat.shape
+    int8 = "sx" in fast_params["body_wide"]
+    nh, nw = _grid_dims(h, w)
+    nb = b * nh * nw
+    fcm = feat.transpose(0, 3, 1, 2).astype(jnp.bfloat16)
+    blocks = extract_blocks(fcm, h, w)
+    ext = jnp.asarray(np.tile(_block_extents(h, w, nh, nw), (b, 1)))
+    run = fused_rdb_blocks_int8 if int8 else fused_rdb_blocks
+    refresh = halo_refresh
+
+    def rdb(blk, wide):
+        out = run(blk.reshape(nb, NF, PX), ext, wide, interpret=interpret)
+        return out.reshape(nb, NF, S, S)
+
+    def rrdb_step(carry, wide3):
+        w1 = jax.tree_util.tree_map(lambda v: v[0], wide3)
+        w2 = jax.tree_util.tree_map(lambda v: v[1], wide3)
+        w3 = jax.tree_util.tree_map(lambda v: v[2], wide3)
+        o = refresh(rdb(carry, w1), b, nh, nw)
+        o = refresh(rdb(o, w2), b, nh, nw)
+        o = rdb(o, w3)
+        out = (0.2 * o).astype(jnp.bfloat16) + carry
+        return refresh(out, b, nh, nw), None
+
+    out, _ = jax.lax.scan(rrdb_step, blocks, fast_params["body_wide"])
+    return assemble_blocks(out, b, h, w).transpose(0, 2, 3, 1)
+
+
 @functools.partial(jax.jit,
                    static_argnames=("h", "w", "interpret", "int8"))
 def _fused_rdb_image(feat_cm: jnp.ndarray, wide: Dict, h: int, w: int,
@@ -619,7 +764,13 @@ def rrdb_body_fast(feat: jnp.ndarray, fast_params: Dict,
     feat: (B, H, W, 64) (NHWC, output of conv_first). Returns same shape.
     Runs the int8 kernel when fast_params were built with
     compute_dtype="int8" (rrdb_fast_params).
+
+    FW_RDB_RESIDENT=1 selects the block-resident variant (extract
+    once, halo-refresh DMAs between kernels); =0 the per-RDB image
+    round trip. The default is set by the measured winner on v5e.
     """
+    if _os.environ.get("FW_RDB_RESIDENT", _RESIDENT_DEFAULT) == "1":
+        return rrdb_body_resident(feat, fast_params, interpret=interpret)
     b, h, w, c = feat.shape
     int8 = "sx" in fast_params["body_wide"]
     fcm = feat.transpose(0, 3, 1, 2).astype(jnp.bfloat16)  # (B, 64, H, W)

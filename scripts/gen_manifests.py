@@ -100,6 +100,12 @@ def hat_manifest(embed=180, depths=(6,) * 6, window=16, overlap=0.5,
                  mlp_ratio=2.0, squeeze=30, scale=4) -> dict:
     keys = {}
     _conv(keys, "conv_first", embed, 3, 3)
+    # patch_embed LayerNorm (patch_norm=True default) + the final norm
+    # before conv_after_body — both present in released checkpoints
+    keys["patch_embed.norm.weight"] = [embed]
+    keys["patch_embed.norm.bias"] = [embed]
+    keys["norm.weight"] = [embed]
+    keys["norm.bias"] = [embed]
     rp = (2 * window - 1) ** 2
     wo = int(window * (1 + overlap)) + window - 1
     rp_ocab = wo * wo  # (win+wo-1)^2 with wo = win*(1+r): official table
@@ -123,7 +129,7 @@ def hat_manifest(embed=180, depths=(6,) * 6, window=16, overlap=0.5,
             keys[f"{p}.norm2.bias"] = [embed]
             _linear(keys, f"{p}.mlp.fc1", hidden, embed)
             _linear(keys, f"{p}.mlp.fc2", embed, hidden)
-        oc = f"{base}.overlap_attn"
+        oc = f"{base}.residual_group.overlap_attn"
         keys[f"{oc}.norm1.weight"] = [embed]
         keys[f"{oc}.norm1.bias"] = [embed]
         _linear(keys, f"{oc}.qkv", embed * 3, embed)
@@ -405,6 +411,32 @@ def codeformer_manifest() -> tuple:
     return keys, []
 
 
+def tvsr_manifest(dim=64, heads=4, window=8, depth=6, mlp_ratio=2,
+                  scale=4) -> dict:
+    """TVSR (original VRT-class arch, models/tvsr.py; twin layout
+    torch_ref.build_tvsr). No released checkpoint exists — the manifest
+    pins the state-dict contract for trained/exported weights."""
+    keys = {}
+    _conv(keys, "conv_first", dim, 3, 3)
+    for i in range(depth // 2):
+        for half in ("a", "b"):
+            p = f"pairs.{i}.{half}"
+            keys[f"{p}.ln1.weight"] = [dim]
+            keys[f"{p}.ln1.bias"] = [dim]
+            _linear(keys, f"{p}.qkv", 3 * dim, dim)
+            _linear(keys, f"{p}.proj", dim, dim)
+            keys[f"{p}.ln2.weight"] = [dim]
+            keys[f"{p}.ln2.bias"] = [dim]
+            _linear(keys, f"{p}.fc1", mlp_ratio * dim, dim)
+            _linear(keys, f"{p}.fc2", dim, mlp_ratio * dim)
+    _conv(keys, "conv_body", dim, dim, 3)
+    _conv(keys, "up1", dim * 4, dim, 3)
+    _conv(keys, "up2", dim * 4, dim, 3)
+    _conv(keys, "conv_hr", dim, dim, 3)
+    _conv(keys, "conv_last", 3, dim, 3)
+    return keys
+
+
 MANIFESTS = {
     "CodeFormer": (codeformer_manifest,
                    "sczhou CodeFormer v0.1.0 (512px, 1024x256 codebook, "
@@ -422,6 +454,7 @@ MANIFESTS = {
                              "SRVGG compact, 32 convs"),
     "basicvsr_reds4": (basicvsr_manifest, "mmediting BasicVSR generator"),
     "HAT_SRx4": (hat_manifest, "official HAT x4 (embed 180, 6x6)"),
+    "TVSR_x4": (tvsr_manifest, "TVSR twin contract (original arch)"),
     "GFPGANv1.4": (gfpgan_manifest, "GFPGANv1Clean out512 cm2 sft_half"),
     "retinaface_mnet025": (lambda: retinaface_manifest(),
                            "Pytorch_Retinaface mobilenet0.25"),

@@ -165,3 +165,83 @@ class TestTailFolds:
         a = rrdb._tail(params, feat, body_out)
         b = _tail_folded(params, fast, feat, body_out)
         assert float(jnp.max(jnp.abs(a - b))) < 1e-4
+
+
+class TestResidentBody:
+    """Block-resident body (extract once + halo refresh) must match the
+    per-RDB round-trip path exactly (same kernels, same masking)."""
+
+    @pytest.mark.slow
+    @pytest.mark.parametrize("hw", [(54, 54), (60, 80)])
+    def test_resident_matches_roundtrip(self, tiny_model, hw, monkeypatch):
+        cfg, params, fast = tiny_model
+        h, w = hw
+        rng = np.random.default_rng(7)
+        feat = jnp.asarray(
+            rng.standard_normal((1, h, w, 64)).astype(np.float32) * 0.5
+        ).astype(jnp.bfloat16)
+        monkeypatch.setenv("FW_RDB_RESIDENT", "0")
+        want = np.asarray(
+            fused_rrdb.rrdb_body_fast(feat, fast, interpret=True), np.float32)
+        got = np.asarray(
+            fused_rrdb.rrdb_body_resident(feat, fast, interpret=True),
+            np.float32)
+        np.testing.assert_allclose(got, want, rtol=0, atol=1e-2)
+        err = np.abs(got - want)
+        assert err.max() < 5e-3, err.max()
+
+    def test_halo_refresh_xla_matches_reextract(self):
+        # refreshing stale rings must equal re-extracting windows from
+        # the assembled interior image
+        b, h, w = 1, 70, 90
+        nh, nw = fused_rrdb._grid_dims(h, w)
+        rng = np.random.default_rng(8)
+        img = jnp.asarray(
+            rng.standard_normal((b, fused_rrdb.NF, h, w)).astype(np.float32)
+        ).astype(jnp.bfloat16)
+        blocks = fused_rrdb.extract_blocks(img, h, w)
+        # poison the rings, keep interiors
+        S, HALO = fused_rrdb.S, fused_rrdb.HALO
+        poisoned = np.asarray(blocks, np.float32)
+        poisoned[:, :, :HALO, :] = 99.0
+        poisoned[:, :, S - HALO:, :] = 99.0
+        poisoned[:, :, :, :HALO] = 99.0
+        poisoned[:, :, :, S - HALO:] = 99.0
+        refreshed = fused_rrdb.halo_refresh_xla(
+            jnp.asarray(poisoned).astype(jnp.bfloat16), b, nh, nw)
+        np.testing.assert_array_equal(
+            np.asarray(refreshed, np.float32), np.asarray(blocks, np.float32))
+
+    def test_extract_assemble_roundtrip(self):
+        b, h, w = 2, 60, 70
+        rng = np.random.default_rng(9)
+        img = jnp.asarray(
+            rng.standard_normal((b, fused_rrdb.NF, h, w)).astype(np.float32)
+        ).astype(jnp.bfloat16)
+        blocks = fused_rrdb.extract_blocks(img, h, w)
+        back = fused_rrdb.assemble_blocks(blocks, b, h, w)
+        np.testing.assert_array_equal(np.asarray(back), np.asarray(img))
+
+    def test_halo_refresh_dus_matches_reextract(self):
+        # the DUS refresh preserves out-of-grid border rings (which the
+        # pipeline keeps at zero) and rebuilds every in-grid ring from
+        # neighbor interiors: zeroing ALL rings then refreshing must
+        # reproduce the original extraction exactly
+        b, h, w = 1, 70, 90
+        nh, nw = fused_rrdb._grid_dims(h, w)
+        rng = np.random.default_rng(11)
+        img = jnp.asarray(
+            rng.standard_normal((b, fused_rrdb.NF, h, w)).astype(np.float32)
+        ).astype(jnp.bfloat16)
+        blocks = fused_rrdb.extract_blocks(img, h, w)
+        S, HALO = fused_rrdb.S, fused_rrdb.HALO
+        poisoned = np.asarray(blocks, np.float32)
+        poisoned[:, :, :HALO, :] = 0.0
+        poisoned[:, :, S - HALO:, :] = 0.0
+        poisoned[:, :, :, :HALO] = 0.0
+        poisoned[:, :, :, S - HALO:] = 0.0
+        assert np.abs(np.asarray(blocks, np.float32) - poisoned).max() > 0.5
+        refreshed = fused_rrdb.halo_refresh(
+            jnp.asarray(poisoned).astype(jnp.bfloat16), b, nh, nw)
+        np.testing.assert_array_equal(
+            np.asarray(refreshed, np.float32), np.asarray(blocks, np.float32))
