@@ -55,7 +55,14 @@ fieldset{border:1px solid #333;border-radius:6px;margin:1rem 0;
 padding:.8rem 1rem}legend{color:#9ab}input,select,button{background:#1e2127;
 color:#e7e7e7;border:1px solid #444;border-radius:4px;padding:.35rem .55rem}
 button{cursor:pointer}button:hover{border-color:#9ab}
-#msg{margin-left:.8rem;color:#9ab}</style></head><body>
+#msg{margin-left:.8rem;color:#9ab}
+.cmp{position:relative;display:inline-block;margin:.6rem 0}
+.cmp img{display:block;max-width:560px}
+.cmp .after{position:absolute;top:0;left:0;clip-path:inset(0 50% 0 0)}
+.cmp .lbl{position:absolute;top:4px;font-size:.72rem;background:#0009;
+padding:1px 6px;border-radius:3px}.cmp .lbl.b{right:6px}
+.cmp .lbl.a{left:6px}
+.cmp input{position:absolute;left:0;bottom:-1.4rem;width:100%}</style></head><body>
 <h1>framewright-tpu</h1>
 <fieldset><legend>submit a restore job</legend>
 <form id="submit" onsubmit="return submitJob(event)">
@@ -133,10 +140,36 @@ async function pollPreviews(){
     row.insertCell().textContent = d.status +
       (d.status === 'rendering' ? ' ' + Math.round(d.progress*100) + '%' : '');
     row.insertCell().textContent = d.output || d.error || '';
+    if (d.status === 'done') renderCompare(d);
   }
   if (Object.values(pvTasks).some(d =>
       d.status === 'queued' || d.status === 'rendering'))
     setTimeout(pollPreviews, 1500);
+}
+// before/after comparison slider (server-rendered PNG crops from
+// /api/frame; restored side clipped by the range input)
+function renderCompare(d){
+  if (document.getElementById('cmp-' + d.task_id)) return;
+  const src = encodeURIComponent(document.getElementById('src').value);
+  const mid = (d.start || 0) + Math.floor((d.n_frames || 48) / 2);
+  const div = document.createElement('div');
+  div.className = 'cmp'; div.id = 'cmp-' + d.task_id;
+  const before = document.createElement('img');
+  before.src = '/api/frame?source=' + src + '&t=' + mid;
+  const after = document.createElement('img');
+  after.className = 'after';
+  after.src = '/api/frame?source=' + src + '&t=' + mid +
+              '&task=' + encodeURIComponent(d.task_id);
+  const la = document.createElement('span');
+  la.className = 'lbl a'; la.textContent = 'restored';
+  const lb = document.createElement('span');
+  lb.className = 'lbl b'; lb.textContent = 'original';
+  const range = document.createElement('input');
+  range.type = 'range'; range.min = 0; range.max = 100; range.value = 50;
+  range.oninput = () =>
+    after.style.clipPath = 'inset(0 ' + (100 - range.value) + '% 0 0)';
+  div.append(before, after, la, lb, range);
+  document.getElementById('previews').after(div);
 }
 loadPresets();
 function render(jobs){
@@ -187,6 +220,47 @@ class APIServer:
         self._worker: Optional[threading.Thread] = None
         self._stop = threading.Event()
         self._previews = {}               # source -> PreviewServer
+        self._frame_cache = {}            # (media, t) -> png bytes
+
+    def _read_frame_png(self, media: Path, t: int,
+                        max_side: int = 640) -> Optional[bytes]:
+        """Frame ``t`` of a video file as PNG bytes (downscaled to at
+        most ``max_side`` px for dashboard thumbnails), tiny-LRU'd."""
+        key = (str(media), t)
+        cached = self._frame_cache.get(key)
+        if cached is not None:
+            return cached
+        try:
+            from framewright_tpu.io.video import open_reader
+
+            frame = None
+            with open_reader(media) as r:
+                for i, f in enumerate(r):
+                    if i == t:
+                        frame = f
+                        break
+                    if i > t:
+                        break
+            if frame is None:
+                return None
+            h, w = frame.shape[:2]
+            step = max(1, (max(h, w) + max_side - 1) // max_side)
+            frame = frame[::step, ::step]
+            import tempfile
+
+            from framewright_tpu.io.png_seq import save_frame
+
+            with tempfile.TemporaryDirectory() as td:
+                p = Path(td) / "f.png"
+                save_frame(p, frame)
+                data = p.read_bytes()
+        except (OSError, ValueError) as e:
+            logger.warning("frame read failed for %s: %s", media, e)
+            return None
+        if len(self._frame_cache) > 32:
+            self._frame_cache.pop(next(iter(self._frame_cache)))
+        self._frame_cache[key] = data
+        return data
 
     def _preview_for(self, source: str):
         """One PreviewServer (cache + render queue) per source file."""
@@ -285,7 +359,49 @@ class APIServer:
                     return self._send(200, {
                         src: ps.status()
                         for src, ps in server._previews.items()})
+                if path.startswith("/api/frame"):
+                    return self._frame_endpoint()
                 self._send(404, {"error": "unknown endpoint"})
+
+            def _frame_endpoint(self):
+                """PNG frame for the dashboard compare slider.
+
+                /api/frame?source=<registered source>&t=<idx>
+                          [&task=<preview task id>]
+                Without ``task``: frame t of the ORIGINAL source.
+                With ``task``: frame t of that preview render's output.
+                Only sources already registered through job/preview
+                submission are readable (no arbitrary-file reads) —
+                ref _ui_pkg/preview/server.py:201-531 serves segment
+                media the same gated way.
+                """
+                from urllib.parse import parse_qs, urlparse
+
+                q = parse_qs(urlparse(self.path).query)
+                source = (q.get("source") or [""])[0]
+                tid = (q.get("task") or [None])[0]
+                try:
+                    t = max(0, min(int((q.get("t") or ["0"])[0]), 100000))
+                except ValueError:
+                    return self._send(400, {"error": "bad t"})
+                known = set(server._previews) | {
+                    j.source for j in server.store.list_jobs()}
+                if source not in known:
+                    return self._send(403, {"error": "unknown source"})
+                media = Path(source)
+                if tid is not None:
+                    task = None
+                    ps = server._previews.get(source)
+                    if ps is not None:
+                        task = ps.queue.get_task(tid)
+                    if task is None or task.output is None:
+                        return self._send(404, {"error": "no output yet"})
+                    media = Path(task.output)
+                    t = max(0, t - getattr(task, "start", 0))
+                png = server._read_frame_png(media, t)
+                if png is None:
+                    return self._send(404, {"error": "frame unavailable"})
+                return self._send(200, png, "image/png")
 
             # ---------------- POST ----------------
             def do_POST(self):

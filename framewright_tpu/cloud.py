@@ -558,6 +558,145 @@ class GCSStorage(CloudStorage):
         return status == 200
 
 
+class AzureBlobStorage(CloudStorage):
+    """Azure Blob REST with in-process SharedKey signing (reference
+    cloud/storage.py AzureStorage shelled to rclone; here the HMAC
+    canonicalization is native, mirroring the S3 SigV4 approach)."""
+
+    _VERSION = "2021-08-06"
+
+    def __init__(self, account: str, container: str, account_key: str = "",
+                 transport: Optional[Transport] = None,
+                 now: Callable[[], str] = None):
+        self.account = account
+        self.container = container
+        self.account_key = account_key
+        self.transport = transport or _urllib_transport
+        self.now = now or (lambda: time.strftime(
+            "%a, %d %b %Y %H:%M:%S GMT", time.gmtime()))
+
+    def _url(self, key: str) -> str:
+        return (f"https://{self.account}.blob.core.windows.net/"
+                f"{self.container}/{urllib.parse.quote(key)}")
+
+    def _headers(self, method: str, key: str, payload: bytes) -> Dict[str, str]:
+        import base64
+        import hashlib
+        import hmac
+
+        date = self.now()
+        xms = {"x-ms-blob-type": "BlockBlob",
+               "x-ms-date": date,
+               "x-ms-version": self._VERSION}
+        if method != "PUT":
+            xms.pop("x-ms-blob-type")
+        length = str(len(payload)) if payload else ""
+        canon_headers = "".join(
+            f"{k}:{v}\n" for k, v in sorted(xms.items()))
+        canon_resource = (f"/{self.account}/{self.container}/"
+                          f"{urllib.parse.quote(key)}")
+        string_to_sign = "\n".join([
+            method, "", "", length, "", "", "", "", "", "", "", "",
+        ]) + "\n" + canon_headers + canon_resource
+        signature = base64.b64encode(hmac.new(
+            base64.b64decode(self.account_key or b"AA=="),
+            string_to_sign.encode(), hashlib.sha256).digest()).decode()
+        return {**xms,
+                "Authorization": f"SharedKey {self.account}:{signature}"}
+
+    def upload(self, local: Path, remote_key: str) -> None:
+        payload = Path(local).read_bytes()
+        status, data = self.transport(
+            "PUT", self._url(remote_key),
+            self._headers("PUT", remote_key, payload), payload)
+        if status not in (200, 201):
+            raise CloudError(
+                f"Azure upload {remote_key} failed ({status}): {data}")
+
+    def download(self, remote_key: str, local: Path) -> None:
+        status, data = self.transport(
+            "GET", self._url(remote_key),
+            self._headers("GET", remote_key, b""), None)
+        if status != 200:
+            raise CloudError(f"Azure download {remote_key} failed ({status})")
+        Path(local).parent.mkdir(parents=True, exist_ok=True)
+        Path(local).write_bytes(_as_bytes(data))
+
+    def exists(self, remote_key: str) -> bool:
+        status, _ = self.transport(
+            "HEAD", self._url(remote_key),
+            self._headers("HEAD", remote_key, b""), None)
+        return status == 200
+
+
+class GoogleDriveStorage(CloudStorage):
+    """Google Drive v3 with an OAuth bearer token (reference
+    cloud/gdrive.py:52 GoogleDriveStorage via rclone remotes; here the
+    multipart upload + name-query lookup run over the plain REST API).
+    ``remote_key`` maps to a file name inside ``folder_id``."""
+
+    _API = "https://www.googleapis.com/drive/v3"
+    _UPLOAD = "https://www.googleapis.com/upload/drive/v3"
+
+    def __init__(self, token: str = "", folder_id: str = "root",
+                 transport: Optional[Transport] = None):
+        self.token = token
+        self.folder_id = folder_id
+        self.transport = transport or _urllib_transport
+
+    def _headers(self, extra: Optional[Dict[str, str]] = None) -> Dict[str, str]:
+        h = {"Authorization": f"Bearer {self.token}"}
+        h.update(extra or {})
+        return h
+
+    def _find(self, remote_key: str) -> Optional[str]:
+        name = remote_key.replace("'", "\\'")
+        q = urllib.parse.quote(
+            f"name = '{name}' and '{self.folder_id}' in parents "
+            f"and trashed = false")
+        status, data = self.transport(
+            "GET", f"{self._API}/files?q={q}&fields=files(id,name)",
+            self._headers(), None)
+        if status != 200:
+            raise CloudError(f"GDrive list failed ({status}): {data}")
+        files = _as_json(data).get("files", [])
+        return files[0]["id"] if files else None
+
+    def upload(self, local: Path, remote_key: str) -> None:
+        boundary = "fw-boundary-7b3d"
+        meta = json.dumps({"name": remote_key,
+                           "parents": [self.folder_id]})
+        body = (
+            f"--{boundary}\r\n"
+            "Content-Type: application/json; charset=UTF-8\r\n\r\n"
+            f"{meta}\r\n"
+            f"--{boundary}\r\n"
+            "Content-Type: application/octet-stream\r\n\r\n"
+        ).encode() + Path(local).read_bytes() + f"\r\n--{boundary}--".encode()
+        status, data = self.transport(
+            "POST", f"{self._UPLOAD}/files?uploadType=multipart",
+            self._headers({"Content-Type":
+                           f"multipart/related; boundary={boundary}"}),
+            body)
+        if status != 200:
+            raise CloudError(f"GDrive upload failed ({status}): {data}")
+
+    def download(self, remote_key: str, local: Path) -> None:
+        fid = self._find(remote_key)
+        if fid is None:
+            raise CloudError(f"GDrive: {remote_key!r} not found")
+        status, data = self.transport(
+            "GET", f"{self._API}/files/{fid}?alt=media",
+            self._headers(), None)
+        if status != 200:
+            raise CloudError(f"GDrive download failed ({status})")
+        Path(local).parent.mkdir(parents=True, exist_ok=True)
+        Path(local).write_bytes(_as_bytes(data))
+
+    def exists(self, remote_key: str) -> bool:
+        return self._find(remote_key) is not None
+
+
 # ---------------------------------------------------------------------------
 # Burst manager (reference cloud/burst.py:83)
 # ---------------------------------------------------------------------------

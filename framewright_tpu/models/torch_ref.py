@@ -150,6 +150,21 @@ def parity_check(name: str, sd: dict, arch_config, family: str,
         params = torch_port.port_srvgg(sd, nc)
         cfg = arch_config
         y_jax = np.asarray(srvgg.apply(params, jnp.asarray(x), cfg))
+    elif family == "hat":
+        from framewright_tpu.models import hat
+
+        tm = build_hat(embed=arch_config.embed_dim,
+                       depths=arch_config.depths,
+                       heads=arch_config.num_heads,
+                       window=arch_config.window,
+                       overlap=arch_config.overlap_ratio,
+                       mlp_ratio=arch_config.mlp_ratio,
+                       squeeze=arch_config.cab_squeeze,
+                       scale=arch_config.scale,
+                       img_range=arch_config.img_range)
+        params = torch_port.port_hat(sd, depths=arch_config.depths,
+                                     scale=arch_config.scale)
+        y_jax = np.asarray(hat.apply(params, jnp.asarray(x), arch_config))
     else:
         raise ValueError(f"no torch reference for family {family!r}")
 

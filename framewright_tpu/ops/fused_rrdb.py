@@ -680,6 +680,72 @@ def halo_refresh(blocks: jnp.ndarray, b: int, nh: int, nw: int) -> jnp.ndarray:
     return x.reshape(b * nh * nw, NF, S, S)
 
 
+def _refresh_copies(b: int, nh: int, nw: int, vertical: bool):
+    """(src_idx, src_lo, dst_idx, dst_lo) ring copy lists. Vertical
+    phase: rows over interior columns; horizontal: full-height cols."""
+    out = []
+    for bi in range(b):
+        for i in range(nh):
+            for j in range(nw):
+                me = (bi * nh + i) * nw + j
+                if vertical:
+                    if i > 0:
+                        out.append((me - nw, BH, me, 0))
+                    if i < nh - 1:
+                        out.append((me + nw, HALO, me, S - HALO))
+                else:
+                    if j > 0:
+                        out.append((me - 1, BH, me, 0))
+                    if j < nw - 1:
+                        out.append((me + 1, HALO, me, S - HALO))
+    return out
+
+
+_REFRESH_WAVE = 8
+
+
+def _make_refresh_kernel_hbm(copies, vertical: bool):
+    def kern(in_ref, io_ref, sems):
+        del in_ref  # aliases io_ref
+        for base in range(0, len(copies), _REFRESH_WAVE):
+            grp = copies[base:base + _REFRESH_WAVE]
+            dmas = []
+            for k, (si, sl, di, dl) in enumerate(grp):
+                if vertical:
+                    src = io_ref.at[si, :, sl:sl + HALO, HALO:S - HALO]
+                    dst = io_ref.at[di, :, dl:dl + HALO, HALO:S - HALO]
+                else:
+                    src = io_ref.at[si, :, :, sl:sl + HALO]
+                    dst = io_ref.at[di, :, :, dl:dl + HALO]
+                dmas.append(pltpu.make_async_copy(src, dst, sems.at[k]))
+            for d in dmas:
+                d.start()
+            for d in dmas:
+                d.wait()
+
+    return kern
+
+
+def halo_refresh_hbm(blocks: jnp.ndarray, b: int, nh: int, nw: int) -> jnp.ndarray:
+    """Halo ring exchange via in-place HBM->HBM DMAs (two phases, same
+    geometry as halo_refresh). Refs stay in HBM (untiled), so the ring
+    slices avoid the VMEM (8, 128) tiling restriction."""
+    for vertical in (True, False):
+        copies = _refresh_copies(b, nh, nw, vertical)
+        if not copies:
+            continue
+        blocks = pl.pallas_call(
+            _make_refresh_kernel_hbm(copies, vertical),
+            out_shape=jax.ShapeDtypeStruct(blocks.shape, blocks.dtype),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)],
+            out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
+            scratch_shapes=[pltpu.SemaphoreType.DMA((_REFRESH_WAVE,))],
+            input_output_aliases={0: 0},
+            compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        )(blocks)
+    return blocks
+
+
 def rrdb_body_resident(feat: jnp.ndarray, fast_params: Dict,
                        interpret: bool = False) -> jnp.ndarray:
     """The RRDB trunk with BLOCK-RESIDENT activations.
@@ -700,7 +766,13 @@ def rrdb_body_resident(feat: jnp.ndarray, fast_params: Dict,
     blocks = extract_blocks(fcm, h, w)
     ext = jnp.asarray(np.tile(_block_extents(h, w, nh, nw), (b, 1)))
     run = fused_rdb_blocks_int8 if int8 else fused_rdb_blocks
-    refresh = halo_refresh
+    kind = _os.environ.get("FW_RDB_REFRESH", "hbm")
+    if interpret or kind == "concat":
+        refresh = halo_refresh_xla
+    elif kind == "dus":
+        refresh = halo_refresh
+    else:
+        refresh = halo_refresh_hbm
 
     def rdb(blk, wide):
         out = run(blk.reshape(nb, NF, PX), ext, wide, interpret=interpret)

@@ -88,7 +88,29 @@ class TestAPI:
 
     def test_dashboard_html(self, api):
         with urllib.request.urlopen(f"http://127.0.0.1:{api.port}/", timeout=5) as r:
-            assert b"framewright" in r.read()
+            body = r.read()
+        assert b"framewright" in body
+        assert b"/api/frame" in body          # compare slider wiring
+
+    def test_frame_endpoint_serves_png(self, api, tmp_path):
+        # register the source as a job first (unregistered paths are 403)
+        import numpy as np
+
+        from framewright_tpu.io.y4m import Y4MWriter
+        from tests.conftest import make_gradient_frame
+
+        src = tmp_path / "clip.y4m"
+        with Y4MWriter(src, width=64, height=48, fps=25) as w:
+            for t in range(4):
+                w.write_frame(make_gradient_frame(48, 64, t))
+        assert _get(api, f"/api/frame?source={src}&t=1")[0] == 403
+        _post(api, "/api/jobs", {"source": str(src)})
+        with urllib.request.urlopen(
+                f"http://127.0.0.1:{api.port}/api/frame?source={src}&t=1",
+                timeout=5) as r:
+            data = r.read()
+        assert r.headers["Content-Type"] == "image/png"
+        assert data[:8] == b"\x89PNG\r\n\x1a\n"
 
 
 class TestWebhooks:

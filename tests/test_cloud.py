@@ -327,3 +327,90 @@ class TestLifecycle:
         inst = CloudInstance("x", "1", usd_per_hour=1.2,
                              started_at=time.time() - 1800)
         assert abs(inst.cost_so_far() - 0.6) < 0.01
+
+
+class TestAzureGDriveStorage:
+    """Round-3 backends (reference cloud/storage.py AzureStorage,
+    cloud/gdrive.py:52 GoogleDriveStorage)."""
+
+    def test_azure_put_request_shape(self, tmp_path):
+        from framewright_tpu.cloud import AzureBlobStorage
+
+        tr = FakeTransport([(201, {})])
+        st = AzureBlobStorage("acct", "cont", account_key="QUJD",
+                              transport=tr,
+                              now=lambda: "Sun, 17 Aug 2026 12:00:00 GMT")
+        f = tmp_path / "c.y4m"
+        f.write_bytes(b"YUV")
+        st.upload(f, "parts/c.y4m")
+        m, url, headers, body = tr.calls[0]
+        assert m == "PUT"
+        assert url == ("https://acct.blob.core.windows.net/cont/"
+                       "parts/c.y4m")
+        assert body == b"YUV"
+        assert headers["Authorization"].startswith("SharedKey acct:")
+        assert headers["x-ms-blob-type"] == "BlockBlob"
+
+    def test_azure_download_binary_exact(self, tmp_path):
+        from framewright_tpu.cloud import AzureBlobStorage
+
+        blob = bytes(range(256)) + b"\xff\x00Y4M"
+        tr = FakeTransport([(200, blob)])
+        st = AzureBlobStorage("acct", "cont", account_key="QUJD",
+                              transport=tr)
+        dst = tmp_path / "o.bin"
+        st.download("x.y4m", dst)
+        assert dst.read_bytes() == blob
+
+    def test_azure_signature_depends_on_key_and_path(self, tmp_path):
+        from framewright_tpu.cloud import AzureBlobStorage
+
+        now = lambda: "Sun, 17 Aug 2026 12:00:00 GMT"  # noqa: E731
+        f = tmp_path / "f.bin"
+        f.write_bytes(b"z")
+        sigs = []
+        for key, path in (("QUJD", "a.bin"), ("QUJE", "a.bin"),
+                          ("QUJD", "b.bin")):
+            tr = FakeTransport([(201, {})])
+            AzureBlobStorage("acct", "cont", account_key=key,
+                             transport=tr, now=now).upload(f, path)
+            sigs.append(tr.calls[0][2]["Authorization"])
+        assert len(set(sigs)) == 3
+
+    def test_gdrive_upload_multipart(self, tmp_path):
+        from framewright_tpu.cloud import GoogleDriveStorage
+
+        tr = FakeTransport([(200, {"id": "f1"})])
+        st = GoogleDriveStorage(token="tok", folder_id="fold",
+                                transport=tr)
+        f = tmp_path / "d.bin"
+        f.write_bytes(b"PAYLOAD")
+        st.upload(f, "jobs/d.bin")
+        m, url, headers, body = tr.calls[0]
+        assert m == "POST" and "uploadType=multipart" in url
+        assert b"PAYLOAD" in body
+        assert b'"name": "jobs/d.bin"' in body
+        assert b'"parents": ["fold"]' in body
+        assert headers["Authorization"] == "Bearer tok"
+
+    def test_gdrive_download_resolves_name_then_media(self, tmp_path):
+        from framewright_tpu.cloud import GoogleDriveStorage
+
+        blob = b"\x00\xffY4M"
+        tr = FakeTransport([
+            (200, {"files": [{"id": "abc123", "name": "jobs/d.bin"}]}),
+            (200, blob),
+        ])
+        st = GoogleDriveStorage(token="tok", transport=tr)
+        dst = tmp_path / "out.bin"
+        st.download("jobs/d.bin", dst)
+        assert dst.read_bytes() == blob
+        assert "files?q=" in tr.calls[0][1]
+        assert "/files/abc123?alt=media" in tr.calls[1][1]
+
+    def test_gdrive_exists_false_on_empty(self):
+        from framewright_tpu.cloud import GoogleDriveStorage
+
+        tr = FakeTransport([(200, {"files": []})])
+        st = GoogleDriveStorage(token="tok", transport=tr)
+        assert not st.exists("nope.bin")
