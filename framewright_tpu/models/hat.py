@@ -193,8 +193,13 @@ def _unwindows(x, win, b, h, w):
     return x.transpose(0, 1, 3, 2, 4, 5).reshape(b, h, w, c)
 
 
-def _msa(attn, q_tok, kv_tok, heads, win_q, win_kv, mask=None):
-    """q_tok (N,Q,C), kv_tok (N,K,C) -> (N,Q,C)."""
+def _msa(attn, q_tok, kv_tok, heads, win_q, win_kv, mask=None,
+         kv_projected=False):
+    """q_tok (N,Q,C), kv_tok (N,K,C) -> (N,Q,C).
+
+    ``kv_projected``: kv_tok already holds [k|v] (N,K,2C) — the OCAB
+    path projects BEFORE window unfolding so border padding zeroes the
+    projected values, matching the official unfold-after-qkv order."""
     n, qn, c = q_tok.shape
     hd = c // heads
     if kv_tok is q_tok:
@@ -204,7 +209,10 @@ def _msa(attn, q_tok, kv_tok, heads, win_q, win_kv, mask=None):
         wq = attn["qkv"]["w"].astype(q_tok.dtype)
         bq = attn["qkv"]["b"].astype(q_tok.dtype)
         q = (q_tok @ wq[:, :c] + bq[:c]).reshape(n, qn, heads, hd).transpose(0, 2, 1, 3)
-        kv = (kv_tok @ wq[:, c:] + bq[c:]).reshape(n, -1, 2, heads, hd)
+        if kv_projected:
+            kv = kv_tok.reshape(n, -1, 2, heads, hd)
+        else:
+            kv = (kv_tok @ wq[:, c:] + bq[c:]).reshape(n, -1, 2, heads, hd)
         k, v = kv[:, :, 0].transpose(0, 2, 1, 3), kv[:, :, 1].transpose(0, 2, 1, 3)
     logits = (q.astype(jnp.float32) @ k.transpose(0, 1, 3, 2).astype(jnp.float32)
               ) / jnp.sqrt(hd)
@@ -272,14 +280,21 @@ def _ocab(p, x, cfg: HATConfig):
     pad = (kv_win - win) // 2
     xn = _ln(p["norm1"], x)
     q_tok = _windows(xn, win)
-    xp = jnp.pad(xn, ((0, 0), (pad, pad), (pad, pad), (0, 0)))
-    # strided overlapping patches: (B, C·kv², nH, nW)
+    # project k/v at full resolution FIRST, then zero-pad + unfold:
+    # official OCAB order (qkv -> unfold), so out-of-frame kv tokens
+    # are zero, not the kv bias (caught by the full-model twin)
+    wq = p["attn"]["qkv"]["w"].astype(x.dtype)
+    bq = p["attn"]["qkv"]["b"].astype(x.dtype)
+    kv_full = xn @ wq[:, c:] + bq[c:]                  # (B,H,W,2C)
+    kvp = jnp.pad(kv_full, ((0, 0), (pad, pad), (pad, pad), (0, 0)))
+    # strided overlapping patches: (B, 2C·kv², nH, nW), channel-major
     patches = jax.lax.conv_general_dilated_patches(
-        xp.transpose(0, 3, 1, 2), (kv_win, kv_win), (win, win), "VALID")
+        kvp.transpose(0, 3, 1, 2), (kv_win, kv_win), (win, win), "VALID")
     nh, nw = patches.shape[-2:]
-    kv_tok = patches.reshape(b, c, kv_win * kv_win, nh * nw) \
-        .transpose(0, 3, 2, 1).reshape(b * nh * nw, kv_win * kv_win, c)
-    att = _msa(p["attn"], q_tok, kv_tok, cfg.num_heads, win, kv_win)
+    kv_tok = patches.reshape(b, 2 * c, kv_win * kv_win, nh * nw) \
+        .transpose(0, 3, 2, 1).reshape(b * nh * nw, kv_win * kv_win, 2 * c)
+    att = _msa(p["attn"], q_tok, kv_tok, cfg.num_heads, win, kv_win,
+               kv_projected=True)
     att = _unwindows(att, win, b, h, w)
     x = x + att
     return x + _lin(p["fc2"], _gelu(

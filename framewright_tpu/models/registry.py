@@ -90,6 +90,16 @@ _register(ModelSpec(
     port_fn=lambda sd: torch_port.port_rrdb(sd, 6),
 ))
 _register(ModelSpec(
+    name="FW_fast6_x2", family="rrdb", scale=2,
+    arch_config=rrdb.RRDBConfig(num_block=6, scale=2),
+    url="",  # trained in-repo: models/distill.py self-training /
+             # distillation from RealESRGAN_x2plus (PERF.md distilled
+             # fast path; ref pytorch_realesrgan.py:103-128 ships its
+             # own fewer-block variant the same way)
+    apply_fn=rrdb.apply, init_fn=rrdb.init,
+    port_fn=lambda sd: torch_port.port_rrdb(sd, 6),
+))
+_register(ModelSpec(
     name="realesr-animevideov3", family="srvgg", scale=4,
     arch_config=srvgg.SRVGGConfig(num_conv=16, scale=4),
     url="https://github.com/xinntao/Real-ESRGAN/releases/download/v0.2.5.0/realesr-animevideov3.pth",

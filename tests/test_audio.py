@@ -172,3 +172,90 @@ class TestWienerMaskDenoiser:
         from framewright_tpu.audio import AudioEnhanceConfig
 
         assert AudioEnhanceConfig().denoise_model == "wiener"
+
+
+class TestLearnedMaskNet:
+    """models/audio_net — the DeepFilterNet-class learned path
+    (VERDICT round-2 item 8; reference audio_deepfilter/deepfilter.py
+    225-787)."""
+
+    def test_apply_shapes_and_range(self):
+        import jax.numpy as jnp
+
+        from framewright_tpu.models import audio_net
+
+        p = audio_net.init_params(0)
+        x, y = audio_net.make_batch(np.random.default_rng(3))
+        g = np.asarray(audio_net.apply(p, jnp.asarray(x)))
+        assert g.shape == x.shape
+        assert 0.0 < g.min() and g.max() < 1.0
+
+    def test_irm_target_properties(self):
+        from framewright_tpu.models import audio_net
+
+        x, y = audio_net.make_batch(np.random.default_rng(4))
+        assert 0.0 <= y.min() and y.max() <= 1.0
+
+    def test_short_training_reduces_loss(self):
+        import jax.numpy as jnp
+
+        from framewright_tpu.models import audio_net
+
+        rng = np.random.default_rng(5)
+        x, y = audio_net.make_batch(rng)
+
+        def loss(p):
+            g = audio_net.apply(p, jnp.asarray(x))
+            return float(jnp.mean((g - jnp.asarray(y)) ** 2))
+
+        p0 = audio_net.init_params(0)
+        trained = audio_net.train_mask_net(steps=40, seed=0)
+        assert loss(trained) < loss(p0)
+
+    @pytest.mark.slow
+    def test_shipped_checkpoint_beats_wiener(self):
+        """The committed audio_mask_v1 checkpoint must give a real SNR
+        gain over the decision-directed Wiener estimator on held-out
+        synthetic mixtures — the learned path's reason to exist."""
+        from framewright_tpu.audio import WienerMaskDenoiser
+        from framewright_tpu.models import audio_net
+
+        params = audio_net.load_params()
+        rng = np.random.default_rng(99)
+        sr = 48000
+        n = sr * 2
+        clean = audio_net.synth_clean(rng, n, sr)
+        noise = audio_net.synth_noise(rng, n, sr)
+        cp = np.sqrt(np.mean(clean ** 2))
+        npow = np.sqrt(np.mean(noise ** 2)) + 1e-9
+        noise = noise * (cp / npow) * 10 ** (-5 / 20)   # 5 dB SNR
+        mix = (clean + noise)[:, None]
+
+        def snr(x):
+            s = x[: len(clean), 0]
+            return 10 * np.log10(
+                np.mean(clean ** 2) / (np.mean((s - clean) ** 2) + 1e-12))
+
+        ai = WienerMaskDenoiser(
+            mask_fn=audio_net.make_mask_fn(params)).process(mix, sr)
+        wiener = WienerMaskDenoiser().process(mix, sr)
+        assert snr(ai) > snr(mix) + 3.0       # real denoising
+        assert snr(ai) > snr(wiener) + 1.0    # beats the DSP estimator
+
+    def test_ai_backend_wired_with_fallback(self, tmp_path):
+        """AudioEnhancer(denoise_model='ai') uses the packaged net and
+        falls back to wiener when the checkpoint is missing."""
+        from framewright_tpu.audio import AudioEnhanceConfig, AudioEnhancer
+
+        rng = np.random.default_rng(7)
+        x = (rng.standard_normal((9600, 1)) * 0.1).astype(np.float32)
+        cfg = AudioEnhanceConfig(denoise_model="ai", hum_removal=False,
+                                 click_removal=False, normalize=False)
+        out = AudioEnhancer(cfg).process(x, 48000)
+        assert out.shape == x.shape
+        # missing checkpoint -> fallback, no crash
+        cfg2 = AudioEnhanceConfig(denoise_model="ai", hum_removal=False,
+                                  click_removal=False, normalize=False,
+                                  ai_checkpoint=tmp_path / "nope.npz")
+        out2 = AudioEnhancer(cfg2).process(x, 48000)
+        assert out2.shape == x.shape
