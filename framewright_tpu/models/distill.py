@@ -122,6 +122,9 @@ def train_student(
     teacher: Optional[Tuple[Dict, object]] = None,  # (params, cfg)
     log_every: int = 0,
     params: Optional[Dict] = None,     # warm start
+    pool_size: int = 0,                # pregenerate N examples, then
+                                       # sample (host synth otherwise
+                                       # bottlenecks device training)
 ) -> Dict:
     """Train a (6-block) RRDB student. Returns trained params (f32).
 
@@ -177,8 +180,15 @@ def train_student(
         updates, o = opt.update(g, o, p)
         return optax.apply_updates(p, updates), o, loss
 
+    pool = None
+    if pool_size:
+        pool = make_sr_batch(rng, pool_size, hr_size, scale)
     for step in range(1, steps + 1):
-        lrs, hrs = make_sr_batch(rng, batch, hr_size, scale)
+        if pool is not None:
+            idx = rng.integers(0, pool_size, batch)
+            lrs, hrs = pool[0][idx], pool[1][idx]
+        else:
+            lrs, hrs = make_sr_batch(rng, batch, hr_size, scale)
         lr_b = jnp.asarray(lrs)
         gt_b = jnp.asarray(hrs)
         tgt_b = target_fn(lr_b) if target_fn is not None else gt_b

@@ -34,8 +34,11 @@ def _free_port() -> int:
 
 
 def _child_env(**extra):
+    # strip accelerator plugins/paths: children must be pure-CPU jax
+    # (the axon TPU plugin on PYTHONPATH can stall CPU processes while
+    # a TPU job is running on the shared tunnel)
     env = {k: v for k, v in os.environ.items()
-           if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+           if k not in ("XLA_FLAGS", "JAX_PLATFORMS", "PYTHONPATH")}
     env["JAX_PLATFORMS"] = "cpu"
     env.update(extra)
     return env
