@@ -246,7 +246,8 @@ def train_diffusion(
     opt_state = opt.init(params)
 
     def loss_fn(p, hr_b, lr_b, t_idx, noise):
-        cond = resize_bicubic(lr_b, scale)
+        cond = resize_bicubic(
+            lr_b, (lr_b.shape[1] * scale, lr_b.shape[2] * scale))
         a = acp[t_idx][:, None, None, None]
         x0 = hr_b * 2.0 - 1.0                       # net works in [-1,1]
         x_noisy = jnp.sqrt(a) * x0 + jnp.sqrt(1 - a) * noise
@@ -291,7 +292,9 @@ def eval_psnr(apply_fn: Callable, scale: int, n: int = 8,
     rng = np.random.default_rng(seed)
     lrs, hrs = make_sr_batch(rng, n, hr_size, scale)
     out = np.asarray(apply_fn(jnp.asarray(lrs)), np.float32)
-    bic = np.asarray(resize_bicubic(jnp.asarray(lrs), scale), np.float32)
+    bic = np.asarray(resize_bicubic(
+        jnp.asarray(lrs),
+        (lrs.shape[1] * scale, lrs.shape[2] * scale)), np.float32)
 
     def psnr(a, b):
         mse = float(np.mean((np.clip(a, 0, 1) - b) ** 2))
