@@ -182,15 +182,26 @@ def train_student(
 
     pool = None
     if pool_size:
-        pool = make_sr_batch(rng, pool_size, hr_size, scale)
+        # DEVICE-resident pool: one bulk upload instead of a per-step
+        # host->device batch copy (the dev tunnel makes per-step copies
+        # the training bottleneck; real hosts also benefit)
+        lrs_p, hrs_p = make_sr_batch(rng, pool_size, hr_size, scale)
+        pool = (jax.device_put(jnp.asarray(lrs_p)),
+                jax.device_put(jnp.asarray(hrs_p)))
+
+        @jax.jit
+        def gather(lr_pool, hr_pool, idx):
+            return (jnp.take(lr_pool, idx, axis=0),
+                    jnp.take(hr_pool, idx, axis=0))
+
     for step in range(1, steps + 1):
         if pool is not None:
-            idx = rng.integers(0, pool_size, batch)
-            lrs, hrs = pool[0][idx], pool[1][idx]
+            idx = jnp.asarray(rng.integers(0, pool_size, batch), jnp.int32)
+            lr_b, gt_b = gather(pool[0], pool[1], idx)
         else:
             lrs, hrs = make_sr_batch(rng, batch, hr_size, scale)
-        lr_b = jnp.asarray(lrs)
-        gt_b = jnp.asarray(hrs)
+            lr_b = jnp.asarray(lrs)
+            gt_b = jnp.asarray(hrs)
         tgt_b = target_fn(lr_b) if target_fn is not None else gt_b
         params, opt_state, loss = step_fn(params, opt_state, lr_b, tgt_b, gt_b)
         if log_every and step % log_every == 0:
