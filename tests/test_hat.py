@@ -74,7 +74,9 @@ def _synthetic_hat_sd(dim=16, depths=(1,), heads=2, win=8, overlap=0.5):
         return rng.standard_normal(shape).astype(np.float32) * 0.02
 
     kv = int(win * (1 + overlap))
-    sd = {"conv_first.weight": t(dim, 3, 3, 3), "conv_first.bias": t(dim)}
+    sd = {"conv_first.weight": t(dim, 3, 3, 3), "conv_first.bias": t(dim),
+          "patch_embed.norm.weight": t(dim), "patch_embed.norm.bias": t(dim),
+          "norm.weight": t(dim), "norm.bias": t(dim)}
     for g, depth in enumerate(depths):
         for b in range(depth):
             pre = f"layers.{g}.residual_group.blocks.{b}"
@@ -99,7 +101,7 @@ def _synthetic_hat_sd(dim=16, depths=(1,), heads=2, win=8, overlap=0.5):
             sd[f"{pre}.mlp.fc1.bias"] = t(dim * 2)
             sd[f"{pre}.mlp.fc2.weight"] = t(dim, dim * 2)
             sd[f"{pre}.mlp.fc2.bias"] = t(dim)
-        oc = f"layers.{g}.overlap_attn"
+        oc = f"layers.{g}.residual_group.overlap_attn"
         sd[f"{oc}.norm1.weight"] = t(dim); sd[f"{oc}.norm1.bias"] = t(dim)
         sd[f"{oc}.qkv.weight"] = t(dim * 3, dim)
         sd[f"{oc}.qkv.bias"] = t(dim * 3)
