@@ -68,13 +68,19 @@ padding:1px 6px;border-radius:3px}.cmp .lbl.b{right:6px}
 <form id="submit" onsubmit="return submitJob(event)">
 <input id="src" placeholder="/path/to/video.y4m" size="38" required>
 <select id="preset"><option value="">default config</option></select>
+<select id="recipe"><option value="">no recipe</option></select>
 <label><input type="checkbox" id="dn"> denoise</label>
 <label><input type="checkbox" id="fr"> faces</label>
 <label><input type="checkbox" id="it"> interpolate</label>
 <button>Submit</button>
 <button type="button" onclick="previewJob()">Preview 48f</button>
+<button type="button" onclick="analyzeSrc()">Analyze</button>
 <span id="msg"></span>
-</form></fieldset>
+</form>
+<pre id="analysis" style="display:none;max-height:14rem;overflow:auto;
+background:#1e2127;padding:.6rem;border-radius:4px"></pre></fieldset>
+<details><summary>hardware</summary>
+<pre id="hardware">loading...</pre></details>
 <table id="jobs"><tr><th>Job</th><th>Source</th><th>State</th>
 <th>Progress</th></tr></table>
 <h3 id="pvh" style="display:none">previews</h3>
@@ -90,11 +96,35 @@ async function loadPresets(){
     sel.appendChild(o);
   }
 }
+async function loadRecipes(){
+  const r = await fetch('/api/recipes');
+  const sel = document.getElementById('recipe');
+  for (const [name, desc] of Object.entries(await r.json())){
+    const o = document.createElement('option');
+    o.value = name; o.textContent = name + (desc ? ' - ' + desc : '');
+    sel.appendChild(o);
+  }
+}
+async function loadHardware(){
+  const r = await fetch('/api/hardware');
+  document.getElementById('hardware').textContent =
+    JSON.stringify(await r.json(), null, 2);
+}
+async function analyzeSrc(){
+  const r = await fetch('/api/analyze', {method:'POST',
+    headers:{'Content-Type':'application/json'},
+    body: JSON.stringify({source: document.getElementById('src').value})});
+  const box = document.getElementById('analysis');
+  box.style.display = '';
+  box.textContent = JSON.stringify(await r.json(), null, 2);
+}
 function jobConfig(){
   const cfg = {};
   if (document.getElementById('dn').checked) cfg.denoise = true;
   if (document.getElementById('fr').checked) cfg.face_restore = true;
   if (document.getElementById('it').checked) cfg.interpolation = true;
+  const recipe = document.getElementById('recipe').value;
+  if (recipe) cfg.recipe = recipe;
   return cfg;
 }
 async function submitJob(ev){
@@ -171,7 +201,7 @@ function renderCompare(d){
   div.append(before, after, la, lb, range);
   document.getElementById('previews').after(div);
 }
-loadPresets();
+loadPresets(); loadRecipes(); loadHardware();
 function render(jobs){
   const t = document.getElementById('jobs');
   t.textContent = '';
@@ -421,7 +451,12 @@ class APIServer:
                     try:
                         cdict = dict(body.get("config", {}))
                         preset = cdict.pop("preset", "")
-                        if preset:
+                        recipe = cdict.pop("recipe", "")
+                        if recipe:
+                            from framewright_tpu.recipes import recipe_config
+
+                            cfg = recipe_config(recipe, **cdict)
+                        elif preset:
                             cfg = Config.from_preset(preset, **cdict)
                         else:
                             cfg = Config.from_dict(cdict)

@@ -224,3 +224,20 @@ class TestSafeguards:
         res = preflight_check(cfg, src)
         assert res.ok
         assert any("random init" in w or "CPU" in w for w in res.warnings)
+
+    def test_job_with_recipe(self, api):
+        code, out = _post(api, "/api/jobs",
+                          {"source": "a.y4m",
+                           "config": {"recipe": "dvd_upscale"}})
+        assert code == 201, out
+        code, out = _post(api, "/api/jobs",
+                          {"source": "a.y4m",
+                           "config": {"recipe": "no_such_recipe"}})
+        assert code == 400
+
+    def test_dashboard_has_round3_panels(self, api):
+        with urllib.request.urlopen(
+                f"http://127.0.0.1:{api.port}/", timeout=5) as r:
+            body = r.read()
+        for needle in (b"loadRecipes", b"loadHardware", b"analyzeSrc"):
+            assert needle in body, needle
