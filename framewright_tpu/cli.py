@@ -870,6 +870,7 @@ def cmd_audio(args: argparse.Namespace) -> int:
 
     cfg = AudioEnhanceConfig(
         denoise=not args.no_denoise,
+        denoise_model=args.denoise_model,
         hum_removal=not args.no_hum,
         click_removal=not args.no_clicks,
         normalize=not args.no_normalize,
@@ -1191,6 +1192,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("source")
     p.add_argument("output")
     p.add_argument("--no-denoise", action="store_true")
+    p.add_argument("--denoise-model", default="ai",
+                   choices=["ai", "wiener", "spectral"],
+                   help="ai = learned mask net (DeepFilterNet-class, "
+                        "packaged checkpoint; falls back to wiener)")
     p.add_argument("--no-hum", action="store_true")
     p.add_argument("--no-clicks", action="store_true")
     p.add_argument("--no-normalize", action="store_true")
