@@ -224,6 +224,7 @@ def train_diffusion(
     seed: int = 0,
     log_every: int = 0,
     params: Optional[Dict] = None,
+    pool_size: int = 0,
 ) -> Dict:
     """Train the compact pixel-space diffusion-SR net (x0-prediction)
     on synthetic degradations until its DDIM output carries real
@@ -273,15 +274,30 @@ def train_diffusion(
         updates, o = opt.update(g, o, p)
         return optax.apply_updates(p, updates), o, loss
 
+    pool = None
+    if pool_size:
+        lrs_p, hrs_p = make_sr_batch(rng, pool_size, hr_size, scale)
+        pool = (jax.device_put(jnp.asarray(lrs_p)),
+                jax.device_put(jnp.asarray(hrs_p)))
+
+        @jax.jit
+        def gather(lp, hp, idx):
+            return jnp.take(lp, idx, axis=0), jnp.take(hp, idx, axis=0)
+
     for step in range(1, steps + 1):
-        lrs, hrs = make_sr_batch(rng, batch, hr_size, scale)
+        if pool is not None:
+            idx = jnp.asarray(rng.integers(0, pool_size, batch), jnp.int32)
+            lr_b, hr_b = gather(pool[0], pool[1], idx)
+        else:
+            lrs, hrs = make_sr_batch(rng, batch, hr_size, scale)
+            lr_b, hr_b = jnp.asarray(lrs), jnp.asarray(hrs)
         t_idx = jnp.asarray(
             rng.integers(0, cfg.train_steps, batch), jnp.int32)
         noise = jnp.asarray(
-            rng.standard_normal(hrs.shape).astype(np.float32))
+            rng.standard_normal(
+                (batch, hr_size, hr_size, 3)).astype(np.float32))
         params, opt_state, loss = step_fn(
-            params, opt_state, jnp.asarray(hrs), jnp.asarray(lrs), t_idx,
-            noise)
+            params, opt_state, hr_b, lr_b, t_idx, noise)
         if log_every and step % log_every == 0:
             print(f"step {step}: loss {float(loss):.5f}", flush=True)
     return jax.tree_util.tree_map(
