@@ -237,6 +237,56 @@ class CreditsDetector:
         return segs
 
 
+def frame_quality_score(stats: FrameStats) -> float:
+    """Composite per-frame quality score in [0, 100] (reference
+    processors/frame_quality_scorer.py:108 FrameQualityScorer).
+
+    Sharpness and contrast raise the score; noise, blockiness, and
+    off-center exposure lower it. Deterministic arithmetic over
+    FrameStats so batches can be scored from a single analysis pass.
+    """
+    score = 50.0
+    score += 25.0 * min(stats.sharpness / 4.0, 1.0)
+    score += 10.0 * min(stats.contrast / 0.5, 1.0)
+    score -= 25.0 * min(stats.noise, 1.0)
+    score -= 20.0 * min(stats.blockiness / 2.0, 1.0)
+    # exposure: full marks near mid-gray, falling off toward crush/clip
+    score -= 15.0 * min(abs(stats.brightness - 0.45) / 0.45, 1.0)
+    return float(np.clip(score, 0.0, 100.0))
+
+
+class FrameQualityScorer:
+    """Score frames for QA triage: per-frame quality + worst-k lookup
+    (reference frame_quality_scorer.py:108; feeds QA reports the same
+    way the reference's scorer feeds its report pipeline)."""
+
+    def __init__(self):
+        self.scores: List[float] = []
+
+    def score_frame(self, frame: np.ndarray) -> float:
+        s = frame_quality_score(analyze_frame(frame))
+        self.scores.append(s)
+        return s
+
+    def analyze(self, frames_iter: Iterator[np.ndarray]) -> List[float]:
+        for f in frames_iter:
+            self.score_frame(f)
+        return self.scores
+
+    def worst(self, k: int = 5) -> List[tuple]:
+        """[(frame_index, score)] for the k lowest-scoring frames."""
+        order = np.argsort(self.scores)[:k]
+        return [(int(i), float(self.scores[i])) for i in order]
+
+    def summary(self) -> Dict:
+        if not self.scores:
+            return {"frames": 0}
+        arr = np.asarray(self.scores)
+        return {"frames": len(arr), "mean": float(arr.mean()),
+                "min": float(arr.min()), "max": float(arr.max()),
+                "p5": float(np.percentile(arr, 5))}
+
+
 def recommend_settings(report: AnalysisReport) -> Dict:
     """AnalysisReport -> Config overrides (the reference's
     ProcessingPlan / --auto-enhance driver, analyzer.py:190)."""

@@ -191,7 +191,19 @@ class VideoRestorer:
         pipeline = builder.build()
         if cfg.dry_run:
             return self._dry_run(ctx, pipeline, out_path)
-        pipeline.run(ctx)
+        # runtime protection for the long job: pressure monitors (disk /
+        # host RAM -> events the pipeline reacts to) + sleep inhibit
+        # (reference workflow/processing_safeguards.py:146 +
+        # utils/power_manager.py:35)
+        from framewright_tpu.safeguards import KeepAwake, SafeguardLoop
+
+        guard = SafeguardLoop(cfg.project_dir, self.events)
+        guard.start()
+        try:
+            with KeepAwake():
+                pipeline.run(ctx)
+        finally:
+            guard.stop()
 
         result = RestoreResult(
             output_path=out_path,
@@ -237,7 +249,18 @@ class VideoRestorer:
         meta = probe(data["source"])
         if meta.width <= 0 or meta.nb_frames <= 0:
             raise InputError(f"empty or unreadable video: {data['source']}")
-        return {"meta": meta, "frames_in": meta.nb_frames}
+        # preflight gate (reference processing_safeguards preflight):
+        # blockers abort before any compute; warnings are logged + kept
+        # in the context for the QA report
+        from framewright_tpu.safeguards import preflight_check
+
+        pf = preflight_check(self.config, data["source"], meta=meta)
+        for warn in pf.warnings:
+            logger.warning("preflight: %s", warn)
+        if not pf.ok:
+            raise InputError("preflight blocked: " + "; ".join(pf.blockers))
+        return {"meta": meta, "frames_in": meta.nb_frames,
+                "preflight": pf.to_dict()}
 
     def _stage_checkpoint(self, data: Dict) -> Dict:
         ck = self.checkpoints.start(

@@ -181,6 +181,49 @@ def preflight_check(config, source: Path,
     return res
 
 
+class KeepAwake:
+    """Prevent system sleep for the duration of a long job (the
+    reference's power manager, utils/power_manager.py:35 keep-awake).
+
+    Context manager: holds a ``systemd-inhibit`` (Linux) or
+    ``caffeinate`` (macOS) child for the scope; silently a no-op when
+    neither tool exists (headless servers rarely sleep anyway).
+    """
+
+    def __init__(self, why: str = "framewright restore in progress"):
+        self.why = why
+        self._proc = None
+
+    def __enter__(self) -> "KeepAwake":
+        import subprocess
+        import sys
+
+        inhibit = shutil.which("systemd-inhibit")
+        caffeinate = shutil.which("caffeinate")
+        if sys.platform.startswith("linux") and inhibit:
+            cmd = [inhibit, "--what=sleep:idle",
+                   f"--why={self.why}", "sleep", "infinity"]
+        elif sys.platform == "darwin" and caffeinate:
+            cmd = [caffeinate, "-i"]
+        else:
+            return self
+        try:
+            self._proc = subprocess.Popen(
+                cmd, stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
+        except OSError:
+            self._proc = None
+        return self
+
+    def __exit__(self, *exc) -> None:
+        if self._proc is not None:
+            self._proc.terminate()
+            try:
+                self._proc.wait(timeout=2)
+            except Exception:  # noqa: BLE001
+                self._proc.kill()
+            self._proc = None
+
+
 class SafeguardLoop:
     """Background monitor thread emitting pressure events
     (the thermal-monitor analog)."""

@@ -225,6 +225,56 @@ class TestSafeguards:
         assert res.ok
         assert any("random init" in w or "CPU" in w for w in res.warnings)
 
+    def test_keep_awake_noop_without_tools(self, monkeypatch):
+        import shutil as _shutil
+
+        from framewright_tpu.safeguards import KeepAwake
+
+        monkeypatch.setattr(_shutil, "which", lambda name: None)
+        with KeepAwake() as ka:
+            assert ka._proc is None   # no inhibitor tool -> silent no-op
+
+    def test_keep_awake_spawns_and_reaps(self, monkeypatch, tmp_path):
+        import shutil as _shutil
+        import sys
+
+        from framewright_tpu.safeguards import KeepAwake
+
+        if not sys.platform.startswith("linux"):
+            pytest.skip("linux-only spawn path")
+        # route systemd-inhibit to a stub so the spawn/terminate path
+        # runs without systemd (the stub ignores the inhibit flags)
+        fake = tmp_path / "systemd-inhibit"
+        fake.write_text("#!/bin/sh\nexec sleep 30\n")
+        fake.chmod(0o755)
+        monkeypatch.setattr(_shutil, "which",
+                            lambda name: str(fake)
+                            if name == "systemd-inhibit" else None)
+        with KeepAwake() as ka:
+            assert ka._proc is not None
+            assert ka._proc.poll() is None
+        assert ka._proc is None
+
+    def test_preflight_gates_restore(self, tmp_path, monkeypatch):
+        """restore_video aborts on preflight blockers before compute
+        (wiring test: safeguards -> restorer._stage_probe)."""
+        import jax
+
+        from framewright_tpu.errors import StageError
+        from framewright_tpu.io.y4m import Y4MWriter
+        from framewright_tpu.restorer import VideoRestorer
+
+        if jax.devices()[0].platform == "tpu":
+            pytest.skip("blocker requires a CPU-only host")
+        src = tmp_path / "v.y4m"
+        with Y4MWriter(src, 64, 48, fps=25) as w:
+            for _ in range(2):
+                w.write_frame(np.zeros((48, 64, 3), np.uint8))
+        cfg = Config(project_dir=tmp_path / "p", allow_cpu_fallback=False,
+                     validate_output=False)
+        with pytest.raises(StageError, match="preflight blocked"):
+            VideoRestorer(cfg).restore_video(src, output=tmp_path / "o.y4m")
+
     def test_job_with_recipe(self, api):
         code, out = _post(api, "/api/jobs",
                           {"source": "a.y4m",

@@ -213,6 +213,23 @@ class TestAnalysis:
         rec = recommend_settings(rep)
         assert rec.get("denoise") is True
 
+    def test_frame_quality_scorer_orders_frames(self, rng):
+        from framewright_tpu.processors.analysis import FrameQualityScorer
+
+        sharp = _textured(rng, smooth=False)
+        blurry = np.full((48, 64, 3), 128, np.uint8)    # featureless
+        noisy = np.clip(
+            np.full((48, 64, 3), 128.0)
+            + rng.normal(0, 60, (48, 64, 3)), 0, 255).astype(np.uint8)
+        scorer = FrameQualityScorer()
+        scores = scorer.analyze(iter([sharp, blurry, noisy]))
+        assert len(scores) == 3
+        assert all(0.0 <= s <= 100.0 for s in scores)
+        assert scores[0] > scores[2]          # sharp beats noisy
+        assert scorer.worst(1)[0][0] in (1, 2)
+        summ = scorer.summary()
+        assert summ["frames"] == 3 and summ["min"] <= summ["mean"]
+
     def test_credits_detection(self, rng):
         normal = [_textured(rng) for _ in range(10)]
         credit = np.zeros((48, 64, 3), np.uint8)
