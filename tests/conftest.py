@@ -13,6 +13,9 @@ os.environ.setdefault("JAX_PLATFORMS", "cpu")
 # larger block tuned for v5e VMEM; the kernel logic is S-parametric and
 # a slow cross-S test covers the production block size)
 os.environ.setdefault("FW_RDB_S", "64")
+# Fused SRVGG chain: small blocks for interpret-mode tests (production
+# default S=112 is a v5e VMEM tuning; the kernel is S-parametric)
+os.environ.setdefault("FW_VGG_S", "48")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
