@@ -128,6 +128,38 @@ def main() -> int:
         except Exception as exc:  # noqa: BLE001 — secondary metric only
             result["distilled_error"] = str(exc)[:200]
 
+        # secondary metric: the SRVGG compact fast model (FW_fastvgg_x2,
+        # the reference's own fast-video-model family — its
+        # realesr-animevideov3 is SRVGGNetCompact) through the fused
+        # conv-chain kernel (ops/fused_srvgg.py). ~6.5x fewer FLOPs
+        # than RRDB23; quality gated in tests/test_distill.py when the
+        # trained checkpoint ships.
+        try:
+            from framewright_tpu.models import registry, srvgg
+            from framewright_tpu.ops import fused_srvgg
+
+            with jax.default_device(cpu):
+                specv, pv = registry.init_model(
+                    "FW_fastvgg_x2", dtype=jnp.bfloat16,
+                    allow_random=True)
+                fastv = fused_srvgg.make_fast_params(pv, specv.arch_config)
+            pv, fastv = jax.device_put((pv, fastv),
+                                       jax.devices(platform)[0])
+            fwdv = jax.jit(lambda p, fp, t: fused_srvgg.apply_fast(
+                p, fp, t, specv.arch_config))
+            y = fwdv(pv, fastv, x)
+            sync(y)
+            t0 = time.time()
+            for _ in range(reps):
+                y = fwdv(pv, fastv, x)
+            sync(y)
+            dtv = (time.time() - t0) / reps
+            result["fastvgg_fps"] = round(1.0 / dtv, 3)
+            result["fastvgg_s_per_frame"] = round(dtv, 4)
+            del pv, fastv
+        except Exception as exc:  # noqa: BLE001 — secondary metric only
+            result["fastvgg_error"] = str(exc)[:200]
+
         # secondary metric: the int8 fast mode (compute_dtype=int8 —
         # the TensorRT-INT8 analog; PSNR cost bounded in
         # tests/test_int8_mode.py). Headline stays bf16-exact.

@@ -125,12 +125,18 @@ def train_student(
     pool_size: int = 0,                # pregenerate N examples, then
                                        # sample (host synth otherwise
                                        # bottlenecks device training)
+    pool_refresh: int = 0,             # regenerate the pool every N steps
+    arch: str = "rrdb",                # rrdb | srvgg
 ) -> Dict:
-    """Train a (6-block) RRDB student. Returns trained params (f32).
+    """Train a student SR net. Returns trained params (f32).
 
-    ``mode="distill"`` additionally needs ``teacher=(params, cfg)``;
-    the loss becomes L1 to the teacher's output (+0.1 L1 to GT as an
-    anchor). All compute is jitted on the default device.
+    ``arch="rrdb"`` trains a (6-block) RRDB; ``arch="srvgg"`` trains an
+    SRVGGNetCompact (the reference's own fast-model family —
+    realesr-animevideov3 is SRVGG, ref pytorch_realesrgan.py:118-127).
+    ``mode="distill"`` additionally needs ``teacher=(params, cfg)``
+    (an RRDB teacher); the loss becomes L1 to the teacher's output
+    (+0.1 L1 to GT as an anchor). All compute is jitted on the default
+    device.
     """
     import jax
     import jax.numpy as jnp
@@ -138,8 +144,20 @@ def train_student(
 
     from framewright_tpu.models import rrdb
 
-    if student_cfg is None:
-        student_cfg = rrdb.RRDBConfig(num_block=6, scale=2)
+    if arch == "srvgg":
+        from framewright_tpu.models import srvgg
+
+        if student_cfg is None:
+            student_cfg = srvgg.SRVGGConfig(num_conv=16, scale=2)
+        net_init = srvgg.init
+        net_stack = lambda p: p                          # noqa: E731
+        net_apply = lambda p, x: srvgg.apply(p, x, student_cfg)  # noqa: E731
+    else:
+        if student_cfg is None:
+            student_cfg = rrdb.RRDBConfig(num_block=6, scale=2)
+        net_init = rrdb.init
+        net_stack = rrdb.stack_body
+        net_apply = lambda p, x: rrdb.apply(p, x, student_cfg)   # noqa: E731
     scale = student_cfg.scale
     rng = np.random.default_rng(seed)
     if params is None:
@@ -149,10 +167,10 @@ def train_student(
             cpu = None
         if cpu is not None:
             with jax.default_device(cpu):
-                params = rrdb.init(jax.random.PRNGKey(seed), student_cfg)
+                params = net_init(jax.random.PRNGKey(seed), student_cfg)
         else:
-            params = rrdb.init(jax.random.PRNGKey(seed), student_cfg)
-        params = rrdb.stack_body(params)
+            params = net_init(jax.random.PRNGKey(seed), student_cfg)
+        params = net_stack(params)
     params = jax.device_put(params)
 
     opt = optax.adam(optax.cosine_decay_schedule(lr, steps, alpha=0.1))
@@ -169,7 +187,7 @@ def train_student(
         target_fn = None
 
     def loss_fn(p, lr_b, tgt_b, gt_b):
-        out = rrdb.apply(p, lr_b, student_cfg)
+        out = net_apply(p, lr_b)
         l_main = jnp.mean(jnp.abs(out - tgt_b))
         l_gt = jnp.mean(jnp.abs(out - gt_b))
         return l_main + (0.1 * l_gt if mode == "distill" else 0.0)
@@ -196,6 +214,10 @@ def train_student(
 
     for step in range(1, steps + 1):
         if pool is not None:
+            if pool_refresh and step % pool_refresh == 0:
+                lrs_p, hrs_p = make_sr_batch(rng, pool_size, hr_size, scale)
+                pool = (jax.device_put(jnp.asarray(lrs_p)),
+                        jax.device_put(jnp.asarray(hrs_p)))
             idx = jnp.asarray(rng.integers(0, pool_size, batch), jnp.int32)
             lr_b, gt_b = gather(pool[0], pool[1], idx)
         else:
@@ -225,11 +247,26 @@ def train_diffusion(
     log_every: int = 0,
     params: Optional[Dict] = None,
     pool_size: int = 0,
+    pool_refresh: int = 0,             # regenerate the pool every N steps
+                                       # (a static pool overfits: ~500
+                                       # epochs over 2k examples)
+    t_bias: float = 0.0,               # fraction of batches drawn from
+                                       # the DDIM sampler's actual t
+                                       # schedule (cfg.steps) instead of
+                                       # uniform [0, train_steps)
 ) -> Dict:
     """Train the compact pixel-space diffusion-SR net (x0-prediction)
     on synthetic degradations until its DDIM output carries real
     detail (ref: reference enhancement/diffusion_sr.py:359 — trained
-    backends produce detail; untrained = bicubic)."""
+    backends produce detail; untrained = bicubic).
+
+    ``t_bias``: inference runs only ``cfg.steps`` DDIM steps, so the
+    x0-predictor is only ever queried at those few t values
+    (ddim_sample's ``linspace(train_steps-1, 0, steps+1)`` grid);
+    uniform-t training spends most capacity on noise levels the
+    sampler never visits. Biasing the training t distribution toward
+    the sampler's grid (with +-5% jitter) makes the few queried
+    predictions sharper."""
     import jax
     import jax.numpy as jnp
     import optax
@@ -286,13 +323,27 @@ def train_diffusion(
 
     for step in range(1, steps + 1):
         if pool is not None:
+            if pool_refresh and step % pool_refresh == 0:
+                lrs_p, hrs_p = make_sr_batch(rng, pool_size, hr_size, scale)
+                pool = (jax.device_put(jnp.asarray(lrs_p)),
+                        jax.device_put(jnp.asarray(hrs_p)))
             idx = jnp.asarray(rng.integers(0, pool_size, batch), jnp.int32)
             lr_b, hr_b = gather(pool[0], pool[1], idx)
         else:
             lrs, hrs = make_sr_batch(rng, batch, hr_size, scale)
             lr_b, hr_b = jnp.asarray(lrs), jnp.asarray(hrs)
-        t_idx = jnp.asarray(
-            rng.integers(0, cfg.train_steps, batch), jnp.int32)
+        t_np = rng.integers(0, cfg.train_steps, batch)
+        if t_bias:
+            # the sampler queries the net at linspace(T-1, 0, steps+1)
+            # [:-1]; mirror that grid with +-5% jitter
+            grid = np.linspace(cfg.train_steps - 1, 0, cfg.steps + 1)[:-1]
+            pick = rng.random(batch) < t_bias
+            jit_t = (grid[rng.integers(0, len(grid), batch)]
+                     + rng.integers(-cfg.train_steps // 20,
+                                    cfg.train_steps // 20 + 1, batch))
+            t_np = np.where(pick, np.clip(jit_t, 0, cfg.train_steps - 1),
+                            t_np)
+        t_idx = jnp.asarray(t_np, jnp.int32)
         noise = jnp.asarray(
             rng.standard_normal(
                 (batch, hr_size, hr_size, 3)).astype(np.float32))

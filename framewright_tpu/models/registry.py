@@ -16,6 +16,7 @@ that actually loads the weights.
 from __future__ import annotations
 
 import os
+import dataclasses
 from dataclasses import dataclass, field
 from pathlib import Path
 from typing import Any, Callable, Dict, Optional, Tuple
@@ -100,6 +101,18 @@ _register(ModelSpec(
     port_fn=lambda sd: torch_port.port_rrdb(sd, 6),
 ))
 _register(ModelSpec(
+    name="FW_fastvgg_x2", family="srvgg", scale=2,
+    arch_config=srvgg.SRVGGConfig(num_conv=16, scale=2),
+    url="",  # trained in-repo: models/distill.py train_student(
+             # arch="srvgg") — the SRVGG compact student is the
+             # reference's own fast-video-model play (its
+             # realesr-animevideov3 IS SRVGGNetCompact, ref
+             # pytorch_realesrgan.py:118-127); here it runs through the
+             # fused conv-chain Pallas kernel (ops/fused_srvgg.py)
+    apply_fn=srvgg.apply, init_fn=srvgg.init,
+    port_fn=lambda sd: torch_port.port_srvgg(sd, 16),
+))
+_register(ModelSpec(
     name="realesr-animevideov3", family="srvgg", scale=4,
     arch_config=srvgg.SRVGGConfig(num_conv=16, scale=4),
     url="https://github.com/xinntao/Real-ESRGAN/releases/download/v0.2.5.0/realesr-animevideov3.pth",
@@ -124,7 +137,12 @@ _register(ModelSpec(
 ))
 _register(ModelSpec(
     name="DiffusionSR_x4", family="diffusion", scale=4,
-    arch_config=diffusion_sr.DiffusionSRConfig(),
+    # steps=2: the in-repo checkpoint (weights/DiffusionSR_x4.npz, trained
+    # on synthetic degradations via models/distill.py:train_diffusion) was
+    # validated best at 2 DDIM steps (+0.64 dB over bicubic on held-out
+    # synthetic clips; 24.26 vs 23.62 dB at x4/64px).
+    arch_config=dataclasses.replace(diffusion_sr.DiffusionSRConfig(),
+                                    steps=2),
     apply_fn=diffusion_sr.apply, init_fn=diffusion_sr.init,
     port_fn=None,  # no portable released pixel-space checkpoint; see
                    # models/diffusion_sr.py docstring

@@ -111,8 +111,13 @@ class SuperResolution(FrameProcessor):
         on_tpu = jax.devices()[0].platform == "tpu"
         use_fused = cfg.use_fused_kernel
         if use_fused is None:
-            use_fused = on_tpu and spec.family == "rrdb"
+            use_fused = on_tpu and spec.family in ("rrdb", "srvgg")
 
+        if spec.family == "srvgg" and use_fused:
+            from framewright_tpu.ops import fused_srvgg
+
+            self._fast_params = fused_srvgg.make_fast_params(
+                params, spec.arch_config)
         if spec.family == "rrdb":
             from framewright_tpu.models import rrdb
 
@@ -188,6 +193,12 @@ class SuperResolution(FrameProcessor):
 
             def model_fn(t):
                 return rrdb.apply_fast(params, fast, t, spec.arch_config)
+        elif spec.family == "srvgg" and use_fused:
+            from framewright_tpu.ops import fused_srvgg
+
+            def model_fn(t):
+                return fused_srvgg.apply_fast(params, fast, t,
+                                              spec.arch_config)
         else:
             def model_fn(t):
                 return spec.apply_fn(params, t, spec.arch_config)
