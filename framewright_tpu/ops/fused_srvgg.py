@@ -49,6 +49,7 @@ BH_V = S_V - 2 * GROUP       # valid interior per pass
 PX_V = S_V * S_V
 TAPS = tuple((di, dj) for di in range(3) for dj in range(3))
 TPC = int(_os.environ.get("FW_VGG_TPC", "4"))   # taps per dot chunk
+TPC_I8 = int(_os.environ.get("FW_VGG_TPC_I8", "4"))
 VMEM_LIMIT = int(_os.environ.get("FW_RDB_VMEM_MB", "100")) * 1024 * 1024
 
 
@@ -93,6 +94,66 @@ def make_fast_params(params: Dict, cfg) -> Dict:
             jnp.asarray(np.stack(als), jnp.float32),
         ))
     return {"groups": groups}
+
+
+def make_fast_params_int8(params: Dict, cfg, act_amax) -> Dict:
+    """int8 fast-mode weights (TensorRT-INT8 analog, static calibrated
+    activation scales — the RDB kernel's measured-fastest recipe).
+
+    act_amax: (num_conv + 1,) f32 — max |activation| of the chain input
+    (post-conv0 PReLU) and of each body conv's PReLU output, from
+    ``calibrate_act_scales``. Weights are per-row symmetric int8.
+    """
+    convs = params["body"][1:]
+    acts = params["act"][1:]
+    amax = np.maximum(np.asarray(act_amax, np.float32), 1e-6)
+    groups = []
+    for base in range(0, cfg.num_conv, GROUP):
+        chunk = convs[base:base + GROUP]
+        achunk = acts[base:base + GROUP]
+        g = len(chunk)
+        wqs, wss, bs, als = [], [], [], []
+        for conv_p, act_p in zip(chunk, achunk):
+            wt, b = _wide_conv(conv_p)
+            rs = np.maximum(np.abs(wt).max(axis=1, keepdims=True), 1e-8)
+            wqs.append(np.clip(np.round(wt / rs * 127.0), -127, 127
+                               ).astype(np.int8))
+            wss.append((rs / 127.0).astype(np.float32))
+            bs.append(b)
+            als.append(np.asarray(act_p["alpha"], np.float32).reshape(NF, 1))
+        sa = amax[base:base + g + 1] / 127.0      # dequant scales
+        inv = 1.0 / sa                            # quant multipliers
+        groups.append((
+            jnp.asarray(np.stack(wqs)),                       # (g,64,576) i8
+            jnp.asarray(np.stack(wss), jnp.float32),          # (g,64,1)
+            jnp.asarray(np.stack(bs), jnp.float32),
+            jnp.asarray(np.stack(als), jnp.float32),
+            jnp.asarray(np.concatenate([sa, inv]), jnp.float32),  # SMEM
+        ))
+    return {"groups": groups}
+
+
+def calibrate_act_scales(params: Dict, cfg, sample: jnp.ndarray,
+                         margin: float = 1.25) -> jnp.ndarray:
+    """(num_conv + 1,) f32 activation ranges for the int8 chain, from
+    one instrumented bf16 forward on a small sample (ranges are nearly
+    resolution-invariant; mirror of rrdb.calibrate_act_scales)."""
+    from framewright_tpu.models.layers import conv2d
+
+    @jax.jit
+    def run(x):
+        feat = conv2d(params["body"][0], x)
+        al = params["act"][0]["alpha"]
+        feat = jnp.where(feat >= 0, feat, feat * al.astype(feat.dtype))
+        stats = [jnp.max(jnp.abs(feat))]
+        for conv_p, act_p in zip(params["body"][1:], params["act"][1:]):
+            feat = conv2d(conv_p, feat)
+            a = act_p["alpha"]
+            feat = jnp.where(feat >= 0, feat, feat * a.astype(feat.dtype))
+            stats.append(jnp.max(jnp.abs(feat)))
+        return jnp.stack(stats)
+
+    return run(sample.astype(jnp.bfloat16)).astype(jnp.float32) * margin
 
 
 # ---------------------------------------------------------------------------
@@ -155,6 +216,96 @@ def _make_chain_kernel(g: int):
                 dst[...] = pltpu.bitcast(a, jnp.int32)
 
     return kern
+
+
+def _make_chain_kernel_int8(g: int):
+    """int8 chain: static calibrated activation scales (SMEM), per-row
+    weight scales, int8 MXU dots (2x bf16 rate on v5e)."""
+
+    def kern(ext_ref, aq_ref, x_ref, w_ref, ws_ref, b_ref, al_ref, o_ref,
+             acc_ref, pa_ref, pb_ref):
+        bi = pl.program_id(0)
+        r0, r1 = ext_ref[bi, 0], ext_ref[bi, 1]
+        c0, c1 = ext_ref[bi, 2], ext_ref[bi, 3]
+        lanes = jax.lax.broadcasted_iota(jnp.int32, (1, PX_V), 1)
+        rows = lanes // S_V
+        cols = lanes % S_V
+        valid = (rows >= r0) & (rows < r1) & (cols >= c0) & (cols < c1)
+
+        def quant_pack(a, stage):
+            # a: f32 (64, PX), masked. stage's inv lives at g+1+stage.
+            q = jnp.clip(jnp.round(a * aq_ref[g + 1 + stage]),
+                         -127.0, 127.0)
+            return pltpu.bitcast(q.astype(jnp.int8), jnp.int32)
+
+        x0 = jnp.where(valid, x_ref[0].astype(jnp.float32), 0.0)
+        pa_ref[...] = quant_pack(x0, 0)
+        bufs = (pa_ref, pb_ref)
+        n = len(TAPS)
+        for i in range(g):
+            src, dst = bufs[i % 2], bufs[(i + 1) % 2]
+            scale = ws_ref[i] * aq_ref[i]          # (64, 1) f32
+            t = 0
+            k = 0
+            while t < n:
+                m = min(TPC_I8, n - t)
+                parts = [_tap_roll(src[...], *TAPS[t + u])
+                         for u in range(m)]
+                packed = parts[0] if m == 1 else jnp.concatenate(
+                    parts, axis=0)
+                chunk = pltpu.bitcast(packed, jnp.int8)   # (m*64, PX)
+                contrib = jax.lax.dot_general(
+                    w_ref[i, :, k:k + m * NF], chunk,
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32,
+                ).astype(jnp.float32) * scale
+                if t == 0:
+                    acc_ref[...] = contrib
+                else:
+                    acc_ref[...] += contrib
+                k += m * NF
+                t += m
+            v = acc_ref[...] + b_ref[i]
+            v = jnp.where(v >= 0, v, v * al_ref[i])        # PReLU
+            v = jnp.where(valid, v, 0.0)
+            if i == g - 1:
+                o_ref[0] = v.astype(jnp.bfloat16)
+            else:
+                dst[...] = quant_pack(v, i + 1)
+
+    return kern
+
+
+def fused_conv_chain_int8(blocks: jnp.ndarray, extents: jnp.ndarray,
+                          group: Tuple,
+                          interpret: bool = False) -> jnp.ndarray:
+    """int8 counterpart of fused_conv_chain (bf16 at the interface;
+    quantization internal). group: (Wq (g, 64, 576) int8, ws (g, 64, 1)
+    f32, b, alpha, aq (2g+2,) f32 [sa..., inv...])."""
+    wq, ws, b, al, aq = group
+    g = int(wq.shape[0])
+    nb = blocks.shape[0]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(nb,),
+        in_specs=[pl.BlockSpec((1, NF, PX_V), lambda k, *_: (k, 0, 0),
+                               memory_space=pltpu.VMEM)]
+                 + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 4,
+        out_specs=pl.BlockSpec((1, NF, PX_V), lambda k, *_: (k, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((NF, PX_V), jnp.float32),      # conv accumulator
+            pltpu.VMEM((NF // 4, PX_V), jnp.int32),   # ping (packed int8)
+            pltpu.VMEM((NF // 4, PX_V), jnp.int32),   # pong
+        ],
+    )
+    return pl.pallas_call(
+        _make_chain_kernel_int8(g),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((nb, NF, PX_V), jnp.bfloat16),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT),
+        interpret=interpret,
+    )(extents, aq, blocks, wq, ws, b, al)
 
 
 def fused_conv_chain(blocks: jnp.ndarray, extents: jnp.ndarray,
@@ -260,9 +411,13 @@ def _apply_fast_impl(params: Dict, fast: Dict, x: jnp.ndarray,
 
     fcm = feat.transpose(0, 3, 1, 2).astype(jnp.bfloat16)   # (B, 64, h, w)
     ext = jnp.asarray(np.tile(_block_extents(h, w, nh, nw), (b, 1)))
+    # int8 groups carry 5 leaves (Wq, ws, b, alpha, aq) vs bf16's 3 —
+    # pytree STRUCTURE, so the dispatch is static under jit
+    run = (fused_conv_chain_int8 if len(fast["groups"][0]) == 5
+           else fused_conv_chain)
     for group in fast["groups"]:
         blocks = _extract(fcm, h, w)
-        blocks = fused_conv_chain(blocks, ext, group, interpret=interpret)
+        blocks = run(blocks, ext, group, interpret=interpret)
         fcm = _assemble(blocks, b, h, w)
 
     feat = fcm.transpose(0, 2, 3, 1).astype(jnp.float32)

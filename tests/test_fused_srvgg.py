@@ -76,6 +76,28 @@ class TestFusedChainNumerics:
         assert err.mean() / scale < 0.005
 
     @pytest.mark.slow
+    def test_int8_chain_close_to_bf16(self, tiny_model):
+        """int8 static-scale chain: bounded quantization error vs the
+        plain forward (the RDB int8 contract, tests/test_int8_mode.py)."""
+        cfg, params, _ = tiny_model
+        rng = np.random.default_rng(7)
+        x = jnp.asarray(rng.random((1, 28, 30, 3), dtype=np.float32))
+        amax = np.asarray(
+            fused_srvgg.calibrate_act_scales(params, cfg, x))
+        assert amax.shape == (cfg.num_conv + 1,)
+        fast8 = fused_srvgg.make_fast_params_int8(params, cfg, amax)
+        want = np.asarray(srvgg.apply(params, x, cfg), np.float32)
+        got = np.asarray(
+            fused_srvgg.apply_fast(params, fast8, x, cfg, interpret=True),
+            np.float32)
+        assert got.shape == want.shape
+        mse = float(np.mean((got - want) ** 2))
+        psnr = 10 * np.log10(
+            max(float(want.max()) - float(want.min()), 1e-6) ** 2
+            / max(mse, 1e-12))
+        assert psnr > 35.0, psnr
+
+    @pytest.mark.slow
     def test_batch_of_frames(self, tiny_model):
         cfg, params, fast = tiny_model
         rng = np.random.default_rng(2)
