@@ -116,8 +116,13 @@ class SuperResolution(FrameProcessor):
         if spec.family == "srvgg" and use_fused:
             from framewright_tpu.ops import fused_srvgg
 
-            self._fast_params = fused_srvgg.make_fast_params(
-                params, spec.arch_config)
+            if cfg.compute_dtype == "int8":
+                # static scales from the first batch, like the rrdb path
+                self._int8_calibrate = True
+                self._fast_params = None
+            else:
+                self._fast_params = fused_srvgg.make_fast_params(
+                    params, spec.arch_config)
         if spec.family == "rrdb":
             from framewright_tpu.models import rrdb
 
@@ -303,11 +308,20 @@ class SuperResolution(FrameProcessor):
         r0, c0 = (h - ch) // 2, (w - cw) // 2
         sample = jnp.asarray(
             x_u8[:1, r0:r0 + ch, c0:c0 + cw].astype(np.float32) / 255.0)
-        amax = np.asarray(rrdb.calibrate_act_scales(
-            self._params, self._spec.arch_config, sample,
-            margin=cfg.int8_calib_margin))
-        self._fast_params = rrdb.make_fast_params(
-            self._params, compute_dtype="int8", act_amax=amax)
+        if self._spec.family == "srvgg":
+            from framewright_tpu.ops import fused_srvgg
+
+            amax = np.asarray(fused_srvgg.calibrate_act_scales(
+                self._params, self._spec.arch_config, sample,
+                margin=cfg.int8_calib_margin))
+            self._fast_params = fused_srvgg.make_fast_params_int8(
+                self._params, self._spec.arch_config, amax)
+        else:
+            amax = np.asarray(rrdb.calibrate_act_scales(
+                self._params, self._spec.arch_config, sample,
+                margin=cfg.int8_calib_margin))
+            self._fast_params = rrdb.make_fast_params(
+                self._params, compute_dtype="int8", act_amax=amax)
         if self._mesh is not None:
             from framewright_tpu.parallel.mesh import replicate
 
