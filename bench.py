@@ -129,34 +129,34 @@ def main() -> int:
             result["distilled_error"] = str(exc)[:200]
 
         # secondary metric: the SRVGG compact fast model (FW_fastvgg_x2,
-        # the reference's own fast-video-model family — its
-        # realesr-animevideov3 is SRVGGNetCompact) through the fused
-        # conv-chain kernel (ops/fused_srvgg.py). ~6.5x fewer FLOPs
-        # than RRDB23; quality gated in tests/test_distill.py when the
-        # trained checkpoint ships.
+        # trained in-repo, +0.69 dB over bicubic — the reference's own
+        # fast-video-model family; its realesr-animevideov3 is
+        # SRVGGNetCompact). Production path: plain XLA convs with frame
+        # batching (measured 22 fps/chip at B=6; the fused chain kernel
+        # ops/fused_srvgg.py matches XLA's body rate but loses on tail
+        # overhead — PERF.md round-3 SRVGG section).
         try:
             from framewright_tpu.models import registry, srvgg
-            from framewright_tpu.ops import fused_srvgg
 
+            bv = 6
             with jax.default_device(cpu):
                 specv, pv = registry.init_model(
                     "FW_fastvgg_x2", dtype=jnp.bfloat16,
                     allow_random=True)
-                fastv = fused_srvgg.make_fast_params(pv, specv.arch_config)
-            pv, fastv = jax.device_put((pv, fastv),
-                                       jax.devices(platform)[0])
-            fwdv = jax.jit(lambda p, fp, t: fused_srvgg.apply_fast(
-                p, fp, t, specv.arch_config))
-            y = fwdv(pv, fastv, x)
+            pv = jax.device_put(pv, jax.devices(platform)[0])
+            xv = jnp.broadcast_to(x, (bv,) + x.shape[1:])
+            fwdv = jax.jit(lambda p, t: srvgg.apply(
+                p, t, specv.arch_config))
+            y = fwdv(pv, xv)
             sync(y)
             t0 = time.time()
             for _ in range(reps):
-                y = fwdv(pv, fastv, x)
+                y = fwdv(pv, xv)
             sync(y)
-            dtv = (time.time() - t0) / reps
+            dtv = (time.time() - t0) / (reps * bv)
             result["fastvgg_fps"] = round(1.0 / dtv, 3)
             result["fastvgg_s_per_frame"] = round(dtv, 4)
-            del pv, fastv
+            del pv
         except Exception as exc:  # noqa: BLE001 — secondary metric only
             result["fastvgg_error"] = str(exc)[:200]
 

@@ -111,7 +111,13 @@ class SuperResolution(FrameProcessor):
         on_tpu = jax.devices()[0].platform == "tpu"
         use_fused = cfg.use_fused_kernel
         if use_fused is None:
-            use_fused = on_tpu and spec.family in ("rrdb", "srvgg")
+            # srvgg stays on plain XLA: the conv chain is a shape XLA
+            # already compiles well, and frame batching scales it to
+            # ~22 fps/chip at 1080p x2 vs 9.8 through the fused kernel
+            # (tail/layout overheads dominate; PERF.md round-3 SRVGG
+            # section). The fused chain kernel remains reachable via
+            # use_fused_kernel=True (int8 mode needs it).
+            use_fused = on_tpu and spec.family == "rrdb"
 
         if spec.family == "srvgg" and use_fused:
             from framewright_tpu.ops import fused_srvgg
