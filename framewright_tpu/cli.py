@@ -243,9 +243,19 @@ def cmd_models(args: argparse.Namespace) -> int:
     action = getattr(args, "action", "list") or "list"
     wdir = default_weights_dir()
     if action == "list":
+        from pathlib import Path
+
+        from framewright_tpu.models import registry as _reg
+
+        pkg_weights = Path(_reg.__file__).parent / "weights"
         for name, spec in sorted(MODEL_SPECS.items()):
-            have = "cached" if (wdir / f"{name}.npz").exists() or \
-                (wdir / f"{name}.pth").exists() else "missing"
+            if (wdir / f"{name}.npz").exists() or \
+                    (wdir / f"{name}.pth").exists():
+                have = "cached"
+            elif (pkg_weights / f"{name}.npz").exists():
+                have = "packaged"      # trained-in-repo checkpoint
+            else:
+                have = "missing"
             print(f"{name:32s} x{spec.scale}  {spec.family:8s} [{have}]")
             if args.verbose:
                 print(f"    {spec.url}")

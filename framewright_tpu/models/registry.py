@@ -113,6 +113,16 @@ _register(ModelSpec(
     port_fn=lambda sd: torch_port.port_srvgg(sd, 16),
 ))
 _register(ModelSpec(
+    name="FW_fastvgg_x4", family="srvgg", scale=4,
+    url="",  # trained in-repo (models/distill.py, arch="srvgg"): the
+             # x4 member of the fast menu — the reference's archive
+             # use case is low-res -> 4K at x4 (its animevideov3
+             # default scale, ref pytorch_realesrgan.py:118-127)
+    arch_config=srvgg.SRVGGConfig(num_conv=16, scale=4),
+    apply_fn=srvgg.apply, init_fn=srvgg.init,
+    port_fn=lambda sd: torch_port.port_srvgg(sd, 16),
+))
+_register(ModelSpec(
     name="realesr-animevideov3", family="srvgg", scale=4,
     arch_config=srvgg.SRVGGConfig(num_conv=16, scale=4),
     url="https://github.com/xinntao/Real-ESRGAN/releases/download/v0.2.5.0/realesr-animevideov3.pth",

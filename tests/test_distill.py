@@ -123,6 +123,21 @@ class TestTrainedCheckpoints:
             lambda lr: srvgg.apply(params, lr, spec.arch_config), 2)
         assert psnr_m > psnr_b + 0.5, (psnr_m, psnr_b)
 
+    def test_fastvgg_x4_beats_bicubic_if_shipped(self):
+        from pathlib import Path
+
+        from framewright_tpu.models import distill, srvgg, registry
+
+        ckpt = (Path(registry.__file__).parent / "weights"
+                / "FW_fastvgg_x4.npz")
+        if not ckpt.exists():
+            pytest.skip("FW_fastvgg_x4 checkpoint not trained yet")
+        spec, params = registry.init_model("FW_fastvgg_x4",
+                                           allow_random=False)
+        psnr_m, psnr_b = distill.eval_psnr(
+            lambda lr: srvgg.apply(params, lr, spec.arch_config), 4)
+        assert psnr_m > psnr_b + 0.5, (psnr_m, psnr_b)
+
     def test_fastvgg_fused_kernel_matches_plain(self):
         """The shipped checkpoint must produce the same output through
         the fused conv-chain kernel (the path bench.py measures)."""
