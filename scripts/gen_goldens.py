@@ -18,6 +18,12 @@ from pathlib import Path
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
+import jax  # noqa: E402
+
+# the axon TPU plugin ignores the JAX_PLATFORMS env var; force CPU
+# through the config before any jax op (goldens must be CPU-fp32)
+jax.config.update("jax_platforms", "cpu")
+
 import numpy as np  # noqa: E402
 
 OUT = Path(__file__).resolve().parent.parent / "tests" / "goldens"
@@ -84,6 +90,54 @@ def cases():
     out["ifnet"] = (
         lambda: ifnet.apply(ip, i0, i1, 0.5, icfg),
         jnp.stack([i0, i1]))
+
+    from framewright_tpu.models import (
+        codeformer, gfpgan, lama, raft, retinaface, vsr,
+    )
+
+    gcfg = gfpgan.GFPGANConfig(out_size=64, num_style_feat=64,
+                               channel_multiplier=1, num_mlp=2, narrow=0.25)
+    gp = gfpgan.init(jax.random.PRNGKey(8), gcfg)
+    gx = img((1, 64, 64, 3)) * 2.0 - 1.0
+    out["gfpgan_tiny"] = (lambda: gfpgan.apply(gp, gx, gcfg), gx)
+
+    ccfg = codeformer.CodeFormerConfig(
+        img_size=64, nf=8, ch_mult=(1, 2, 4), res_blocks=1,
+        attn_resolution=16, emb_dim=16, codebook_size=32, dim_embd=32,
+        n_head=4, n_layers=2, connect=(32,))
+    cp = codeformer.init(jax.random.PRNGKey(9), ccfg)
+    cx = img((1, 64, 64, 3))
+    out["codeformer_tiny"] = (lambda: codeformer.apply(cp, cx, ccfg), cx)
+
+    fcfg = raft.RAFTConfig(iters=4)
+    fp = raft.init(jax.random.PRNGKey(10), fcfg)
+    f0 = img((1, 32, 40, 3))
+    f1 = img((1, 32, 40, 3))
+    out["raft_tiny"] = (
+        lambda: raft.apply(fp, f0, f1, fcfg), jnp.stack([f0, f1]))
+
+    vcfg = vsr.BasicVSRConfig(mid_channels=8, num_blocks=2,
+                              spynet_levels=3)
+    vp = vsr.init(jax.random.PRNGKey(11), vcfg)
+    vx = img((1, 2, 16, 16, 3))
+    out["basicvsr_tiny"] = (lambda: vsr.apply(vp, vx, vcfg), vx)
+
+    # retinaface: golden pins the anchor SCORES head (backbone + FPN +
+    # SSH + heads); box/landmark decode is pure anchor algebra covered
+    # by tests/test_retinaface.py
+    rfcfg = retinaface.RetinaFaceConfig()
+    rfp = retinaface.init(jax.random.PRNGKey(12), rfcfg)
+    rfx = img((1, 32, 32, 3))
+    out["retinaface_tiny"] = (
+        lambda: retinaface.apply(rfp, rfx, rfcfg), rfx)
+
+    lcfg = lama.LamaConfig(ngf=8, n_down=2, n_blocks=2)
+    lp = lama.init(jax.random.PRNGKey(13), lcfg)
+    limg = img((1, 16, 16, 3))
+    lmask = jnp.zeros((1, 16, 16, 1)).at[:, 4:10, 5:12].set(1.0)
+    out["lama_tiny"] = (
+        lambda: lama.apply(lp, limg, lmask, lcfg),
+        jnp.concatenate([limg, lmask], axis=-1))
 
     return out
 

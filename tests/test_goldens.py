@@ -36,7 +36,20 @@ def test_golden(name):
     import jax.numpy as jnp
 
     from framewright_tpu.models import (  # noqa: F401
-        ddcolor, hat, ifnet, nafnet, restormer, rrdb, srvgg, tvsr,
+        codeformer,
+        ddcolor,
+        gfpgan,
+        hat,
+        ifnet,
+        lama,
+        nafnet,
+        raft,
+        restormer,
+        retinaface,
+        rrdb,
+        srvgg,
+        tvsr,
+        vsr,
     )
 
     with np.load(GOLDENS / f"{name}.npz") as z:
@@ -81,6 +94,39 @@ def test_golden(name):
         got = ifnet.apply(p, jnp.asarray(x[0]), jnp.asarray(x[1]), 0.5, cfg)
         if isinstance(got, (tuple, list)):
             got = got[0]
+    elif name == "gfpgan_tiny":
+        cfg = gfpgan.GFPGANConfig(out_size=64, num_style_feat=64,
+                                  channel_multiplier=1, num_mlp=2,
+                                  narrow=0.25)
+        p = gfpgan.init(jax.random.PRNGKey(8), cfg)
+        got = gfpgan.apply(p, jnp.asarray(x), cfg)
+        if isinstance(got, (tuple, list)):
+            got = got[0]
+    elif name == "codeformer_tiny":
+        cfg = codeformer.CodeFormerConfig(
+            img_size=64, nf=8, ch_mult=(1, 2, 4), res_blocks=1,
+            attn_resolution=16, emb_dim=16, codebook_size=32, dim_embd=32,
+            n_head=4, n_layers=2, connect=(32,))
+        p = codeformer.init(jax.random.PRNGKey(9), cfg)
+        got = codeformer.apply(p, jnp.asarray(x), cfg)
+    elif name == "raft_tiny":
+        cfg = raft.RAFTConfig(iters=4)
+        p = raft.init(jax.random.PRNGKey(10), cfg)
+        got = raft.apply(p, jnp.asarray(x[0]), jnp.asarray(x[1]), cfg)
+    elif name == "basicvsr_tiny":
+        cfg = vsr.BasicVSRConfig(mid_channels=8, num_blocks=2,
+                                 spynet_levels=3)
+        p = vsr.init(jax.random.PRNGKey(11), cfg)
+        got = vsr.apply(p, jnp.asarray(x), cfg)
+    elif name == "retinaface_tiny":
+        cfg = retinaface.RetinaFaceConfig()
+        p = retinaface.init(jax.random.PRNGKey(12), cfg)
+        got = retinaface.apply(p, jnp.asarray(x), cfg)[0]  # scores head
+    elif name == "lama_tiny":
+        cfg = lama.LamaConfig(ngf=8, n_down=2, n_blocks=2)
+        p = lama.init(jax.random.PRNGKey(13), cfg)
+        got = lama.apply(p, jnp.asarray(x[..., :3]),
+                         jnp.asarray(x[..., 3:]), cfg)
     else:
         pytest.fail(f"no replay recipe for fixture {name!r}")
     got = np.asarray(got, np.float32)
