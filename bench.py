@@ -160,6 +160,40 @@ def main() -> int:
         except Exception as exc:  # noqa: BLE001 — secondary metric only
             result["fastvgg_error"] = str(exc)[:200]
 
+        # secondary metric: the x4 compact model (FW_fastvgg_x4,
+        # SRVGG-32) at the archive-restore shape 540p -> 4K. Only
+        # reported once the trained checkpoint ships.
+        try:
+            from pathlib import Path
+
+            from framewright_tpu.models import registry, srvgg
+
+            ck4 = (Path(registry.__file__).parent / "weights"
+                   / "FW_fastvgg_x4.npz")
+            if ck4.exists():
+                bv4 = 4
+                with jax.default_device(cpu):
+                    spec4, p4 = registry.init_model(
+                        "FW_fastvgg_x4", dtype=jnp.bfloat16,
+                        allow_random=False)
+                p4 = jax.device_put(p4, jax.devices(platform)[0])
+                x4 = jnp.asarray(
+                    np.random.rand(bv4, 540, 960, 3).astype(np.float32)
+                ).astype(jnp.bfloat16)
+                fwd4 = jax.jit(lambda p, t: srvgg.apply(
+                    p, t, spec4.arch_config))
+                y = fwd4(p4, x4)
+                sync(y)
+                t0 = time.time()
+                for _ in range(reps):
+                    y = fwd4(p4, x4)
+                sync(y)
+                dt4 = (time.time() - t0) / (reps * bv4)
+                result["fastvgg_x4_540p_fps"] = round(1.0 / dt4, 3)
+                del p4
+        except Exception as exc:  # noqa: BLE001 — secondary metric only
+            result["fastvgg_x4_error"] = str(exc)[:200]
+
         # secondary metric: the int8 fast mode (compute_dtype=int8 —
         # the TensorRT-INT8 analog; PSNR cost bounded in
         # tests/test_int8_mode.py). Headline stays bf16-exact.

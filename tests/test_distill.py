@@ -86,6 +86,30 @@ class TestStudentTraining:
             mode="distill", teacher=(t_params, t_cfg))
         assert dist(trained) < before
 
+    def test_sampler_finetune_reduces_sample_mse(self):
+        """End-to-end DDIM fine-tune: MSE of the SAMPLED output (the
+        gate metric) must drop — this is the lever that took
+        DiffusionSR_x4 from +0.26 to +0.60 dB over bicubic."""
+        import jax
+        import jax.numpy as jnp
+
+        from framewright_tpu.models import diffusion_sr, distill
+
+        cfg = diffusion_sr.DiffusionSRConfig(
+            base_ch=8, ch_mults=(1, 2), time_dim=16, steps=2, scale=2)
+        rng = np.random.default_rng(5)
+        lrs, hrs = distill.make_sr_batch(rng, 4, 32, 2)
+
+        def sample_mse(p):
+            out = diffusion_sr.apply(p, jnp.asarray(lrs), cfg)
+            return float(jnp.mean((out - jnp.asarray(hrs)) ** 2))
+
+        p0 = diffusion_sr.init(jax.random.PRNGKey(0), cfg)
+        before = sample_mse(p0)
+        trained = distill.finetune_sampler(
+            cfg=cfg, steps=30, batch=4, hr_size=32, seed=5)
+        assert sample_mse(trained) < before
+
 
 @pytest.mark.slow
 class TestTrainedCheckpoints:
