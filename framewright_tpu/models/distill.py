@@ -106,6 +106,31 @@ def make_sr_batch(rng: np.random.Generator, batch: int, hr_size: int,
     return lrs, hrs
 
 
+def add_noise(rng: np.random.Generator, clean: np.ndarray) -> np.ndarray:
+    """Clean (H,W,3) -> noisy: gaussian (sometimes luma-correlated,
+    i.e. film-grain-like) + occasional impulse + 8-bit quantization —
+    the noise families the reference's denoiser backends target
+    (temporal_denoise.py:1064, noise_profiler.py:137)."""
+    sigma = rng.uniform(0.02, 0.12)
+    n = rng.standard_normal(clean.shape).astype(np.float32)
+    if rng.random() < 0.4:            # grain: stronger in midtones
+        luma = clean.mean(-1, keepdims=True)
+        n *= (0.5 + 2.0 * luma * (1.0 - luma)).astype(np.float32)
+    noisy = clean + sigma * n
+    if rng.random() < 0.2:            # salt & pepper dropouts
+        m = rng.random(clean.shape[:2]) < 0.002
+        noisy[m] = rng.random((int(m.sum()), 1)).astype(np.float32)
+    noisy = np.round(np.clip(noisy, 0, 1) * 255.0) / 255.0
+    return noisy.astype(np.float32)
+
+
+def make_denoise_batch(rng: np.random.Generator, batch: int,
+                       size: int) -> Tuple[np.ndarray, np.ndarray]:
+    cleans = np.stack([synth_hr_patch(rng, size) for _ in range(batch)])
+    noisys = np.stack([add_noise(rng, c) for c in cleans])
+    return noisys, cleans
+
+
 # ---------------------------------------------------------------------------
 # Student training (supervised or distilled)
 # ---------------------------------------------------------------------------
@@ -353,6 +378,105 @@ def train_diffusion(
             print(f"step {step}: loss {float(loss):.5f}", flush=True)
     return jax.tree_util.tree_map(
         lambda v: np.asarray(v, np.float32), params)
+
+
+def train_denoiser(
+    cfg=None,
+    steps: int = 3000,
+    batch: int = 16,
+    size: int = 64,
+    lr: float = 2e-4,
+    seed: int = 0,
+    log_every: int = 0,
+    params: Optional[Dict] = None,
+    pool_size: int = 0,
+    pool_refresh: int = 0,
+) -> Dict:
+    """Train a NAFNet denoiser on synthetic noise mixtures (same
+    zero-egress recipe as the SR students / audio mask net). Gives the
+    denoise family a real learned checkpoint — the reference ships
+    pretrained NAFNet/Restormer weights for its TAP backend
+    (tap_denoise.py:156); here the checkpoint is trained in-repo and
+    gated by PSNR-gain-over-noisy (tests/test_distill.py)."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from framewright_tpu.models import nafnet
+
+    if cfg is None:
+        cfg = nafnet.NAFNetConfig(width=16, enc_blocks=(1, 1, 2),
+                                  middle_blocks=2, dec_blocks=(1, 1, 1))
+    rng = np.random.default_rng(seed)
+    if params is None:
+        try:
+            cpu = jax.local_devices(backend="cpu")[0]
+        except RuntimeError:
+            cpu = None
+        if cpu is not None:
+            with jax.default_device(cpu):
+                params = nafnet.init(jax.random.PRNGKey(seed), cfg)
+        else:
+            params = nafnet.init(jax.random.PRNGKey(seed), cfg)
+    params = jax.device_put(params)
+
+    opt = optax.adam(optax.cosine_decay_schedule(lr, steps, alpha=0.1))
+    opt_state = opt.init(params)
+
+    def loss_fn(p, noisy_b, clean_b):
+        out = nafnet.apply(p, noisy_b, cfg)
+        return jnp.mean(jnp.abs(out - clean_b))
+
+    @jax.jit
+    def step_fn(p, o, noisy_b, clean_b):
+        loss, g = jax.value_and_grad(loss_fn)(p, noisy_b, clean_b)
+        updates, o = opt.update(g, o, p)
+        return optax.apply_updates(p, updates), o, loss
+
+    pool = None
+    if pool_size:
+        ns, cs = make_denoise_batch(rng, pool_size, size)
+        pool = (jax.device_put(jnp.asarray(ns)),
+                jax.device_put(jnp.asarray(cs)))
+
+        @jax.jit
+        def gather(npool, cpool, idx):
+            return (jnp.take(npool, idx, axis=0),
+                    jnp.take(cpool, idx, axis=0))
+
+    for step in range(1, steps + 1):
+        if pool is not None:
+            if pool_refresh and step % pool_refresh == 0:
+                ns, cs = make_denoise_batch(rng, pool_size, size)
+                pool = (jax.device_put(jnp.asarray(ns)),
+                        jax.device_put(jnp.asarray(cs)))
+            idx = jnp.asarray(rng.integers(0, pool_size, batch), jnp.int32)
+            noisy_b, clean_b = gather(pool[0], pool[1], idx)
+        else:
+            ns, cs = make_denoise_batch(rng, batch, size)
+            noisy_b, clean_b = jnp.asarray(ns), jnp.asarray(cs)
+        params, opt_state, loss = step_fn(params, opt_state, noisy_b,
+                                          clean_b)
+        if log_every and step % log_every == 0:
+            print(f"step {step}: loss {float(loss):.5f}", flush=True)
+    return jax.tree_util.tree_map(
+        lambda v: np.asarray(v, np.float32), params)
+
+
+def eval_denoise_psnr(apply_fn: Callable, n: int = 16, size: int = 64,
+                      seed: int = 123) -> Tuple[float, float]:
+    """-> (psnr_model, psnr_noisy) on held-out synthetic pairs."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(seed)
+    noisys, cleans = make_denoise_batch(rng, n, size)
+    out = np.asarray(apply_fn(jnp.asarray(noisys)), np.float32)
+
+    def psnr(a, b):
+        mse = float(np.mean((np.clip(a, 0, 1) - b) ** 2))
+        return 10.0 * np.log10(1.0 / max(mse, 1e-12))
+
+    return psnr(out, cleans), psnr(noisys, cleans)
 
 
 def finetune_sampler(

@@ -29,6 +29,7 @@ from framewright_tpu.models import (
     codeformer,
     diffusion_sr,
     hat,
+    nafnet,
     raft,
     retinaface,
     rrdb,
@@ -117,10 +118,13 @@ _register(ModelSpec(
     url="",  # trained in-repo (models/distill.py, arch="srvgg"): the
              # x4 member of the fast menu — the reference's archive
              # use case is low-res -> 4K at x4 (its animevideov3
-             # default scale, ref pytorch_realesrgan.py:118-127)
-    arch_config=srvgg.SRVGGConfig(num_conv=16, scale=4),
+             # default scale, ref pytorch_realesrgan.py:118-127).
+             # 32 convs: x4 needs the same capacity bump the
+             # reference's own general x4 model made (realesr-
+             # general-x4v3 is SRVGG-32; 16 measured too small here)
+    arch_config=srvgg.SRVGGConfig(num_conv=32, scale=4),
     apply_fn=srvgg.apply, init_fn=srvgg.init,
-    port_fn=lambda sd: torch_port.port_srvgg(sd, 16),
+    port_fn=lambda sd: torch_port.port_srvgg(sd, 32),
 ))
 _register(ModelSpec(
     name="realesr-animevideov3", family="srvgg", scale=4,
@@ -147,10 +151,10 @@ _register(ModelSpec(
 ))
 _register(ModelSpec(
     name="DiffusionSR_x4", family="diffusion", scale=4,
-    # steps=2: the in-repo checkpoint (weights/DiffusionSR_x4.npz, trained
-    # on synthetic degradations via models/distill.py:train_diffusion) was
-    # validated best at 2 DDIM steps (+0.64 dB over bicubic on held-out
-    # synthetic clips; 24.26 vs 23.62 dB at x4/64px).
+    # steps=2: the in-repo checkpoint (weights/DiffusionSR_x4.npz) is
+    # x0-pretrained (train_diffusion) then fine-tuned END-TO-END through
+    # the 2-step DDIM unroll (finetune_sampler); measured +0.58..+0.73 dB
+    # over bicubic across 4 held-out synthetic eval seeds.
     arch_config=dataclasses.replace(diffusion_sr.DiffusionSRConfig(),
                                     steps=2),
     apply_fn=diffusion_sr.apply, init_fn=diffusion_sr.init,
@@ -170,6 +174,19 @@ _register(ModelSpec(
     apply_fn=tvsr.apply, init_fn=tvsr.init,
     port_fn=None,  # original architecture (VRT-class TMSA); no
                    # published checkpoint to port — models/tvsr.py
+))
+_register(ModelSpec(
+    name="FW_nafnet_dn", family="nafnet", scale=1,
+    url="",  # trained in-repo: models/distill.py:train_denoiser on
+             # synthetic noise mixtures (gaussian/grain/impulse +
+             # quantization); the reference's TAP backend ships
+             # pretrained NAFNet weights the same role
+             # (tap_denoise.py:156)
+    arch_config=nafnet.NAFNetConfig(width=16, enc_blocks=(1, 1, 2),
+                                    middle_blocks=2,
+                                    dec_blocks=(1, 1, 1)),
+    apply_fn=nafnet.apply, init_fn=nafnet.init,
+    port_fn=None,
 ))
 _register(ModelSpec(
     name="CodeFormer", family="face", scale=1,

@@ -140,6 +140,17 @@ class TemporalDenoiser:
                 if npz.exists():
                     params = torch_port.import_npz(npz)
                     ncfg = full_cfg  # full-size once weighted
+            if params is None and cfg.method == "nafnet":
+                # packaged trained-in-repo denoiser (FW_nafnet_dn,
+                # models/distill.py:train_denoiser)
+                try:
+                    from framewright_tpu.models import registry
+
+                    spec, params = registry.init_model(
+                        "FW_nafnet_dn", allow_random=False)
+                    ncfg = spec.arch_config
+                except Exception:  # noqa: BLE001 — checkpoint optional
+                    params = None
             if params is None:
                 params = net.init(jax.random.PRNGKey(2), ncfg)
             self._naf_params = jax.tree_util.tree_map(jnp.asarray, params)

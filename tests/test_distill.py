@@ -188,6 +188,22 @@ class TestTrainedCheckpoints:
                                    interpret=True), np.float32)
         assert np.abs(got - want).max() < 0.05
 
+    def test_nafnet_denoiser_beats_noisy_if_shipped(self):
+        from pathlib import Path
+
+        from framewright_tpu.models import distill, nafnet, registry
+
+        ckpt = (Path(registry.__file__).parent / "weights"
+                / "FW_nafnet_dn.npz")
+        if not ckpt.exists():
+            pytest.skip("FW_nafnet_dn checkpoint not trained yet")
+        spec, params = registry.init_model("FW_nafnet_dn",
+                                           allow_random=False)
+        psnr_m, psnr_n = distill.eval_denoise_psnr(
+            lambda x: nafnet.apply(params, x, spec.arch_config))
+        # a real denoiser recovers several dB on the synthetic mixture
+        assert psnr_m > psnr_n + 3.0, (psnr_m, psnr_n)
+
     def test_diffusion_beats_bicubic_if_shipped(self):
         from pathlib import Path
 
