@@ -20,11 +20,44 @@ import time
 import numpy as np
 
 
+def _tpu_reachable(timeout_s: float = 300.0) -> bool:
+    """Probe backend init in a THROWAWAY subprocess with a timeout.
+
+    The axon dev tunnel can wedge hard (device grant lost server-side;
+    PERF.md ops note) — in that state ``jax.devices()`` blocks forever
+    in a claim-retry loop, which would hang the whole bench. A hung
+    probe child is killed and we fall back to the CPU proxy (flagged
+    in the payload) instead of hanging."""
+    import subprocess
+    import sys as _sys
+
+    try:
+        r = subprocess.run(
+            [_sys.executable, "-c",
+             "import jax; print(jax.devices()[0].platform)"],
+            capture_output=True, text=True, timeout=timeout_s)
+        return "tpu" in (r.stdout or "")
+    except Exception:  # noqa: BLE001 — timeout/spawn failure == unreachable
+        return False
+
+
 def main() -> int:
     import os
 
+    tpu_wedged = False
+    if os.environ.get("JAX_PLATFORMS", "") not in ("", "cpu"):
+        if not _tpu_reachable():
+            tpu_wedged = True
+            os.environ["JAX_PLATFORMS"] = "cpu"
+
     import jax
     import jax.numpy as jnp
+
+    if tpu_wedged:
+        try:
+            jax.config.update("jax_platforms", "cpu")
+        except Exception:  # noqa: BLE001
+            pass
 
     # persistent compilation cache: the S=112 kernels take minutes on
     # the remote compile server; cache hits make repeat benches ~60 s
@@ -95,6 +128,8 @@ def main() -> int:
         "proxy": not on_tpu,
         "s_per_frame": round(dt, 4),
     }
+    if tpu_wedged:
+        result["tpu_unreachable"] = True  # dev-tunnel wedge (PERF.md)
 
     if on_tpu:
         # secondary metric: the distilled 6-block fast body
