@@ -48,9 +48,13 @@ def test_dryrun_multichip_after_entry_touched_jax():
     parent, the dryrun must still pass — it never uses the parent's
     jax."""
     code = (
-        "import os; os.environ['JAX_PLATFORMS']='cpu'\n"
-        "import jax; jax.devices()\n"  # parent jax initialized, 1 device
-        "del os.environ['JAX_PLATFORMS']\n"
+        # config-level CPU force: the axon plugin ignores the
+        # JAX_PLATFORMS env var, and with a wedged dev tunnel an
+        # env-only parent hangs in backend init (PERF.md ops note) —
+        # which is a tunnel artifact, not the property under test
+        # (parent jax state must not leak into the dryrun child)
+        "import jax; jax.config.update('jax_platforms', 'cpu')\n"
+        "jax.devices()\n"              # parent jax initialized, 1 device
         "import __graft_entry__ as g; g.dryrun_multichip(8); print('OUTER_OK')\n"
     )
     result = subprocess.run(
