@@ -20,40 +20,45 @@ import time
 import numpy as np
 
 
-def _tpu_reachable(timeout_s: float = 300.0) -> bool:
+def _probe_platform(timeout_s: float = 300.0) -> str:
     """Probe backend init in a THROWAWAY subprocess with a timeout.
 
-    The axon dev tunnel can wedge hard (device grant lost server-side;
-    PERF.md ops note) — in that state ``jax.devices()`` blocks forever
-    in a claim-retry loop, which would hang the whole bench. A hung
-    probe child is killed and we fall back to the CPU proxy (flagged
-    in the payload) instead of hanging."""
+    Returns "tpu", "cpu", or "wedged". The axon dev tunnel can wedge
+    hard (device grant lost server-side; PERF.md ops note) — in that
+    state ``jax.devices()`` blocks forever in a claim-retry loop
+    regardless of JAX_PLATFORMS (the plugin ignores the env var), which
+    would hang the whole bench. A hung probe child is killed and we
+    fall back to the CPU proxy (flagged in the payload) instead."""
     import subprocess
     import sys as _sys
 
     try:
         r = subprocess.run(
             [_sys.executable, "-c",
-             "import jax; print(jax.devices()[0].platform)"],
+             "import jax; print('PLATFORM=' + jax.devices()[0].platform)"],
             capture_output=True, text=True, timeout=timeout_s)
-        return "tpu" in (r.stdout or "")
+        out = r.stdout or ""
+        if "PLATFORM=tpu" in out:
+            return "tpu"
+        if "PLATFORM=" in out:
+            return "cpu"
+        return "wedged"
     except Exception:  # noqa: BLE001 — timeout/spawn failure == unreachable
-        return False
+        return "wedged"
 
 
 def main() -> int:
     import os
 
-    tpu_wedged = False
-    if os.environ.get("JAX_PLATFORMS", "") not in ("", "cpu"):
-        if not _tpu_reachable():
-            tpu_wedged = True
-            os.environ["JAX_PLATFORMS"] = "cpu"
+    tpu_wedged = _probe_platform() == "wedged"
+    if tpu_wedged:
+        os.environ["JAX_PLATFORMS"] = "cpu"
 
     import jax
     import jax.numpy as jnp
 
     if tpu_wedged:
+        # config-level force: the axon plugin ignores the env var
         try:
             jax.config.update("jax_platforms", "cpu")
         except Exception:  # noqa: BLE001
@@ -199,11 +204,9 @@ def main() -> int:
         # SRVGG-32) at the archive-restore shape 540p -> 4K. Only
         # reported once the trained checkpoint ships.
         try:
-            from pathlib import Path
-
             from framewright_tpu.models import registry, srvgg
 
-            ck4 = (Path(registry.__file__).parent / "weights"
+            ck4 = (registry.packaged_weights_dir()
                    / "FW_fastvgg_x4.npz")
             if ck4.exists():
                 bv4 = 4

@@ -243,11 +243,9 @@ def cmd_models(args: argparse.Namespace) -> int:
     action = getattr(args, "action", "list") or "list"
     wdir = default_weights_dir()
     if action == "list":
-        from pathlib import Path
+        from framewright_tpu.models.registry import packaged_weights_dir
 
-        from framewright_tpu.models import registry as _reg
-
-        pkg_weights = Path(_reg.__file__).parent / "weights"
+        pkg_weights = packaged_weights_dir()
         for name, spec in sorted(MODEL_SPECS.items()):
             if (wdir / f"{name}.npz").exists() or \
                     (wdir / f"{name}.pth").exists():

@@ -132,6 +132,80 @@ def make_denoise_batch(rng: np.random.Generator, batch: int,
 
 
 # ---------------------------------------------------------------------------
+# Shared training scaffold
+# ---------------------------------------------------------------------------
+
+
+def _init_params_on_cpu(init_fn, seed: int):
+    """Init params on the host CPU backend when available: eager init
+    is hundreds of tiny RNG programs that would each be a remote-compile
+    round-trip on the TPU (PERF.md startup fix)."""
+    import jax
+
+    try:
+        cpu = jax.local_devices(backend="cpu")[0]
+    except RuntimeError:
+        cpu = None
+    if cpu is not None:
+        with jax.default_device(cpu):
+            return init_fn(jax.random.PRNGKey(seed))
+    return init_fn(jax.random.PRNGKey(seed))
+
+
+class _ExamplePool:
+    """Training-example source shared by every loop in this module.
+
+    With ``size > 0``: a DEVICE-resident pool — one bulk upload instead
+    of a per-step host->device batch copy (the dev tunnel makes
+    per-step copies the training bottleneck; real hosts also benefit),
+    regenerated every ``refresh`` steps (a static pool overfits).
+    With ``size == 0``: plain per-step host batches.
+
+    ``make_batch(rng, n) -> tuple_of_arrays`` defines the example
+    layout; ``sample(batch, step)`` returns device arrays of that
+    layout.
+    """
+
+    def __init__(self, make_batch, rng, size: int = 0, refresh: int = 0):
+        import jax
+        import jax.numpy as jnp
+
+        self._make = make_batch
+        self._rng = rng
+        self._size = size
+        self._refresh = refresh
+        self._pool = None
+        if size:
+            self._pool = tuple(
+                jax.device_put(jnp.asarray(a)) for a in make_batch(rng, size))
+
+            @jax.jit
+            def gather(idx, *pool):
+                return tuple(jnp.take(p, idx, axis=0) for p in pool)
+
+            self._gather = gather
+
+    def sample(self, batch: int, step: int):
+        import jax
+        import jax.numpy as jnp
+
+        if self._pool is None:
+            return tuple(jnp.asarray(a) for a in self._make(self._rng, batch))
+        if self._refresh and step % self._refresh == 0:
+            self._pool = tuple(
+                jax.device_put(jnp.asarray(a))
+                for a in self._make(self._rng, self._size))
+        idx = jnp.asarray(self._rng.integers(0, self._size, batch), jnp.int32)
+        return self._gather(idx, *self._pool)
+
+
+def _to_f32_host(params):
+    import jax
+
+    return jax.tree_util.tree_map(lambda v: np.asarray(v, np.float32), params)
+
+
+# ---------------------------------------------------------------------------
 # Student training (supervised or distilled)
 # ---------------------------------------------------------------------------
 
@@ -186,16 +260,8 @@ def train_student(
     scale = student_cfg.scale
     rng = np.random.default_rng(seed)
     if params is None:
-        try:
-            cpu = jax.local_devices(backend="cpu")[0]
-        except RuntimeError:
-            cpu = None
-        if cpu is not None:
-            with jax.default_device(cpu):
-                params = net_init(jax.random.PRNGKey(seed), student_cfg)
-        else:
-            params = net_init(jax.random.PRNGKey(seed), student_cfg)
-        params = net_stack(params)
+        params = net_stack(_init_params_on_cpu(
+            lambda k: net_init(k, student_cfg), seed))
     params = jax.device_put(params)
 
     opt = optax.adam(optax.cosine_decay_schedule(lr, steps, alpha=0.1))
@@ -223,38 +289,16 @@ def train_student(
         updates, o = opt.update(g, o, p)
         return optax.apply_updates(p, updates), o, loss
 
-    pool = None
-    if pool_size:
-        # DEVICE-resident pool: one bulk upload instead of a per-step
-        # host->device batch copy (the dev tunnel makes per-step copies
-        # the training bottleneck; real hosts also benefit)
-        lrs_p, hrs_p = make_sr_batch(rng, pool_size, hr_size, scale)
-        pool = (jax.device_put(jnp.asarray(lrs_p)),
-                jax.device_put(jnp.asarray(hrs_p)))
-
-        @jax.jit
-        def gather(lr_pool, hr_pool, idx):
-            return (jnp.take(lr_pool, idx, axis=0),
-                    jnp.take(hr_pool, idx, axis=0))
-
+    pool = _ExamplePool(
+        lambda r, n: make_sr_batch(r, n, hr_size, scale), rng,
+        size=pool_size, refresh=pool_refresh)
     for step in range(1, steps + 1):
-        if pool is not None:
-            if pool_refresh and step % pool_refresh == 0:
-                lrs_p, hrs_p = make_sr_batch(rng, pool_size, hr_size, scale)
-                pool = (jax.device_put(jnp.asarray(lrs_p)),
-                        jax.device_put(jnp.asarray(hrs_p)))
-            idx = jnp.asarray(rng.integers(0, pool_size, batch), jnp.int32)
-            lr_b, gt_b = gather(pool[0], pool[1], idx)
-        else:
-            lrs, hrs = make_sr_batch(rng, batch, hr_size, scale)
-            lr_b = jnp.asarray(lrs)
-            gt_b = jnp.asarray(hrs)
+        lr_b, gt_b = pool.sample(batch, step)
         tgt_b = target_fn(lr_b) if target_fn is not None else gt_b
         params, opt_state, loss = step_fn(params, opt_state, lr_b, tgt_b, gt_b)
         if log_every and step % log_every == 0:
             print(f"step {step}: loss {float(loss):.5f}", flush=True)
-    return jax.tree_util.tree_map(
-        lambda v: np.asarray(v, np.float32), params)
+    return _to_f32_host(params)
 
 
 # ---------------------------------------------------------------------------
@@ -304,15 +348,8 @@ def train_diffusion(
     scale = cfg.scale
     rng = np.random.default_rng(seed)
     if params is None:
-        try:
-            cpu = jax.local_devices(backend="cpu")[0]
-        except RuntimeError:
-            cpu = None
-        if cpu is not None:
-            with jax.default_device(cpu):
-                params = diffusion_sr.init(jax.random.PRNGKey(seed), cfg)
-        else:
-            params = diffusion_sr.init(jax.random.PRNGKey(seed), cfg)
+        params = _init_params_on_cpu(
+            lambda k: diffusion_sr.init(k, cfg), seed)
     params = jax.device_put(params)
     acp = diffusion_sr.alphas_cumprod(cfg.train_steps)
 
@@ -336,27 +373,11 @@ def train_diffusion(
         updates, o = opt.update(g, o, p)
         return optax.apply_updates(p, updates), o, loss
 
-    pool = None
-    if pool_size:
-        lrs_p, hrs_p = make_sr_batch(rng, pool_size, hr_size, scale)
-        pool = (jax.device_put(jnp.asarray(lrs_p)),
-                jax.device_put(jnp.asarray(hrs_p)))
-
-        @jax.jit
-        def gather(lp, hp, idx):
-            return jnp.take(lp, idx, axis=0), jnp.take(hp, idx, axis=0)
-
+    pool = _ExamplePool(
+        lambda r, n: make_sr_batch(r, n, hr_size, scale), rng,
+        size=pool_size, refresh=pool_refresh)
     for step in range(1, steps + 1):
-        if pool is not None:
-            if pool_refresh and step % pool_refresh == 0:
-                lrs_p, hrs_p = make_sr_batch(rng, pool_size, hr_size, scale)
-                pool = (jax.device_put(jnp.asarray(lrs_p)),
-                        jax.device_put(jnp.asarray(hrs_p)))
-            idx = jnp.asarray(rng.integers(0, pool_size, batch), jnp.int32)
-            lr_b, hr_b = gather(pool[0], pool[1], idx)
-        else:
-            lrs, hrs = make_sr_batch(rng, batch, hr_size, scale)
-            lr_b, hr_b = jnp.asarray(lrs), jnp.asarray(hrs)
+        lr_b, hr_b = pool.sample(batch, step)
         t_np = rng.integers(0, cfg.train_steps, batch)
         if t_bias:
             # the sampler queries the net at linspace(T-1, 0, steps+1)
@@ -376,8 +397,7 @@ def train_diffusion(
             params, opt_state, hr_b, lr_b, t_idx, noise)
         if log_every and step % log_every == 0:
             print(f"step {step}: loss {float(loss):.5f}", flush=True)
-    return jax.tree_util.tree_map(
-        lambda v: np.asarray(v, np.float32), params)
+    return _to_f32_host(params)
 
 
 def train_denoiser(
@@ -409,15 +429,7 @@ def train_denoiser(
                                   middle_blocks=2, dec_blocks=(1, 1, 1))
     rng = np.random.default_rng(seed)
     if params is None:
-        try:
-            cpu = jax.local_devices(backend="cpu")[0]
-        except RuntimeError:
-            cpu = None
-        if cpu is not None:
-            with jax.default_device(cpu):
-                params = nafnet.init(jax.random.PRNGKey(seed), cfg)
-        else:
-            params = nafnet.init(jax.random.PRNGKey(seed), cfg)
+        params = _init_params_on_cpu(lambda k: nafnet.init(k, cfg), seed)
     params = jax.device_put(params)
 
     opt = optax.adam(optax.cosine_decay_schedule(lr, steps, alpha=0.1))
@@ -433,34 +445,16 @@ def train_denoiser(
         updates, o = opt.update(g, o, p)
         return optax.apply_updates(p, updates), o, loss
 
-    pool = None
-    if pool_size:
-        ns, cs = make_denoise_batch(rng, pool_size, size)
-        pool = (jax.device_put(jnp.asarray(ns)),
-                jax.device_put(jnp.asarray(cs)))
-
-        @jax.jit
-        def gather(npool, cpool, idx):
-            return (jnp.take(npool, idx, axis=0),
-                    jnp.take(cpool, idx, axis=0))
-
+    pool = _ExamplePool(
+        lambda r, n: make_denoise_batch(r, n, size), rng,
+        size=pool_size, refresh=pool_refresh)
     for step in range(1, steps + 1):
-        if pool is not None:
-            if pool_refresh and step % pool_refresh == 0:
-                ns, cs = make_denoise_batch(rng, pool_size, size)
-                pool = (jax.device_put(jnp.asarray(ns)),
-                        jax.device_put(jnp.asarray(cs)))
-            idx = jnp.asarray(rng.integers(0, pool_size, batch), jnp.int32)
-            noisy_b, clean_b = gather(pool[0], pool[1], idx)
-        else:
-            ns, cs = make_denoise_batch(rng, batch, size)
-            noisy_b, clean_b = jnp.asarray(ns), jnp.asarray(cs)
+        noisy_b, clean_b = pool.sample(batch, step)
         params, opt_state, loss = step_fn(params, opt_state, noisy_b,
                                           clean_b)
         if log_every and step % log_every == 0:
             print(f"step {step}: loss {float(loss):.5f}", flush=True)
-    return jax.tree_util.tree_map(
-        lambda v: np.asarray(v, np.float32), params)
+    return _to_f32_host(params)
 
 
 def eval_denoise_psnr(apply_fn: Callable, n: int = 16, size: int = 64,
@@ -517,15 +511,8 @@ def finetune_sampler(
     scale = cfg.scale
     rng = np.random.default_rng(seed)
     if params is None:
-        try:
-            cpu = jax.local_devices(backend="cpu")[0]
-        except RuntimeError:
-            cpu = None
-        if cpu is not None:
-            with jax.default_device(cpu):
-                params = diffusion_sr.init(jax.random.PRNGKey(seed), cfg)
-        else:
-            params = diffusion_sr.init(jax.random.PRNGKey(seed), cfg)
+        params = _init_params_on_cpu(
+            lambda k: diffusion_sr.init(k, cfg), seed)
     params = jax.device_put(params)
 
     opt = optax.adam(optax.cosine_decay_schedule(lr, steps, alpha=0.1))
@@ -541,33 +528,16 @@ def finetune_sampler(
         updates, o = opt.update(g, o, p)
         return optax.apply_updates(p, updates), o, loss
 
-    pool = None
-    if pool_size:
-        lrs_p, hrs_p = make_sr_batch(rng, pool_size, hr_size, scale)
-        pool = (jax.device_put(jnp.asarray(lrs_p)),
-                jax.device_put(jnp.asarray(hrs_p)))
-
-        @jax.jit
-        def gather(lp, hp, idx):
-            return jnp.take(lp, idx, axis=0), jnp.take(hp, idx, axis=0)
-
+    pool = _ExamplePool(
+        lambda r, n: make_sr_batch(r, n, hr_size, scale), rng,
+        size=pool_size, refresh=pool_refresh)
     for step in range(1, steps + 1):
-        if pool is not None:
-            if pool_refresh and step % pool_refresh == 0:
-                lrs_p, hrs_p = make_sr_batch(rng, pool_size, hr_size, scale)
-                pool = (jax.device_put(jnp.asarray(lrs_p)),
-                        jax.device_put(jnp.asarray(hrs_p)))
-            idx = jnp.asarray(rng.integers(0, pool_size, batch), jnp.int32)
-            lr_b, hr_b = gather(pool[0], pool[1], idx)
-        else:
-            lrs, hrs = make_sr_batch(rng, batch, hr_size, scale)
-            lr_b, hr_b = jnp.asarray(lrs), jnp.asarray(hrs)
+        lr_b, hr_b = pool.sample(batch, step)
         key = jax.random.PRNGKey(int(rng.integers(0, 2**31)))
         params, opt_state, loss = step_fn(params, opt_state, hr_b, lr_b, key)
         if log_every and step % log_every == 0:
             print(f"step {step}: loss {float(loss):.5f}", flush=True)
-    return jax.tree_util.tree_map(
-        lambda v: np.asarray(v, np.float32), params)
+    return _to_f32_host(params)
 
 
 # ---------------------------------------------------------------------------

@@ -217,6 +217,12 @@ def get_model(name: str) -> ModelSpec:
     return MODEL_SPECS[name]
 
 
+def packaged_weights_dir() -> Path:
+    """Directory of trained-in-repo checkpoints shipped with the
+    package (the fallback below user weights in init_model)."""
+    return Path(__file__).parent / "weights"
+
+
 def init_model(
     name: str,
     weights_dir: Optional[Path] = None,
@@ -234,9 +240,7 @@ def init_model(
     wdir = Path(weights_dir) if weights_dir else default_weights_dir()
     npz = wdir / f"{name}.npz"
     pth = wdir / f"{name}.pth"
-    # trained-in-repo checkpoints (distilled/self-trained models) ship
-    # under models/weights/ and act as the fallback below user weights
-    packaged = Path(__file__).parent / "weights" / f"{name}.npz"
+    packaged = packaged_weights_dir() / f"{name}.npz"
     if npz.exists():
         params = torch_port.import_npz(npz)
     elif packaged.exists():

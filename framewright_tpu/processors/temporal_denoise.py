@@ -142,12 +142,14 @@ class TemporalDenoiser:
                     ncfg = full_cfg  # full-size once weighted
             if params is None and cfg.method == "nafnet":
                 # packaged trained-in-repo denoiser (FW_nafnet_dn,
-                # models/distill.py:train_denoiser)
+                # models/distill.py:train_denoiser); honor the caller's
+                # pinned weights_dir like the raft path above
                 try:
                     from framewright_tpu.models import registry
 
                     spec, params = registry.init_model(
-                        "FW_nafnet_dn", allow_random=False)
+                        "FW_nafnet_dn", allow_random=False,
+                        weights_dir=cfg.weights_dir or None)
                     ncfg = spec.arch_config
                 except Exception:  # noqa: BLE001 — checkpoint optional
                     params = None

@@ -97,7 +97,9 @@ class TestStudentTraining:
 
         cfg = diffusion_sr.DiffusionSRConfig(
             base_ch=8, ch_mults=(1, 2), time_dim=16, steps=2, scale=2)
-        rng = np.random.default_rng(5)
+        # held-out eval pairs: seed 99 != the training seed 5 below, so
+        # the MSE drop measures generalization, not batch memorization
+        rng = np.random.default_rng(99)
         lrs, hrs = distill.make_sr_batch(rng, 4, 32, 2)
 
         def sample_mse(p):
@@ -122,8 +124,7 @@ class TestTrainedCheckpoints:
 
         from framewright_tpu.models import distill, rrdb, registry
 
-        ckpt = (Path(registry.__file__).parent / "weights"
-                / "FW_fast6_x2.npz")
+        ckpt = registry.packaged_weights_dir() / "FW_fast6_x2.npz"
         if not ckpt.exists():
             pytest.skip("FW_fast6_x2 checkpoint not trained yet")
         spec, params = registry.init_model("FW_fast6_x2",
@@ -137,8 +138,7 @@ class TestTrainedCheckpoints:
 
         from framewright_tpu.models import distill, srvgg, registry
 
-        ckpt = (Path(registry.__file__).parent / "weights"
-                / "FW_fastvgg_x2.npz")
+        ckpt = registry.packaged_weights_dir() / "FW_fastvgg_x2.npz"
         if not ckpt.exists():
             pytest.skip("FW_fastvgg_x2 checkpoint not trained yet")
         spec, params = registry.init_model("FW_fastvgg_x2",
@@ -152,8 +152,7 @@ class TestTrainedCheckpoints:
 
         from framewright_tpu.models import distill, srvgg, registry
 
-        ckpt = (Path(registry.__file__).parent / "weights"
-                / "FW_fastvgg_x4.npz")
+        ckpt = registry.packaged_weights_dir() / "FW_fastvgg_x4.npz"
         if not ckpt.exists():
             pytest.skip("FW_fastvgg_x4 checkpoint not trained yet")
         spec, params = registry.init_model("FW_fastvgg_x4",
@@ -172,8 +171,7 @@ class TestTrainedCheckpoints:
         from framewright_tpu.models import registry, srvgg
         from framewright_tpu.ops import fused_srvgg
 
-        ckpt = (Path(registry.__file__).parent / "weights"
-                / "FW_fastvgg_x2.npz")
+        ckpt = registry.packaged_weights_dir() / "FW_fastvgg_x2.npz"
         if not ckpt.exists():
             pytest.skip("FW_fastvgg_x2 checkpoint not trained yet")
         spec, params = registry.init_model("FW_fastvgg_x2",
@@ -193,8 +191,7 @@ class TestTrainedCheckpoints:
 
         from framewright_tpu.models import distill, nafnet, registry
 
-        ckpt = (Path(registry.__file__).parent / "weights"
-                / "FW_nafnet_dn.npz")
+        ckpt = registry.packaged_weights_dir() / "FW_nafnet_dn.npz"
         if not ckpt.exists():
             pytest.skip("FW_nafnet_dn checkpoint not trained yet")
         spec, params = registry.init_model("FW_nafnet_dn",
@@ -213,8 +210,7 @@ class TestTrainedCheckpoints:
             registry,
         )
 
-        ckpt = (Path(registry.__file__).parent / "weights"
-                / "DiffusionSR_x4.npz")
+        ckpt = registry.packaged_weights_dir() / "DiffusionSR_x4.npz"
         if not ckpt.exists():
             pytest.skip("DiffusionSR_x4 checkpoint not trained yet")
         spec, params = registry.init_model("DiffusionSR_x4",
