@@ -90,6 +90,15 @@ RECIPES: Dict[str, Recipe] = {
             ),
         ),
         Recipe(
+            "realtime_preview",
+            "Near-realtime 2x with the trained-in-repo compact model "
+            "(22 fps/chip; packaged weights, works with no downloads)",
+            config_overrides=dict(
+                scale_factor=2, sr_model="FW_fastvgg_x2",
+                outscale=2.0, denoise=False, validate_output=False,
+            ),
+        ),
+        Recipe(
             "home_movie_8mm",
             "8mm/Super8 transfers: heavy gate weave + grain management",
             config_overrides=dict(
