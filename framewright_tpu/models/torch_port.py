@@ -102,6 +102,44 @@ def port_srvgg(sd: Mapping[str, Any], num_conv: int = 32) -> Dict:
     return {"body": convs, "act": acts, "conv_last": last}
 
 
+def port_nafnet(sd: Mapping[str, Any], enc_blocks=(2, 2, 4, 8),
+                middle_blocks: int = 12, dec_blocks=(2, 2, 2, 2)) -> Dict:
+    """Official NAFNet state_dict -> nafnet.init-compatible pytree.
+
+    Key layout (megvii-research NAFNet / torch_ref.build_nafnet):
+    intro, encoders.{i}.{j}.*, downs.{i}, middle_blks.{j}.*,
+    ups.{i}.0 (conv of Sequential(conv, PixelShuffle)),
+    decoders.{i}.{j}.*, ending; NAFBlock sca is Sequential -> sca.1.
+    """
+    def block(prefix: str) -> Dict:
+        return {
+            "norm1": {"gamma": _to_np(sd[f"{prefix}.norm1.weight"]),
+                      "beta": _to_np(sd[f"{prefix}.norm1.bias"])},
+            "conv1": _conv(sd, f"{prefix}.conv1"),
+            "conv2": _conv(sd, f"{prefix}.conv2"),
+            "conv3": _conv(sd, f"{prefix}.conv3"),
+            "sca": _conv(sd, f"{prefix}.sca.1"),
+            "norm2": {"gamma": _to_np(sd[f"{prefix}.norm2.weight"]),
+                      "beta": _to_np(sd[f"{prefix}.norm2.bias"])},
+            "conv4": _conv(sd, f"{prefix}.conv4"),
+            "conv5": _conv(sd, f"{prefix}.conv5"),
+            "beta": np.transpose(_to_np(sd[f"{prefix}.beta"]), (0, 2, 3, 1)),
+            "gamma": np.transpose(_to_np(sd[f"{prefix}.gamma"]), (0, 2, 3, 1)),
+        }
+
+    return {
+        "intro": _conv(sd, "intro"),
+        "encoders": [[block(f"encoders.{i}.{j}") for j in range(nb)]
+                     for i, nb in enumerate(enc_blocks)],
+        "downs": [_conv(sd, f"downs.{i}") for i in range(len(enc_blocks))],
+        "middles": [block(f"middle_blks.{j}") for j in range(middle_blocks)],
+        "ups": [_conv(sd, f"ups.{i}.0") for i in range(len(dec_blocks))],
+        "decoders": [[block(f"decoders.{i}.{j}") for j in range(nb)]
+                     for i, nb in enumerate(dec_blocks)],
+        "ending": _conv(sd, "ending"),
+    }
+
+
 def infer_srvgg_convs(sd: Mapping[str, Any]) -> int:
     idx = [int(m.group(1)) for k in sd for m in [re.match(r"body\.(\d+)\.weight", k)] if m]
     return (max(idx) - 2) // 2 if idx else 0

@@ -121,6 +121,106 @@ def build_srvgg(num_conv: int = 32, upscale: int = 4):
     return SRVGG()
 
 
+def build_nafnet(width: int = 32, enc_blocks=(2, 2, 4, 8),
+                 middle_blocks: int = 12, dec_blocks=(2, 2, 2, 2),
+                 in_ch: int = 3):
+    """Official NAFNet (megvii-research, ECCV22 "Simple Baselines")
+    re-statement for full-model parity: LayerNorm2d NAFBlocks,
+    conv2x2-stride2 downs, conv1x1+PixelShuffle ups with encoder skip
+    adds, global input residual. State-dict keys mirror the official
+    module names (intro/encoders/downs/middle_blks/ups/decoders/ending,
+    sca as Sequential -> `sca.1`) so `torch_port.port_nafnet` doubles
+    as the real-weight port. Ref capability slot: reference
+    tap_denoise.py:156 (pretrained NAFNet backend)."""
+    import torch
+    import torch.nn as nn
+    import torch.nn.functional as F
+
+    class LayerNorm2d(nn.Module):
+        def __init__(self, c):
+            super().__init__()
+            self.weight = nn.Parameter(torch.ones(c))
+            self.bias = nn.Parameter(torch.zeros(c))
+
+        def forward(self, x):
+            y = x.permute(0, 2, 3, 1)
+            y = F.layer_norm(y, y.shape[-1:], self.weight, self.bias)
+            return y.permute(0, 3, 1, 2)
+
+    class NAFBlock(nn.Module):
+        def __init__(self, c):
+            super().__init__()
+            dw = 2 * c
+            ffn = 2 * c
+            self.norm1 = LayerNorm2d(c)
+            self.conv1 = nn.Conv2d(c, dw, 1)
+            self.conv2 = nn.Conv2d(dw, dw, 3, padding=1, groups=dw)
+            self.conv3 = nn.Conv2d(dw // 2, c, 1)
+            self.sca = nn.Sequential(nn.AdaptiveAvgPool2d(1),
+                                     nn.Conv2d(dw // 2, dw // 2, 1))
+            self.norm2 = LayerNorm2d(c)
+            self.conv4 = nn.Conv2d(c, ffn, 1)
+            self.conv5 = nn.Conv2d(ffn // 2, c, 1)
+            self.beta = nn.Parameter(torch.randn(1, c, 1, 1) * 0.1)
+            self.gamma = nn.Parameter(torch.randn(1, c, 1, 1) * 0.1)
+
+        @staticmethod
+        def _sg(t):
+            a, b = t.chunk(2, dim=1)
+            return a * b
+
+        def forward(self, x):
+            y = self.conv2(self.conv1(self.norm1(x)))
+            y = self._sg(y)
+            y = y * self.sca(y)
+            y = self.conv3(y)
+            x = x + y * self.beta
+            y = self.conv5(self._sg(self.conv4(self.norm2(x))))
+            return x + y * self.gamma
+
+    class NAFNet(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.intro = nn.Conv2d(in_ch, width, 3, padding=1)
+            self.encoders = nn.ModuleList()
+            self.downs = nn.ModuleList()
+            ch = width
+            for nb in enc_blocks:
+                self.encoders.append(
+                    nn.Sequential(*[NAFBlock(ch) for _ in range(nb)]))
+                self.downs.append(nn.Conv2d(ch, 2 * ch, 2, stride=2))
+                ch *= 2
+            self.middle_blks = nn.Sequential(
+                *[NAFBlock(ch) for _ in range(middle_blocks)])
+            self.ups = nn.ModuleList()
+            self.decoders = nn.ModuleList()
+            for nb in dec_blocks:
+                self.ups.append(nn.Sequential(
+                    nn.Conv2d(ch, 2 * ch, 1), nn.PixelShuffle(2)))
+                ch //= 2
+                self.decoders.append(
+                    nn.Sequential(*[NAFBlock(ch) for _ in range(nb)]))
+            self.ending = nn.Conv2d(width, in_ch, 3, padding=1)
+
+        def forward(self, x):
+            inp = x
+            y = self.intro(x)
+            skips = []
+            for enc, down in zip(self.encoders, self.downs):
+                y = enc(y)
+                skips.append(y)
+                y = down(y)
+            y = self.middle_blks(y)
+            for up, dec, skip in zip(self.ups, self.decoders,
+                                     reversed(skips)):
+                y = up(y)
+                y = y + skip
+                y = dec(y)
+            return inp + self.ending(y)
+
+    return NAFNet()
+
+
 def parity_check(name: str, sd: dict, arch_config, family: str,
                  size: Tuple[int, int] = (64, 96)) -> dict:
     """Load a real state dict into BOTH implementations, run one frame,

@@ -113,6 +113,34 @@ class TestNAFNet:
         got = np.asarray(nafnet._naf_block(p, jnp.asarray(x)))
         np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-4)
 
+    @pytest.mark.slow
+    def test_full_model_matches_torch(self, rng):
+        """Full-model twin (PARITY.md): random-init official NAFNet vs
+        our forward through port_nafnet — covers intro/downs/ups/skip
+        wiring and the global residual, not just one block. Uses the
+        FW_nafnet_dn arch dims (the family we ship trained weights
+        for)."""
+        torch = pytest.importorskip("torch")
+
+        from framewright_tpu.models import torch_port, torch_ref
+
+        enc, mid, dec = (1, 1, 2), 2, (1, 1, 1)
+        tm = torch_ref.build_nafnet(width=16, enc_blocks=enc,
+                                    middle_blocks=mid, dec_blocks=dec)
+        tm.eval()
+        sd = {k: v.detach().numpy() for k, v in tm.state_dict().items()}
+        params = torch_port.port_nafnet(sd, enc_blocks=enc,
+                                        middle_blocks=mid, dec_blocks=dec)
+        params = jax.tree_util.tree_map(jnp.asarray, params)
+        cfg = nafnet.NAFNetConfig(width=16, enc_blocks=enc,
+                                  middle_blocks=mid, dec_blocks=dec)
+        x = rng.random((2, 16, 24, 3)).astype(np.float32)
+        with torch.no_grad():
+            want = tm(torch.from_numpy(x.transpose(0, 3, 1, 2))
+                      ).numpy().transpose(0, 2, 3, 1)
+        got = np.asarray(nafnet.apply(params, jnp.asarray(x), cfg))
+        np.testing.assert_allclose(got, want, atol=5e-5, rtol=1e-4)
+
 
 class TestTemporalDenoiser:
     def _noisy_static_clip(self, rng, n=9):
