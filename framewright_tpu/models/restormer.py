@@ -57,10 +57,11 @@ def _conv_init_nb(key, k, cin, cout, groups=1):
 
 
 def _ln_bias_free(p, x, eps=1e-5):
-    # bias-free LayerNorm: normalize by sqrt(var) only (official WithBias=False)
+    # official BiasFree_LayerNorm: variance is computed about the mean
+    # but the OUTPUT is x (not x - mu) scaled by rsqrt(var) — the mean
+    # passes through (restormer_arch.py: `x / torch.sqrt(sigma+1e-5)`)
     var = (x * x).mean(-1, keepdims=True) - x.mean(-1, keepdims=True) ** 2
-    mu = x.mean(-1, keepdims=True)
-    return (x - mu) * jax.lax.rsqrt(var + eps) * p["gamma"]
+    return x * jax.lax.rsqrt(var + eps) * p["gamma"]
 
 
 def _block_init(key, dim, heads, ffn_exp):
@@ -91,8 +92,9 @@ def _mdta(p, x, heads):
         return t.transpose(0, 2, 3, 1)
 
     q, k, v = reshape(q), reshape(k), reshape(v)
-    q = q / (jnp.linalg.norm(q, axis=-1, keepdims=True) + 1e-6)
-    k = k / (jnp.linalg.norm(k, axis=-1, keepdims=True) + 1e-6)
+    # torch F.normalize semantics: v / max(||v||, eps)
+    q = q / jnp.maximum(jnp.linalg.norm(q, axis=-1, keepdims=True), 1e-12)
+    k = k / jnp.maximum(jnp.linalg.norm(k, axis=-1, keepdims=True), 1e-12)
     att = jnp.einsum("bhcn,bhdn->bhcd", q, k) * p["temperature"].astype(x.dtype)
     att = jax.nn.softmax(att, axis=-1)
     out = jnp.einsum("bhcd,bhdn->bhcn", att, v)
@@ -104,7 +106,8 @@ def _gdfn(p, x):
     c2 = p["ffn_in"]["w"].shape[-1]
     y = _conv(p["ffn_dw"], _conv(p["ffn_in"], x), groups=c2)
     a, g = jnp.split(y, 2, axis=-1)
-    return _conv(p["ffn_out"], jax.nn.gelu(a) * g)
+    # exact (erf) GELU — torch F.gelu default; jax defaults to tanh approx
+    return _conv(p["ffn_out"], jax.nn.gelu(a, approximate=False) * g)
 
 
 def _block(p, x, heads):
@@ -118,7 +121,8 @@ def init(key, cfg: RestormerConfig = RestormerConfig(), dtype=jnp.float32) -> Di
     keys = iter(jax.random.split(key, 64))
     dim = cfg.dim
     params: Dict = {
-        "embed": conv_init(next(keys), 3, cfg.in_ch, dim),
+        # official OverlapPatchEmbed/output convs are bias-free
+        "embed": _conv_init_nb(next(keys), 3, cfg.in_ch, dim),
         "enc": [], "down": [], "dec": [], "up": [], "reduce": [],
         "latent": [], "refine": [],
     }
@@ -148,7 +152,7 @@ def init(key, cfg: RestormerConfig = RestormerConfig(), dtype=jnp.float32) -> Di
     params["refine"] = [
         _block_init(next(keys), dims[0] * 2, cfg.heads[0], cfg.ffn_expansion)
         for _ in range(cfg.num_refinement)]
-    params["output"] = conv_init(next(keys), 3, dims[0] * 2, cfg.in_ch)
+    params["output"] = _conv_init_nb(next(keys), 3, dims[0] * 2, cfg.in_ch)
     return jax.tree_util.tree_map(
         lambda v: v.astype(dtype) if hasattr(v, "astype") else v, params)
 

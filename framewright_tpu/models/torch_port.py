@@ -31,12 +31,14 @@ def _to_np(t: Any) -> np.ndarray:
 def _conv(sd: Mapping[str, Any], prefix: str) -> Dict[str, np.ndarray]:
     try:
         w = _to_np(sd[prefix + ".weight"])
-        b = _to_np(sd[prefix + ".bias"])
     except KeyError as exc:
         raise ModelError(f"Missing weight {exc} while porting {prefix!r}") from exc
     if w.ndim != 4:
         raise ModelError(f"{prefix}.weight is not a conv kernel: shape {w.shape}")
-    return {"w": np.transpose(w, (2, 3, 1, 0)), "b": b}  # OIHW -> HWIO
+    out = {"w": np.transpose(w, (2, 3, 1, 0))}  # OIHW -> HWIO
+    if prefix + ".bias" in sd:                  # bias-free convs (Restormer)
+        out["b"] = _to_np(sd[prefix + ".bias"])
+    return out
 
 
 def load_state_dict(path: Path) -> Dict[str, np.ndarray]:
@@ -137,6 +139,46 @@ def port_nafnet(sd: Mapping[str, Any], enc_blocks=(2, 2, 4, 8),
         "decoders": [[block(f"decoders.{i}.{j}") for j in range(nb)]
                      for i, nb in enumerate(dec_blocks)],
         "ending": _conv(sd, "ending"),
+    }
+
+
+def port_restormer(sd: Mapping[str, Any], num_blocks=(4, 6, 6, 8),
+                   num_refinement: int = 4) -> Dict:
+    """Official Restormer state_dict -> restormer.init-compatible
+    pytree (key layout: torch_ref.build_restormer / swz30 official)."""
+    def block(prefix: str) -> Dict:
+        return {
+            "norm1": {"gamma": _to_np(sd[f"{prefix}.norm1.body.weight"])},
+            "qkv": _conv(sd, f"{prefix}.attn.qkv"),
+            "qkv_dw": _conv(sd, f"{prefix}.attn.qkv_dwconv"),
+            "proj": _conv(sd, f"{prefix}.attn.project_out"),
+            "temperature": _to_np(sd[f"{prefix}.attn.temperature"]),
+            "norm2": {"gamma": _to_np(sd[f"{prefix}.norm2.body.weight"])},
+            "ffn_in": _conv(sd, f"{prefix}.ffn.project_in"),
+            "ffn_dw": _conv(sd, f"{prefix}.ffn.dwconv"),
+            "ffn_out": _conv(sd, f"{prefix}.ffn.project_out"),
+        }
+
+    def blocks(prefix: str, n: int):
+        return [block(f"{prefix}.{j}") for j in range(n)]
+
+    return {
+        "embed": _conv(sd, "patch_embed.proj"),
+        "enc": [blocks("encoder_level1", num_blocks[0]),
+                blocks("encoder_level2", num_blocks[1]),
+                blocks("encoder_level3", num_blocks[2])],
+        "down": [_conv(sd, "down1_2.body.0"), _conv(sd, "down2_3.body.0"),
+                 _conv(sd, "down3_4.body.0")],
+        "latent": blocks("latent", num_blocks[3]),
+        "up": [_conv(sd, "up4_3.body.0"), _conv(sd, "up3_2.body.0"),
+               _conv(sd, "up2_1.body.0")],
+        "reduce": [_conv(sd, "reduce_chan_level3"),
+                   _conv(sd, "reduce_chan_level2"), None],
+        "dec": [blocks("decoder_level3", num_blocks[2]),
+                blocks("decoder_level2", num_blocks[1]),
+                blocks("decoder_level1", num_blocks[0])],
+        "refine": blocks("refinement", num_refinement),
+        "output": _conv(sd, "output"),
     }
 
 

@@ -221,6 +221,164 @@ def build_nafnet(width: int = 32, enc_blocks=(2, 2, 4, 8),
     return NAFNet()
 
 
+def build_restormer(dim: int = 48, num_blocks=(4, 6, 6, 8),
+                    heads=(1, 2, 4, 8), num_refinement: int = 4,
+                    ffn_expansion: float = 2.66, in_ch: int = 3):
+    """Official Restormer (swz30, CVPR22) re-statement for full-model
+    parity: bias-free convs/LayerNorm, MDTA channel attention, GDFN,
+    PixelUnshuffle downs / PixelShuffle ups, reduce_chan convs at
+    levels 3/2 only, refinement at 2*dim. State-dict keys mirror the
+    official module names so `torch_port.port_restormer` doubles as
+    the real-weight port. Ref slot: reference tap_denoise.py:156."""
+    import torch
+    import torch.nn as nn
+    import torch.nn.functional as F
+
+    class _LNBody(nn.Module):
+        def __init__(self, c):
+            super().__init__()
+            self.weight = nn.Parameter(torch.ones(c))
+
+        def forward(self, x):  # x: (B, HW, C)
+            sigma = x.var(-1, keepdim=True, unbiased=False)
+            return x / torch.sqrt(sigma + 1e-5) * self.weight
+
+    class LayerNorm(nn.Module):
+        def __init__(self, c):
+            super().__init__()
+            self.body = _LNBody(c)
+
+        def forward(self, x):  # (B, C, H, W)
+            b, c, h, w = x.shape
+            y = x.flatten(2).transpose(1, 2)        # to_3d
+            y = self.body(y)
+            return y.transpose(1, 2).reshape(b, c, h, w)
+
+    class Attention(nn.Module):
+        def __init__(self, c, nheads):
+            super().__init__()
+            self.num_heads = nheads
+            self.temperature = nn.Parameter(torch.ones(nheads, 1, 1))
+            self.qkv = nn.Conv2d(c, c * 3, 1, bias=False)
+            self.qkv_dwconv = nn.Conv2d(c * 3, c * 3, 3, padding=1,
+                                        groups=c * 3, bias=False)
+            self.project_out = nn.Conv2d(c, c, 1, bias=False)
+
+        def forward(self, x):
+            b, c, h, w = x.shape
+            qkv = self.qkv_dwconv(self.qkv(x))
+            q, k, v = qkv.chunk(3, dim=1)
+            hd = c // self.num_heads
+
+            def rs(t):  # b (head c) h w -> b head c (h w)
+                return t.reshape(b, self.num_heads, hd, h * w)
+
+            q, k, v = rs(q), rs(k), rs(v)
+            q = F.normalize(q, dim=-1)
+            k = F.normalize(k, dim=-1)
+            att = (q @ k.transpose(-2, -1)) * self.temperature
+            att = att.softmax(dim=-1)
+            out = (att @ v).reshape(b, c, h, w)
+            return self.project_out(out)
+
+    class FeedForward(nn.Module):
+        def __init__(self, c, exp):
+            super().__init__()
+            hidden = int(c * exp)
+            self.project_in = nn.Conv2d(c, hidden * 2, 1, bias=False)
+            self.dwconv = nn.Conv2d(hidden * 2, hidden * 2, 3, padding=1,
+                                    groups=hidden * 2, bias=False)
+            self.project_out = nn.Conv2d(hidden, c, 1, bias=False)
+
+        def forward(self, x):
+            a, g = self.dwconv(self.project_in(x)).chunk(2, dim=1)
+            return self.project_out(F.gelu(a) * g)
+
+    class TransformerBlock(nn.Module):
+        def __init__(self, c, nheads):
+            super().__init__()
+            self.norm1 = LayerNorm(c)
+            self.attn = Attention(c, nheads)
+            self.norm2 = LayerNorm(c)
+            self.ffn = FeedForward(c, ffn_expansion)
+
+        def forward(self, x):
+            x = x + self.attn(self.norm1(x))
+            return x + self.ffn(self.norm2(x))
+
+    class _Body(nn.Module):
+        """Official Downsample/Upsample wrap their Sequential in
+        ``self.body`` — keys are down1_2.body.0.weight etc."""
+
+        def __init__(self, *mods):
+            super().__init__()
+            self.body = nn.Sequential(*mods)
+
+        def forward(self, x):
+            return self.body(x)
+
+    def down(c):
+        return _Body(nn.Conv2d(c, c // 2, 3, padding=1, bias=False),
+                     nn.PixelUnshuffle(2))
+
+    def up(c):
+        return _Body(nn.Conv2d(c, c * 2, 3, padding=1, bias=False),
+                     nn.PixelShuffle(2))
+
+    class PatchEmbed(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.proj = nn.Conv2d(in_ch, dim, 3, padding=1, bias=False)
+
+        def forward(self, x):
+            return self.proj(x)
+
+    class Restormer(nn.Module):
+        def __init__(self):
+            super().__init__()
+            d = dim
+            self.patch_embed = PatchEmbed()
+            self.encoder_level1 = nn.Sequential(
+                *[TransformerBlock(d, heads[0]) for _ in range(num_blocks[0])])
+            self.down1_2 = down(d)
+            self.encoder_level2 = nn.Sequential(
+                *[TransformerBlock(d * 2, heads[1]) for _ in range(num_blocks[1])])
+            self.down2_3 = down(d * 2)
+            self.encoder_level3 = nn.Sequential(
+                *[TransformerBlock(d * 4, heads[2]) for _ in range(num_blocks[2])])
+            self.down3_4 = down(d * 4)
+            self.latent = nn.Sequential(
+                *[TransformerBlock(d * 8, heads[3]) for _ in range(num_blocks[3])])
+            self.up4_3 = up(d * 8)
+            self.reduce_chan_level3 = nn.Conv2d(d * 8, d * 4, 1, bias=False)
+            self.decoder_level3 = nn.Sequential(
+                *[TransformerBlock(d * 4, heads[2]) for _ in range(num_blocks[2])])
+            self.up3_2 = up(d * 4)
+            self.reduce_chan_level2 = nn.Conv2d(d * 4, d * 2, 1, bias=False)
+            self.decoder_level2 = nn.Sequential(
+                *[TransformerBlock(d * 2, heads[1]) for _ in range(num_blocks[1])])
+            self.up2_1 = up(d * 2)
+            self.decoder_level1 = nn.Sequential(
+                *[TransformerBlock(d * 2, heads[0]) for _ in range(num_blocks[0])])
+            self.refinement = nn.Sequential(
+                *[TransformerBlock(d * 2, heads[0]) for _ in range(num_refinement)])
+            self.output = nn.Conv2d(d * 2, in_ch, 3, padding=1, bias=False)
+
+        def forward(self, x):
+            e1 = self.encoder_level1(self.patch_embed(x))
+            e2 = self.encoder_level2(self.down1_2(e1))
+            e3 = self.encoder_level3(self.down2_3(e2))
+            lat = self.latent(self.down3_4(e3))
+            d3 = self.decoder_level3(self.reduce_chan_level3(
+                torch.cat([self.up4_3(lat), e3], 1)))
+            d2 = self.decoder_level2(self.reduce_chan_level2(
+                torch.cat([self.up3_2(d3), e2], 1)))
+            d1 = self.decoder_level1(torch.cat([self.up2_1(d2), e1], 1))
+            return x + self.output(self.refinement(d1))
+
+    return Restormer()
+
+
 def parity_check(name: str, sd: dict, arch_config, family: str,
                  size: Tuple[int, int] = (64, 96)) -> dict:
     """Load a real state dict into BOTH implementations, run one frame,

@@ -20,6 +20,10 @@ _TOL = {
     "default": 2e-4,
     "ddcolor_small": 5e-4,   # correlation volume amplifies
     "hat_tiny": 5e-4,
+    # 12 GRU iterations of correlation-pyramid reductions: CPU thread
+    # partitioning makes accumulation order load-dependent (~5e-3
+    # drift observed between identical runs); flow magnitude ~8 px
+    "raft_tiny": 2e-2,
 }
 
 

@@ -40,11 +40,42 @@ class TestRestormer:
     def test_residual_wiring(self, rng):
         cfg = self._tiny()
         params = restormer.init(jax.random.PRNGKey(0), cfg)
+        # output conv is bias-free (official); zero weight => identity
         params["output"]["w"] = jnp.zeros_like(params["output"]["w"])
-        params["output"]["b"] = jnp.zeros_like(params["output"]["b"])
         x = jnp.asarray(rng.random((1, 16, 16, 3)).astype(np.float32))
         y = restormer.apply(params, x, cfg)
         np.testing.assert_allclose(np.asarray(y), np.asarray(x), atol=1e-6)
+
+    @pytest.mark.slow
+    def test_full_model_matches_torch(self, rng):
+        """Full-model twin (PARITY.md): random-init official Restormer
+        (swz30 CVPR22 restatement, torch_ref.build_restormer) vs our
+        forward through port_restormer. This twin caught three real
+        divergences on first run: BiasFree_LayerNorm passes the mean
+        through (x, not x-mu), F.normalize eps semantics, and exact
+        (erf) vs tanh-approximate GELU."""
+        torch = pytest.importorskip("torch")
+
+        from framewright_tpu.models import torch_port, torch_ref
+
+        nb, nref, heads = (1, 1, 1, 1), 1, (1, 2, 4, 8)
+        tm = torch_ref.build_restormer(dim=8, num_blocks=nb, heads=heads,
+                                       num_refinement=nref)
+        tm.eval()
+        sd = {k: v.detach().numpy() for k, v in tm.state_dict().items()}
+        params = torch_port.port_restormer(sd, num_blocks=nb,
+                                           num_refinement=nref)
+        params = jax.tree_util.tree_map(
+            lambda v: jnp.asarray(v) if v is not None else None, params,
+            is_leaf=lambda v: v is None)
+        cfg = restormer.RestormerConfig(dim=8, num_blocks=nb, heads=heads,
+                                        num_refinement=nref)
+        x = rng.random((1, 16, 24, 3)).astype(np.float32)
+        with torch.no_grad():
+            want = tm(torch.from_numpy(x.transpose(0, 3, 1, 2))
+                      ).numpy().transpose(0, 2, 3, 1)
+        got = np.asarray(restormer.apply(params, jnp.asarray(x), cfg))
+        np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-3)
 
     def test_channel_attention_is_pixel_linear(self, rng):
         # MDTA's cost signature: doubling pixels must not change the
