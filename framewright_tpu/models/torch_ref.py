@@ -386,6 +386,7 @@ def parity_check(name: str, sd: dict, arch_config, family: str,
     no torch reference."""
     import torch
 
+    import jax
     import jax.numpy as jnp
 
     from framewright_tpu.models import rrdb, srvgg, torch_port
@@ -423,6 +424,36 @@ def parity_check(name: str, sd: dict, arch_config, family: str,
         params = torch_port.port_hat(sd, depths=arch_config.depths,
                                      scale=arch_config.scale)
         y_jax = np.asarray(hat.apply(params, jnp.asarray(x), arch_config))
+    elif family == "nafnet":
+        from framewright_tpu.models import nafnet
+
+        cfg = arch_config
+        tm = build_nafnet(width=cfg.width, enc_blocks=cfg.enc_blocks,
+                          middle_blocks=cfg.middle_blocks,
+                          dec_blocks=cfg.dec_blocks, in_ch=cfg.in_ch)
+        params = torch_port.port_nafnet(sd, enc_blocks=cfg.enc_blocks,
+                                        middle_blocks=cfg.middle_blocks,
+                                        dec_blocks=cfg.dec_blocks)
+        y_jax = np.asarray(nafnet.apply_padded(
+            jax.tree_util.tree_map(jnp.asarray, params), jnp.asarray(x),
+            cfg))
+    elif family == "restormer":
+        from framewright_tpu.models import restormer
+
+        cfg = arch_config
+        tm = build_restormer(dim=cfg.dim, num_blocks=cfg.num_blocks,
+                             heads=cfg.heads,
+                             num_refinement=cfg.num_refinement,
+                             ffn_expansion=cfg.ffn_expansion,
+                             in_ch=cfg.in_ch)
+        params = torch_port.port_restormer(
+            sd, num_blocks=cfg.num_blocks,
+            num_refinement=cfg.num_refinement)
+        params = jax.tree_util.tree_map(
+            lambda v: jnp.asarray(v) if v is not None else None, params,
+            is_leaf=lambda v: v is None)
+        y_jax = np.asarray(restormer.apply_padded(params, jnp.asarray(x),
+                                                  cfg))
     else:
         raise ValueError(f"no torch reference for family {family!r}")
 
