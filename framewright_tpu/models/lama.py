@@ -56,7 +56,41 @@ def _conv(p, x, stride=1):
                    else jax.lax.Precision.DEFAULT),
         preferred_element_type=jnp.float32,
     )
-    return (y + p["b"].astype(jnp.float32)).astype(x.dtype)
+    if "b" in p:                # FFC-body convs are bias-free (official)
+        y = y + p["b"].astype(jnp.float32)
+    return y.astype(x.dtype)
+
+
+def _conv7_reflect(p, x):
+    """Official head/tail: ReflectionPad2d(3) + 7x7 VALID conv."""
+    x = jnp.pad(x, ((0, 0), (3, 3), (3, 3), (0, 0)), mode="reflect")
+    y = jax.lax.conv_general_dilated(
+        x, p["w"].astype(x.dtype), (1, 1), "VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        precision=(jax.lax.Precision.HIGHEST if x.dtype == jnp.float32
+                   else jax.lax.Precision.DEFAULT),
+        preferred_element_type=jnp.float32,
+    )
+    if "b" in p:
+        y = y + p["b"].astype(jnp.float32)
+    return y.astype(x.dtype)
+
+
+def _conv_transpose2(p, x):
+    """torch ConvTranspose2d(k=3, stride=2, padding=1, output_padding=1)
+    equivalent (the official upsample): fractionally-strided conv with
+    the kernel stored pre-flipped in HWIO (port does the flip)."""
+    y = jax.lax.conv_general_dilated(
+        x, p["w"].astype(x.dtype), (1, 1),
+        ((1, 2), (1, 2)), lhs_dilation=(2, 2),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        precision=(jax.lax.Precision.HIGHEST if x.dtype == jnp.float32
+                   else jax.lax.Precision.DEFAULT),
+        preferred_element_type=jnp.float32,
+    )
+    if "b" in p:
+        y = y + p["b"].astype(jnp.float32)
+    return y.astype(x.dtype)
 
 
 def _fourier_unit_init(key, c):
@@ -166,7 +200,7 @@ def apply(params: Dict, image: jnp.ndarray, mask: jnp.ndarray,
     Returns composited output (holes filled, rest passed through).
     H, W must be multiples of 2^n_down (use apply_padded)."""
     x = jnp.concatenate([image * (1.0 - mask), mask], axis=-1)
-    y = jax.nn.relu(_bn(params["head_bn"], _conv(params["head"], x)))
+    y = jax.nn.relu(_bn(params["head_bn"], _conv7_reflect(params["head"], x)))
     for d in params["downs"]:
         y = jax.nn.relu(_bn(d["bn"], _conv(d["conv"], y, stride=2)))
 
@@ -181,12 +215,10 @@ def apply(params: Dict, image: jnp.ndarray, mask: jnp.ndarray,
         yg = rg + yg
     y = jnp.concatenate([yl, yg], axis=-1)
 
-    from framewright_tpu.models.layers import upsample_nearest
-
     for u in params["ups"]:
-        y = upsample_nearest(y, 2)
-        y = jax.nn.relu(_bn(u["bn"], _conv(u["conv"], y)))
-    out = jax.nn.sigmoid(_conv(params["tail"], y))
+        # official upsample: ConvTranspose2d(3, s2, p1, op1) + BN + ReLU
+        y = jax.nn.relu(_bn(u["bn"], _conv_transpose2(u["conv"], y)))
+    out = jax.nn.sigmoid(_conv7_reflect(params["tail"], y))
     return image * (1.0 - mask) + out * mask
 
 

@@ -182,6 +182,92 @@ def port_restormer(sd: Mapping[str, Any], num_blocks=(4, 6, 6, 8),
     }
 
 
+def port_lama(sd: Mapping[str, Any], ngf: int = 64, n_down: int = 3,
+              n_blocks: int = 9, ratio: float = 0.5) -> Dict:
+    """Official LaMa FFCResNetGenerator state_dict -> lama.init pytree
+    (key layout: torch_ref.build_lama / saic-mdal `model.{i}.*`).
+
+    Layout notes: (1) the official FourierUnit conv operates on
+    per-channel INTERLEAVED (real, imag) channels while ours stacks
+    [all reals, all imags] — the port permutes conv rows/cols and BN
+    params; (2) the last downsample is an FFC whose (convl2l, convl2g)
+    outputs concatenate into our single down conv; (3) ConvTranspose2d
+    kernels are spatially flipped into the equivalent
+    fractionally-strided conv (lama._conv_transpose2)."""
+    def bn(prefix):
+        return {"gamma": _to_np(sd[f"{prefix}.weight"]),
+                "beta": _to_np(sd[f"{prefix}.bias"]),
+                "mean": _to_np(sd[f"{prefix}.running_mean"]),
+                "var": _to_np(sd[f"{prefix}.running_var"])}
+
+    def fu(prefix, c):
+        # interleaved (r0,i0,r1,i1,...) -> concat ([reals..., imags...])
+        perm = np.array([2 * j for j in range(c)]
+                        + [2 * j + 1 for j in range(c)])
+        w = _to_np(sd[f"{prefix}.conv_layer.weight"])[:, :, 0, 0]
+        w_cat = w[np.ix_(perm, perm)]                  # (out_cat, in_cat)
+        b = bn(f"{prefix}.bn")
+        return {"conv": {"w": w_cat.T[None, None]},
+                "bn": {k: v[perm] for k, v in b.items()}}
+
+    def spectral(prefix, cout):
+        mid = cout // 2
+        return {"conv1": _conv(sd, f"{prefix}.conv1.0"),
+                "bn1": bn(f"{prefix}.conv1.1"),
+                "fu": fu(f"{prefix}.fu", mid),
+                "conv2": _conv(sd, f"{prefix}.conv2")}
+
+    def ffc(prefix, ch):
+        cg = int(ch * ratio)
+        p = {"ll": _conv(sd, f"{prefix}.ffc.convl2l"),
+             "lg": _conv(sd, f"{prefix}.ffc.convl2g"),
+             "gl": _conv(sd, f"{prefix}.ffc.convg2l"),
+             "gg": spectral(f"{prefix}.ffc.convg2g", cg),
+             "bn_l": bn(f"{prefix}.bn_l"),
+             "bn_g": bn(f"{prefix}.bn_g")}
+        return p
+
+    def convT(prefix):
+        wt = _to_np(sd[f"{prefix}.weight"])            # (in, out, 3, 3)
+        return {"w": np.ascontiguousarray(
+                    np.transpose(wt[:, :, ::-1, ::-1], (2, 3, 0, 1))),
+                "b": _to_np(sd[f"{prefix}.bias"])}
+
+    params: Dict = {
+        "head": _conv(sd, "model.1.ffc.convl2l"),
+        "head_bn": bn("model.1.bn_l"),
+        "downs": [], "blocks": [], "ups": [],
+    }
+    ch = ngf
+    for i in range(n_down):
+        idx = 2 + i
+        if i == n_down - 1:
+            # transition FFC: concat (l2l, l2g) outputs + (bn_l, bn_g)
+            wl = _conv(sd, f"model.{idx}.ffc.convl2l")
+            wg = _conv(sd, f"model.{idx}.ffc.convl2g")
+            bl, bg = bn(f"model.{idx}.bn_l"), bn(f"model.{idx}.bn_g")
+            params["downs"].append({
+                "conv": {"w": np.concatenate([wl["w"], wg["w"]], axis=-1)},
+                "bn": {k: np.concatenate([bl[k], bg[k]]) for k in bl},
+            })
+        else:
+            params["downs"].append({"conv": _conv(sd, f"model.{idx}.ffc.convl2l"),
+                                    "bn": bn(f"model.{idx}.bn_l")})
+        ch *= 2
+    for j in range(n_blocks):
+        idx = 2 + n_down + j
+        params["blocks"].append({
+            "ffc1": ffc(f"model.{idx}.conv1", ch),
+            "ffc2": ffc(f"model.{idx}.conv2", ch),
+        })
+    u0 = 3 + n_down + n_blocks
+    for i in range(n_down):
+        params["ups"].append({"conv": convT(f"model.{u0 + 3 * i}"),
+                              "bn": bn(f"model.{u0 + 3 * i + 1}")})
+    params["tail"] = _conv(sd, f"model.{u0 + 3 * n_down + 1}")
+    return params
+
+
 def infer_srvgg_convs(sd: Mapping[str, Any]) -> int:
     idx = [int(m.group(1)) for k in sd for m in [re.match(r"body\.(\d+)\.weight", k)] if m]
     return (max(idx) - 2) // 2 if idx else 0

@@ -379,6 +379,147 @@ def build_restormer(dim: int = 48, num_blocks=(4, 6, 6, 8),
     return Restormer()
 
 
+def build_lama(ngf: int = 64, n_down: int = 3, n_blocks: int = 9,
+               ratio: float = 0.5, in_ch: int = 4):
+    """Official LaMa FFCResNetGenerator (saic-mdal, WACV22) re-statement
+    for full-model parity: ReflectionPad 7x7 head/tail, FFC_BN_ACT
+    downsamples (ratio 0, last one transitions to the resnet ratio),
+    FFCResnetBlocks, ConvTranspose2d upsamples, sigmoid out. State-dict
+    keys mirror the official ``model.{i}.*`` Sequential layout so
+    ``torch_port.port_lama`` doubles as the real-weight port
+    (enable_lfu=False, the big-lama setting). Ref slot: reference
+    watermark_removal.py:109 (simple-lama backend)."""
+    import torch
+    import torch.nn as nn
+
+    class FourierUnit(nn.Module):
+        def __init__(self, c_in, c_out):
+            super().__init__()
+            self.conv_layer = nn.Conv2d(c_in * 2, c_out * 2, 1, bias=False)
+            self.bn = nn.BatchNorm2d(c_out * 2)
+            self.relu = nn.ReLU(inplace=False)
+
+        def forward(self, x):
+            b, c, h, w = x.shape
+            f = torch.fft.rfftn(x.float(), dim=(-2, -1), norm="ortho")
+            f = torch.stack((f.real, f.imag), dim=-1)       # (B,C,H,Wf,2)
+            f = f.permute(0, 1, 4, 2, 3).reshape(b, -1, h, w // 2 + 1)
+            f = self.relu(self.bn(self.conv_layer(f)))
+            f = f.reshape(b, -1, 2, h, w // 2 + 1).permute(0, 1, 3, 4, 2)
+            f = torch.complex(f[..., 0], f[..., 1])
+            return torch.fft.irfftn(f, s=(h, w), dim=(-2, -1), norm="ortho")
+
+    class SpectralTransform(nn.Module):
+        def __init__(self, c_in, c_out):
+            super().__init__()
+            mid = c_out // 2
+            self.conv1 = nn.Sequential(nn.Conv2d(c_in, mid, 1, bias=False),
+                                       nn.BatchNorm2d(mid),
+                                       nn.ReLU(inplace=False))
+            self.fu = FourierUnit(mid, mid)
+            self.conv2 = nn.Conv2d(mid, c_out, 1, bias=False)
+
+        def forward(self, x):
+            x = self.conv1(x)
+            return self.conv2(x + self.fu(x))
+
+    class FFC(nn.Module):
+        def __init__(self, c_in, c_out, k, gin, gout, stride=1, pad=0):
+            super().__init__()
+            in_cg = int(c_in * gin)
+            in_cl = c_in - in_cg
+            out_cg = int(c_out * gout)
+            out_cl = c_out - out_cg
+            self.global_in_num = in_cg
+
+            def conv(ci, co):
+                if ci == 0 or co == 0:
+                    return nn.Identity()
+                return nn.Conv2d(ci, co, k, stride, pad, bias=False)
+
+            self.convl2l = conv(in_cl, out_cl)
+            self.convl2g = conv(in_cl, out_cg)
+            self.convg2l = conv(in_cg, out_cl)
+            self.convg2g = (SpectralTransform(in_cg, out_cg)
+                            if in_cg and out_cg else nn.Identity())
+            self.out_cl, self.out_cg = out_cl, out_cg
+
+        def forward(self, x):
+            x_l, x_g = x if isinstance(x, tuple) else (x, 0)
+            out_l, out_g = 0, 0
+            if self.out_cl:
+                out_l = self.convl2l(x_l) + (
+                    self.convg2l(x_g) if torch.is_tensor(x_g) else 0)
+            if self.out_cg:
+                out_g = (self.convl2g(x_l)
+                         if not isinstance(self.convl2g, nn.Identity) else 0)
+                if torch.is_tensor(x_g):
+                    out_g = out_g + self.convg2g(x_g)
+            return out_l, out_g
+
+    class FFC_BN_ACT(nn.Module):
+        def __init__(self, c_in, c_out, k, gin, gout, stride=1, pad=0):
+            super().__init__()
+            self.ffc = FFC(c_in, c_out, k, gin, gout, stride, pad)
+            out_cg = int(c_out * gout)
+            out_cl = c_out - out_cg
+            self.bn_l = nn.BatchNorm2d(out_cl) if out_cl else nn.Identity()
+            self.bn_g = nn.BatchNorm2d(out_cg) if out_cg else nn.Identity()
+            self.act_l = nn.ReLU(inplace=False)
+            self.act_g = nn.ReLU(inplace=False)
+
+        def forward(self, x):
+            xl, xg = self.ffc(x)
+            if torch.is_tensor(xl):
+                xl = self.act_l(self.bn_l(xl))
+            if torch.is_tensor(xg):
+                xg = self.act_g(self.bn_g(xg))
+            return xl, xg
+
+    class FFCResnetBlock(nn.Module):
+        def __init__(self, c, gin):
+            super().__init__()
+            self.conv1 = FFC_BN_ACT(c, c, 3, gin, gin, pad=1)
+            self.conv2 = FFC_BN_ACT(c, c, 3, gin, gin, pad=1)
+
+        def forward(self, x):
+            idl, idg = x
+            xl, xg = self.conv2(self.conv1(x))
+            return idl + xl, idg + xg
+
+    class ConcatTupleLayer(nn.Module):
+        def forward(self, x):
+            xl, xg = x
+            return torch.cat([xl, xg], dim=1)
+
+    layers = [nn.ReflectionPad2d(3),
+              FFC_BN_ACT(in_ch, ngf, 7, 0, 0)]
+    ch = ngf
+    for i in range(n_down):
+        gout = ratio if i == n_down - 1 else 0
+        layers.append(FFC_BN_ACT(ch, ch * 2, 3, 0, gout, stride=2, pad=1))
+        ch *= 2
+    for _ in range(n_blocks):
+        layers.append(FFCResnetBlock(ch, ratio))
+    layers.append(ConcatTupleLayer())
+    for _ in range(n_down):
+        layers += [nn.ConvTranspose2d(ch, ch // 2, 3, stride=2, padding=1,
+                                      output_padding=1),
+                   nn.BatchNorm2d(ch // 2), nn.ReLU(inplace=False)]
+        ch //= 2
+    layers += [nn.ReflectionPad2d(3), nn.Conv2d(ngf, 3, 7), nn.Sigmoid()]
+
+    class Generator(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.model = nn.Sequential(*layers)
+
+        def forward(self, x):
+            return self.model(x)
+
+    return Generator()
+
+
 def parity_check(name: str, sd: dict, arch_config, family: str,
                  size: Tuple[int, int] = (64, 96)) -> dict:
     """Load a real state dict into BOTH implementations, run one frame,

@@ -28,6 +28,38 @@ class TestLamaModel:
         out = lama.apply(params, img, mask, cfg)
         assert out.shape == (1, 16, 16, 3)
 
+    @pytest.mark.slow
+    def test_full_model_matches_torch(self, rng):
+        """Full-model twin (PARITY.md): random-init official LaMa
+        FFCResNetGenerator (torch_ref.build_lama) vs our forward
+        through port_lama — covers the FourierUnit channel-interleave
+        permutation, the last-downsample FFC transition concat, the
+        ConvTranspose upsamples, and the reflect-padded head/tail."""
+        torch = pytest.importorskip("torch")
+
+        from framewright_tpu.models import torch_port, torch_ref
+
+        ngf, nd, nb = 8, 2, 2
+        tm = torch_ref.build_lama(ngf=ngf, n_down=nd, n_blocks=nb,
+                                  ratio=0.5)
+        tm.eval()
+        sd = {k: v.detach().numpy() for k, v in tm.state_dict().items()}
+        params = torch_port.port_lama(sd, ngf=ngf, n_down=nd, n_blocks=nb,
+                                      ratio=0.5)
+        params = jax.tree_util.tree_map(jnp.asarray, params)
+        cfg = lama.LamaConfig(ngf=ngf, n_down=nd, n_blocks=nb)
+        img = rng.random((1, 16, 24, 3)).astype(np.float32)
+        mask = np.zeros((1, 16, 24, 1), np.float32)
+        mask[0, 4:10, 6:16] = 1.0
+        x = np.concatenate([img * (1 - mask), mask], axis=-1)
+        with torch.no_grad():
+            raw = tm(torch.from_numpy(x.transpose(0, 3, 1, 2))
+                     ).numpy().transpose(0, 2, 3, 1)
+        want = img * (1 - mask) + raw * mask      # our apply composites
+        got = np.asarray(lama.apply(params, jnp.asarray(img),
+                                    jnp.asarray(mask), cfg))
+        np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-3)
+
     def test_unmasked_pixels_passthrough(self, rng):
         cfg = self._tiny()
         params = lama.init(jax.random.PRNGKey(0), cfg)
