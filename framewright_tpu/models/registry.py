@@ -29,6 +29,7 @@ from framewright_tpu.models import (
     codeformer,
     diffusion_sr,
     hat,
+    ifnet,
     nafnet,
     raft,
     retinaface,
@@ -194,6 +195,14 @@ _register(ModelSpec(
     url="https://github.com/sczhou/CodeFormer/releases/download/v0.1.0/codeformer.pth",
     apply_fn=codeformer.apply, init_fn=codeformer.init,
     port_fn=torch_port.port_codeformer,
+))
+_register(ModelSpec(
+    name="rife-v4.6", family="ifnet", scale=1,
+    arch_config=ifnet.IFNetConfig(),
+    url="https://github.com/hzwer/Practical-RIFE",  # flownet.pkl in the
+                                                    # v4.6 release zip
+    apply_fn=ifnet.apply, init_fn=ifnet.init,
+    port_fn=torch_port.port_ifnet,
 ))
 _register(ModelSpec(
     name="raft-things", family="flow", scale=1,

@@ -51,7 +51,11 @@ def load_state_dict(path: Path) -> Dict[str, np.ndarray]:
             if key in obj and isinstance(obj[key], dict):
                 obj = obj[key]
                 break
-    return {k: _to_np(v) for k, v in obj.items()}
+    out = {k: _to_np(v) for k, v in obj.items()}
+    if out and all(k.startswith("module.") for k in out):
+        # DataParallel-saved checkpoints (e.g. RIFE flownet.pkl)
+        out = {k[len("module."):]: v for k, v in out.items()}
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -266,6 +270,32 @@ def port_lama(sd: Mapping[str, Any], ngf: int = 64, n_down: int = 3,
                               "bn": bn(f"model.{u0 + 3 * i + 1}")})
     params["tail"] = _conv(sd, f"model.{u0 + 3 * n_down + 1}")
     return params
+
+
+def port_ifnet(sd: Mapping[str, Any], channels=(192, 128, 96, 64),
+               num_res_convs: int = 8) -> Dict:
+    """Practical-RIFE IFNet (v4.6 flownet) state_dict ->
+    ifnet.init-compatible pytree. Student blocks only (block0..3);
+    teacher keys (block_tea.*) carry no inference weight. conv() in the
+    official arch is Sequential(Conv2d, PReLU) -> keys
+    block{b}.conv0.{j}.0.weight / .1.weight (PReLU alpha);
+    lastconv.0 is ConvTranspose2d(c, 24, 4, 2, 1)."""
+    def cp(name):
+        p = _conv(sd, f"{name}.0")
+        p["alpha"] = _to_np(sd[f"{name}.1.weight"]).reshape(-1)
+        return p
+
+    blocks = []
+    for b, c in enumerate(channels):
+        conv0 = [cp(f"block{b}.conv0.0"), cp(f"block{b}.conv0.1")]
+        convblock = [cp(f"block{b}.convblock.{i}")
+                     for i in range(num_res_convs)]
+        wt = _to_np(sd[f"block{b}.lastconv.0.weight"])   # (c, 24, 4, 4)
+        head = {"w": np.transpose(wt, (2, 3, 0, 1)),
+                "b": _to_np(sd[f"block{b}.lastconv.0.bias"])}
+        blocks.append({"conv0": conv0, "convblock": convblock,
+                       "head": head})
+    return {"blocks": blocks}
 
 
 def infer_srvgg_convs(sd: Mapping[str, Any]) -> int:

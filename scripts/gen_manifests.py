@@ -437,7 +437,35 @@ def tvsr_manifest(dim=64, heads=4, window=8, depth=6, mlp_ratio=2,
     return keys
 
 
+def ifnet_manifest(channels=(192, 128, 96, 64), num_res_convs=8):
+    """Practical-RIFE v4.6 flownet (IFNet_HDv3), student blocks.
+
+    conv() = Sequential(Conv2d, PReLU); lastconv.0 = ConvTranspose2d
+    (c, 4*6, 4, 2, 1). Teacher keys (block_tea.*) exist in the real
+    file but carry no inference weight — `models verify` reports them
+    as unexpected without failing, and port_ifnet skips them."""
+    keys = {}
+
+    def conv_prelu(name, cout, cin, k):
+        keys[name + ".0.weight"] = [cout, cin, k, k]
+        keys[name + ".0.bias"] = [cout]
+        keys[name + ".1.weight"] = [cout]
+
+    for b, c in enumerate(channels):
+        in_ch = 7 if b == 0 else 8 + 4
+        conv_prelu(f"block{b}.conv0.0", c // 2, in_ch, 3)
+        conv_prelu(f"block{b}.conv0.1", c, c // 2, 3)
+        for i in range(num_res_convs):
+            conv_prelu(f"block{b}.convblock.{i}", c, c, 3)
+        keys[f"block{b}.lastconv.0.weight"] = [c, 24, 4, 4]
+        keys[f"block{b}.lastconv.0.bias"] = [24]
+    return keys
+
+
 MANIFESTS = {
+    "rife-v4.6": (ifnet_manifest,
+                  "Practical-RIFE 4.6 flownet student blocks "
+                  "(IFNet_HDv3; module. prefix stripped at load)"),
     "CodeFormer": (codeformer_manifest,
                    "sczhou CodeFormer v0.1.0 (512px, 1024x256 codebook, "
                    "9-layer transformer)"),
