@@ -65,7 +65,7 @@ class TestPresets:
     def test_preset_override(self):
         cfg = Config.from_preset("fast", crf=30)
         assert cfg.crf == 30
-        assert cfg.sr_model == "realesr-general-x4v3"
+        assert cfg.sr_model == "FW_fastvgg_x2"
 
 
 class TestSerialization:
@@ -130,4 +130,4 @@ class TestEnvAndLayering:
         )
         assert cfg.crf == 11            # CLI wins
         assert cfg.scale_factor == 4    # env beats preset
-        assert cfg.sr_model == "realesr-general-x4v3"  # from preset
+        assert cfg.sr_model == "FW_fastvgg_x2"  # from preset
