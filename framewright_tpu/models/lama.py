@@ -44,51 +44,27 @@ def _bn(p, x, eps=1e-5):
     return ((x - p["mean"]) * inv * p["gamma"] + p["beta"]).astype(x.dtype)
 
 
-def _conv(p, x, stride=1):
-    y = jax.lax.conv_general_dilated(
-        x, p["w"].astype(x.dtype), (stride, stride),
+def _conv(p, x, stride=1, reflect=0):
+    """Conv wrapper; ``reflect`` pads that much reflection + VALID conv
+    (the official ReflectionPad2d(3) + 7x7 head/tail)."""
+    if reflect:
+        x = jnp.pad(x, ((0, 0), (reflect, reflect), (reflect, reflect),
+                        (0, 0)), mode="reflect")
+        padding = "VALID"
+    elif stride == 1:
+        padding = "SAME"
+    else:
         # torch pads k//2 both sides; XLA SAME at stride 2 pads (0,1) -
         # explicit padding keeps released-checkpoint parity
-        ("SAME" if stride == 1 else
-         ((p["w"].shape[0] // 2,) * 2, (p["w"].shape[1] // 2,) * 2)),
+        padding = ((p["w"].shape[0] // 2,) * 2, (p["w"].shape[1] // 2,) * 2)
+    y = jax.lax.conv_general_dilated(
+        x, p["w"].astype(x.dtype), (stride, stride), padding,
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         precision=(jax.lax.Precision.HIGHEST if x.dtype == jnp.float32
                    else jax.lax.Precision.DEFAULT),
         preferred_element_type=jnp.float32,
     )
     if "b" in p:                # FFC-body convs are bias-free (official)
-        y = y + p["b"].astype(jnp.float32)
-    return y.astype(x.dtype)
-
-
-def _conv7_reflect(p, x):
-    """Official head/tail: ReflectionPad2d(3) + 7x7 VALID conv."""
-    x = jnp.pad(x, ((0, 0), (3, 3), (3, 3), (0, 0)), mode="reflect")
-    y = jax.lax.conv_general_dilated(
-        x, p["w"].astype(x.dtype), (1, 1), "VALID",
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        precision=(jax.lax.Precision.HIGHEST if x.dtype == jnp.float32
-                   else jax.lax.Precision.DEFAULT),
-        preferred_element_type=jnp.float32,
-    )
-    if "b" in p:
-        y = y + p["b"].astype(jnp.float32)
-    return y.astype(x.dtype)
-
-
-def _conv_transpose2(p, x):
-    """torch ConvTranspose2d(k=3, stride=2, padding=1, output_padding=1)
-    equivalent (the official upsample): fractionally-strided conv with
-    the kernel stored pre-flipped in HWIO (port does the flip)."""
-    y = jax.lax.conv_general_dilated(
-        x, p["w"].astype(x.dtype), (1, 1),
-        ((1, 2), (1, 2)), lhs_dilation=(2, 2),
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        precision=(jax.lax.Precision.HIGHEST if x.dtype == jnp.float32
-                   else jax.lax.Precision.DEFAULT),
-        preferred_element_type=jnp.float32,
-    )
-    if "b" in p:
         y = y + p["b"].astype(jnp.float32)
     return y.astype(x.dtype)
 
@@ -200,7 +176,8 @@ def apply(params: Dict, image: jnp.ndarray, mask: jnp.ndarray,
     Returns composited output (holes filled, rest passed through).
     H, W must be multiples of 2^n_down (use apply_padded)."""
     x = jnp.concatenate([image * (1.0 - mask), mask], axis=-1)
-    y = jax.nn.relu(_bn(params["head_bn"], _conv7_reflect(params["head"], x)))
+    y = jax.nn.relu(_bn(params["head_bn"],
+                        _conv(params["head"], x, reflect=3)))
     for d in params["downs"]:
         y = jax.nn.relu(_bn(d["bn"], _conv(d["conv"], y, stride=2)))
 
@@ -215,10 +192,13 @@ def apply(params: Dict, image: jnp.ndarray, mask: jnp.ndarray,
         yg = rg + yg
     y = jnp.concatenate([yl, yg], axis=-1)
 
+    from framewright_tpu.models.layers import conv2d_transpose
+
     for u in params["ups"]:
         # official upsample: ConvTranspose2d(3, s2, p1, op1) + BN + ReLU
-        y = jax.nn.relu(_bn(u["bn"], _conv_transpose2(u["conv"], y)))
-    out = jax.nn.sigmoid(_conv7_reflect(params["tail"], y))
+        y = jax.nn.relu(_bn(u["bn"], conv2d_transpose(
+            u["conv"], y, stride=2, kernel=3, pad=1, out_pad=1)))
+    out = jax.nn.sigmoid(_conv(params["tail"], y, reflect=3))
     return image * (1.0 - mask) + out * mask
 
 

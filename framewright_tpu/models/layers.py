@@ -58,15 +58,18 @@ def conv2d(p: dict, x: jnp.ndarray, stride: int = 1, padding="SAME",
 
 
 def conv2d_transpose(p: dict, x: jnp.ndarray, stride: int = 2,
-                     kernel: int = 4, pad: int = 1) -> jnp.ndarray:
+                     kernel: int = 4, pad: int = 1,
+                     out_pad: int = 0) -> jnp.ndarray:
     """Transposed conv with TORCH ConvTranspose2d semantics
-    (kernel=4, stride=2, padding=1 -> exact 2x upsample, the RIFE/GAN
-    idiom). Kernel stored HWIO like regular convs (ported torch weights
+    (kernel=4/stride=2/padding=1 is the RIFE/GAN 2x idiom;
+    kernel=3/stride=2/padding=1/output_padding=1 is the NAFNet/LaMa
+    one). Kernel stored HWIO like regular convs (ported torch weights
     transpose (2,3,0,1) from torch's (in, out, kH, kW)).
 
     Implemented as input dilation + flipped-kernel conv, which is the
     definition of transposed convolution: insert (s-1) zeros between
-    inputs, pad (k-1-p) each side, correlate with the flipped kernel.
+    inputs, pad (k-1-p) low / (k-1-p+out_pad) high, correlate with the
+    flipped kernel.
     """
     w = p["w"].astype(x.dtype)
     w_flipped = w[::-1, ::-1, :, :]
@@ -75,13 +78,14 @@ def conv2d_transpose(p: dict, x: jnp.ndarray, stride: int = 2,
         x,
         w_flipped,
         window_strides=(1, 1),
-        padding=((edge, edge), (edge, edge)),
+        padding=((edge, edge + out_pad), (edge, edge + out_pad)),
         lhs_dilation=(stride, stride),
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         precision=_conv_precision(x),
         preferred_element_type=jnp.float32,
     )
-    y = y + p["b"].astype(jnp.float32)
+    if "b" in p:
+        y = y + p["b"].astype(jnp.float32)
     return y.astype(x.dtype)
 
 

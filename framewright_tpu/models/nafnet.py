@@ -45,7 +45,9 @@ def _conv2d(p, x, stride=1, groups=1):
                    else jax.lax.Precision.DEFAULT),
         preferred_element_type=jnp.float32,
     )
-    return (y + p["b"].astype(jnp.float32)).astype(x.dtype)
+    if "b" in p:   # official ups convs are bias-free
+        y = y + p["b"].astype(jnp.float32)
+    return y.astype(x.dtype)
 
 
 def _ln(p, x, eps=1e-6):

@@ -28,16 +28,22 @@ def _to_np(t: Any) -> np.ndarray:
     return np.asarray(t.detach().cpu().numpy() if hasattr(t, "detach") else t)
 
 
-def _conv(sd: Mapping[str, Any], prefix: str) -> Dict[str, np.ndarray]:
+def _conv(sd: Mapping[str, Any], prefix: str,
+          bias: bool = True) -> Dict[str, np.ndarray]:
+    """``bias=False`` for architecturally bias-free convs (Restormer,
+    LaMa FFC bodies, NAFNet ups) — every other family keeps the loud
+    missing-key error so a truncated checkpoint fails at port time, not
+    with a KeyError deep inside jit tracing."""
     try:
         w = _to_np(sd[prefix + ".weight"])
+        b = _to_np(sd[prefix + ".bias"]) if bias else None
     except KeyError as exc:
         raise ModelError(f"Missing weight {exc} while porting {prefix!r}") from exc
     if w.ndim != 4:
         raise ModelError(f"{prefix}.weight is not a conv kernel: shape {w.shape}")
     out = {"w": np.transpose(w, (2, 3, 1, 0))}  # OIHW -> HWIO
-    if prefix + ".bias" in sd:                  # bias-free convs (Restormer)
-        out["b"] = _to_np(sd[prefix + ".bias"])
+    if b is not None:
+        out["b"] = b
     return out
 
 
@@ -139,7 +145,8 @@ def port_nafnet(sd: Mapping[str, Any], enc_blocks=(2, 2, 4, 8),
                      for i, nb in enumerate(enc_blocks)],
         "downs": [_conv(sd, f"downs.{i}") for i in range(len(enc_blocks))],
         "middles": [block(f"middle_blks.{j}") for j in range(middle_blocks)],
-        "ups": [_conv(sd, f"ups.{i}.0") for i in range(len(dec_blocks))],
+        "ups": [_conv(sd, f"ups.{i}.0", bias=False)
+                for i in range(len(dec_blocks))],
         "decoders": [[block(f"decoders.{i}.{j}") for j in range(nb)]
                      for i, nb in enumerate(dec_blocks)],
         "ending": _conv(sd, "ending"),
@@ -153,36 +160,36 @@ def port_restormer(sd: Mapping[str, Any], num_blocks=(4, 6, 6, 8),
     def block(prefix: str) -> Dict:
         return {
             "norm1": {"gamma": _to_np(sd[f"{prefix}.norm1.body.weight"])},
-            "qkv": _conv(sd, f"{prefix}.attn.qkv"),
-            "qkv_dw": _conv(sd, f"{prefix}.attn.qkv_dwconv"),
-            "proj": _conv(sd, f"{prefix}.attn.project_out"),
+            "qkv": _conv(sd, f"{prefix}.attn.qkv", bias=False),
+            "qkv_dw": _conv(sd, f"{prefix}.attn.qkv_dwconv", bias=False),
+            "proj": _conv(sd, f"{prefix}.attn.project_out", bias=False),
             "temperature": _to_np(sd[f"{prefix}.attn.temperature"]),
             "norm2": {"gamma": _to_np(sd[f"{prefix}.norm2.body.weight"])},
-            "ffn_in": _conv(sd, f"{prefix}.ffn.project_in"),
-            "ffn_dw": _conv(sd, f"{prefix}.ffn.dwconv"),
-            "ffn_out": _conv(sd, f"{prefix}.ffn.project_out"),
+            "ffn_in": _conv(sd, f"{prefix}.ffn.project_in", bias=False),
+            "ffn_dw": _conv(sd, f"{prefix}.ffn.dwconv", bias=False),
+            "ffn_out": _conv(sd, f"{prefix}.ffn.project_out", bias=False),
         }
 
     def blocks(prefix: str, n: int):
         return [block(f"{prefix}.{j}") for j in range(n)]
 
     return {
-        "embed": _conv(sd, "patch_embed.proj"),
+        "embed": _conv(sd, "patch_embed.proj", bias=False),
         "enc": [blocks("encoder_level1", num_blocks[0]),
                 blocks("encoder_level2", num_blocks[1]),
                 blocks("encoder_level3", num_blocks[2])],
-        "down": [_conv(sd, "down1_2.body.0"), _conv(sd, "down2_3.body.0"),
-                 _conv(sd, "down3_4.body.0")],
+        "down": [_conv(sd, "down1_2.body.0", bias=False), _conv(sd, "down2_3.body.0", bias=False),
+                 _conv(sd, "down3_4.body.0", bias=False)],
         "latent": blocks("latent", num_blocks[3]),
-        "up": [_conv(sd, "up4_3.body.0"), _conv(sd, "up3_2.body.0"),
-               _conv(sd, "up2_1.body.0")],
-        "reduce": [_conv(sd, "reduce_chan_level3"),
-                   _conv(sd, "reduce_chan_level2"), None],
+        "up": [_conv(sd, "up4_3.body.0", bias=False), _conv(sd, "up3_2.body.0", bias=False),
+               _conv(sd, "up2_1.body.0", bias=False)],
+        "reduce": [_conv(sd, "reduce_chan_level3", bias=False),
+                   _conv(sd, "reduce_chan_level2", bias=False), None],
         "dec": [blocks("decoder_level3", num_blocks[2]),
                 blocks("decoder_level2", num_blocks[1]),
                 blocks("decoder_level1", num_blocks[0])],
         "refine": blocks("refinement", num_refinement),
-        "output": _conv(sd, "output"),
+        "output": _conv(sd, "output", bias=False),
     }
 
 
@@ -196,8 +203,8 @@ def port_lama(sd: Mapping[str, Any], ngf: int = 64, n_down: int = 3,
     [all reals, all imags] — the port permutes conv rows/cols and BN
     params; (2) the last downsample is an FFC whose (convl2l, convl2g)
     outputs concatenate into our single down conv; (3) ConvTranspose2d
-    kernels are spatially flipped into the equivalent
-    fractionally-strided conv (lama._conv_transpose2)."""
+    kernels transpose to HWIO unflipped — layers.conv2d_transpose flips
+    internally (same convention as port_ifnet)."""
     def bn(prefix):
         return {"gamma": _to_np(sd[f"{prefix}.weight"]),
                 "beta": _to_np(sd[f"{prefix}.bias"]),
@@ -216,29 +223,30 @@ def port_lama(sd: Mapping[str, Any], ngf: int = 64, n_down: int = 3,
 
     def spectral(prefix, cout):
         mid = cout // 2
-        return {"conv1": _conv(sd, f"{prefix}.conv1.0"),
+        return {"conv1": _conv(sd, f"{prefix}.conv1.0", bias=False),
                 "bn1": bn(f"{prefix}.conv1.1"),
                 "fu": fu(f"{prefix}.fu", mid),
-                "conv2": _conv(sd, f"{prefix}.conv2")}
+                "conv2": _conv(sd, f"{prefix}.conv2", bias=False)}
 
     def ffc(prefix, ch):
         cg = int(ch * ratio)
-        p = {"ll": _conv(sd, f"{prefix}.ffc.convl2l"),
-             "lg": _conv(sd, f"{prefix}.ffc.convl2g"),
-             "gl": _conv(sd, f"{prefix}.ffc.convg2l"),
+        p = {"ll": _conv(sd, f"{prefix}.ffc.convl2l", bias=False),
+             "lg": _conv(sd, f"{prefix}.ffc.convl2g", bias=False),
+             "gl": _conv(sd, f"{prefix}.ffc.convg2l", bias=False),
              "gg": spectral(f"{prefix}.ffc.convg2g", cg),
              "bn_l": bn(f"{prefix}.bn_l"),
              "bn_g": bn(f"{prefix}.bn_g")}
         return p
 
     def convT(prefix):
+        # layers.conv2d_transpose flips internally — store unflipped
+        # HWIO, same convention as port_ifnet's lastconv
         wt = _to_np(sd[f"{prefix}.weight"])            # (in, out, 3, 3)
-        return {"w": np.ascontiguousarray(
-                    np.transpose(wt[:, :, ::-1, ::-1], (2, 3, 0, 1))),
+        return {"w": np.transpose(wt, (2, 3, 0, 1)),
                 "b": _to_np(sd[f"{prefix}.bias"])}
 
     params: Dict = {
-        "head": _conv(sd, "model.1.ffc.convl2l"),
+        "head": _conv(sd, "model.1.ffc.convl2l", bias=False),
         "head_bn": bn("model.1.bn_l"),
         "downs": [], "blocks": [], "ups": [],
     }
@@ -247,15 +255,15 @@ def port_lama(sd: Mapping[str, Any], ngf: int = 64, n_down: int = 3,
         idx = 2 + i
         if i == n_down - 1:
             # transition FFC: concat (l2l, l2g) outputs + (bn_l, bn_g)
-            wl = _conv(sd, f"model.{idx}.ffc.convl2l")
-            wg = _conv(sd, f"model.{idx}.ffc.convl2g")
+            wl = _conv(sd, f"model.{idx}.ffc.convl2l", bias=False)
+            wg = _conv(sd, f"model.{idx}.ffc.convl2g", bias=False)
             bl, bg = bn(f"model.{idx}.bn_l"), bn(f"model.{idx}.bn_g")
             params["downs"].append({
                 "conv": {"w": np.concatenate([wl["w"], wg["w"]], axis=-1)},
                 "bn": {k: np.concatenate([bl[k], bg[k]]) for k in bl},
             })
         else:
-            params["downs"].append({"conv": _conv(sd, f"model.{idx}.ffc.convl2l"),
+            params["downs"].append({"conv": _conv(sd, f"model.{idx}.ffc.convl2l", bias=False),
                                     "bn": bn(f"model.{idx}.bn_l")})
         ch *= 2
     for j in range(n_blocks):

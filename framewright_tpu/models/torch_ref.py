@@ -144,7 +144,9 @@ def build_nafnet(width: int = 32, enc_blocks=(2, 2, 4, 8),
 
         def forward(self, x):
             y = x.permute(0, 2, 3, 1)
-            y = F.layer_norm(y, y.shape[-1:], self.weight, self.bias)
+            # official megvii LayerNorm2d (and nafnet._ln) use eps=1e-6
+            y = F.layer_norm(y, y.shape[-1:], self.weight, self.bias,
+                             eps=1e-6)
             return y.permute(0, 3, 1, 2)
 
     class NAFBlock(nn.Module):
@@ -196,7 +198,8 @@ def build_nafnet(width: int = 32, enc_blocks=(2, 2, 4, 8),
             self.decoders = nn.ModuleList()
             for nb in dec_blocks:
                 self.ups.append(nn.Sequential(
-                    nn.Conv2d(ch, 2 * ch, 1), nn.PixelShuffle(2)))
+                    nn.Conv2d(ch, 2 * ch, 1, bias=False),
+                    nn.PixelShuffle(2)))
                 ch //= 2
                 self.decoders.append(
                     nn.Sequential(*[NAFBlock(ch) for _ in range(nb)]))
