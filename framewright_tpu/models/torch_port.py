@@ -58,9 +58,12 @@ def load_state_dict(path: Path) -> Dict[str, np.ndarray]:
                 obj = obj[key]
                 break
     out = {k: _to_np(v) for k, v in obj.items()}
-    if out and all(k.startswith("module.") for k in out):
-        # DataParallel-saved checkpoints (e.g. RIFE flownet.pkl)
-        out = {k[len("module."):]: v for k, v in out.items()}
+    if any(k.startswith("module.") for k in out):
+        # DataParallel-saved checkpoints (e.g. RIFE flownet.pkl); any()
+        # not all() — a stray non-prefixed metadata entry must not
+        # disable the strip (same convention as port_raft)
+        out = {(k[len("module."):] if k.startswith("module.") else k): v
+               for k, v in out.items()}
     return out
 
 
