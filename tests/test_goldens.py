@@ -138,3 +138,8 @@ def test_golden(name):
     err = np.abs(got - want).max()
     tol = _TOL.get(name, _TOL["default"])
     assert err < tol, f"{name}: max abs drift {err:.2e} (tol {tol})"
+    if name == "raft_tiny":
+        # the loose max-abs above absorbs sparse thread-order outliers;
+        # a real numeric bug shifts the WHOLE field — bound the mean
+        mean_err = np.abs(got - want).mean()
+        assert mean_err < 1e-3, f"raft_tiny: mean drift {mean_err:.2e}"
