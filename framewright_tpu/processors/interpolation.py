@@ -68,7 +68,10 @@ class FrameInterpolator:
 
         cfg = self.config
         arch = ifnet.IFNetConfig()
-        # weights: .npz in weights dir, else seeded random (test mode)
+        # weights: .npz in the pinned weights dir, else the registry
+        # chain (default weights dir / packaged / ported-npz cache —
+        # `models port rife-v4.6 --path flownet.pkl` lands there),
+        # else seeded random (test mode)
         params = None
         if cfg.weights_dir:
             from pathlib import Path
@@ -81,6 +84,15 @@ class FrameInterpolator:
                 params = jax.tree_util.tree_map(
                     lambda v: jnp.asarray(v) if hasattr(v, "shape") else v, params
                 )
+        if params is None:
+            try:
+                from framewright_tpu.models import registry
+
+                spec, params = registry.init_model(
+                    cfg.model_name, allow_random=False)
+                arch = spec.arch_config
+            except Exception:  # noqa: BLE001 — no real weights anywhere
+                params = None
         if params is None:
             params = ifnet.init(jax.random.PRNGKey(0), arch)
         self._params = params
