@@ -139,6 +139,24 @@ def _ffc(p, xl, xg):
     return yl, yg
 
 
+def config_from_params(params: Dict) -> LamaConfig:
+    """Recover the architecture config from a (ported) param tree —
+    released checkpoints differ (paper: LaMa-Fourier 9 blocks,
+    Big-LaMa 18; both ratio 0.75), so callers loading an npz should
+    derive dims from the tree instead of assuming the default."""
+    head_w = params["head"]["w"]
+    blk = params["blocks"][0]["ffc1"]
+    cl = int(blk["bn_l"]["gamma"].shape[0])
+    cg = int(blk["bn_g"]["gamma"].shape[0])
+    return LamaConfig(
+        ngf=int(head_w.shape[-1]),
+        n_down=len(params["downs"]),
+        n_blocks=len(params["blocks"]),
+        global_ratio=cg / (cl + cg),
+        in_ch=int(head_w.shape[-2]),
+    )
+
+
 def init(key, cfg: LamaConfig = LamaConfig(), dtype=jnp.float32) -> Dict:
     keys = iter(jax.random.split(key, 8 + cfg.n_down * 2 + cfg.n_blocks * 2))
     ngf = cfg.ngf

@@ -28,8 +28,10 @@ from framewright_tpu.errors import ModelError
 from framewright_tpu.models import (
     codeformer,
     diffusion_sr,
+    gfpgan,
     hat,
     ifnet,
+    lama,
     nafnet,
     raft,
     retinaface,
@@ -195,6 +197,25 @@ _register(ModelSpec(
     url="https://github.com/sczhou/CodeFormer/releases/download/v0.1.0/codeformer.pth",
     apply_fn=codeformer.apply, init_fn=codeformer.init,
     port_fn=torch_port.port_codeformer,
+))
+_register(ModelSpec(
+    name="GFPGANv1.4", family="face", scale=1,
+    arch_config=gfpgan.GFPGANConfig(),
+    url="https://github.com/TencentARC/GFPGAN/releases/download/v1.3.0/GFPGANv1.4.pth",
+    apply_fn=gfpgan.apply, init_fn=gfpgan.init,
+    port_fn=torch_port.port_gfpgan,
+))
+_register(ModelSpec(
+    name="big-lama", family="inpaint", scale=1,
+    # paper Big-LaMa generator: 18 FFC blocks, ratio 0.75; the port
+    # infers the real dims from the file (LaMa-Fourier is 9 blocks),
+    # and processors derive the runtime config from the ported tree
+    # (lama.config_from_params)
+    arch_config=lama.LamaConfig(ngf=64, n_down=3, n_blocks=18,
+                                global_ratio=0.75),
+    url="https://github.com/saic-mdal/lama (big-lama release)",
+    apply_fn=lama.apply, init_fn=lama.init,
+    port_fn=torch_port.port_lama,
 ))
 _register(ModelSpec(
     name="rife-v4.6", family="ifnet", scale=1,

@@ -196,8 +196,30 @@ def port_restormer(sd: Mapping[str, Any], num_blocks=(4, 6, 6, 8),
     }
 
 
-def port_lama(sd: Mapping[str, Any], ngf: int = 64, n_down: int = 3,
-              n_blocks: int = 9, ratio: float = 0.5) -> Dict:
+def infer_lama_arch(sd: Mapping[str, Any]) -> Dict[str, Any]:
+    """Infer (ngf, n_down, n_blocks, ratio) from an official
+    FFCResNetGenerator state dict — released checkpoints differ
+    (LaMa-Fourier: 9 blocks; Big-LaMa: 18; both ratio 0.75)."""
+    block_idx = sorted({
+        int(m.group(1)) for k in sd
+        for m in [re.match(r"model\.(\d+)\.conv1\.ffc\.", k)] if m})
+    if not block_idx:
+        raise ModelError("not an FFCResNetGenerator state dict "
+                         "(no model.{i}.conv1.ffc keys)")
+    n_down = block_idx[0] - 2
+    n_blocks = len(block_idx)
+    ngf = int(np.asarray(sd["model.1.ffc.convl2l.weight"]).shape[0])
+    last_down = 1 + n_down
+    cl = int(np.asarray(
+        sd[f"model.{last_down}.ffc.convl2l.weight"]).shape[0])
+    cg = int(np.asarray(
+        sd[f"model.{last_down}.ffc.convl2g.weight"]).shape[0])
+    return {"ngf": ngf, "n_down": n_down, "n_blocks": n_blocks,
+            "ratio": cg / (cl + cg)}
+
+
+def port_lama(sd: Mapping[str, Any], ngf: int = None, n_down: int = None,
+              n_blocks: int = None, ratio: float = None) -> Dict:
     """Official LaMa FFCResNetGenerator state_dict -> lama.init pytree
     (key layout: torch_ref.build_lama / saic-mdal `model.{i}.*`).
 
@@ -207,7 +229,15 @@ def port_lama(sd: Mapping[str, Any], ngf: int = 64, n_down: int = 3,
     params; (2) the last downsample is an FFC whose (convl2l, convl2g)
     outputs concatenate into our single down conv; (3) ConvTranspose2d
     kernels transpose to HWIO unflipped — layers.conv2d_transpose flips
-    internally (same convention as port_ifnet)."""
+    internally (same convention as port_ifnet). Dims not passed are
+    inferred from the state dict (infer_lama_arch)."""
+    if None in (ngf, n_down, n_blocks, ratio):
+        arch = infer_lama_arch(sd)
+        ngf = ngf if ngf is not None else arch["ngf"]
+        n_down = n_down if n_down is not None else arch["n_down"]
+        n_blocks = n_blocks if n_blocks is not None else arch["n_blocks"]
+        ratio = ratio if ratio is not None else arch["ratio"]
+
     def bn(prefix):
         return {"gamma": _to_np(sd[f"{prefix}.weight"]),
                 "beta": _to_np(sd[f"{prefix}.bias"]),

@@ -96,7 +96,9 @@ class WatermarkRemover:
             npz = Path(self.config.weights_dir) / "big-lama.npz"
             if npz.exists():
                 params = torch_port.import_npz(npz)
-                arch = lama.LamaConfig()  # full-size once weighted
+                # released checkpoints differ (LaMa-Fourier 9 blocks /
+                # Big-LaMa 18, ratio 0.75) — derive dims from the tree
+                arch = lama.config_from_params(params)
         if params is None:
             params = lama.init(jax.random.PRNGKey(3), arch)
         self._params = jax.tree_util.tree_map(

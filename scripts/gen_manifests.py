@@ -462,7 +462,31 @@ def ifnet_manifest(channels=(192, 128, 96, 64), num_res_convs=8):
     return keys
 
 
+def lama_manifest():
+    """Big-LaMa generator inventory, generated from the official-
+    faithful torch twin (torch_ref.build_lama) at the paper's Big-LaMa
+    dims (18 FFC blocks, ratio 0.75, ngf 64). BN bookkeeping scalars
+    (num_batches_tracked) are ignorable."""
+    import sys
+    from pathlib import Path as _P
+
+    sys.path.insert(0, str(_P(__file__).resolve().parent.parent))
+    from framewright_tpu.models import torch_ref
+
+    tm = torch_ref.build_lama(ngf=64, n_down=3, n_blocks=18, ratio=0.75)
+    keys = {}
+    ignorable = []
+    for k, v in tm.state_dict().items():
+        keys[k] = list(v.shape)
+        if "num_batches_tracked" in k:
+            ignorable.append(k)
+    return keys, ignorable
+
+
 MANIFESTS = {
+    "big-lama": (lama_manifest,
+                 "saic-mdal Big-LaMa FFCResNetGenerator (18 blocks, "
+                 "ratio 0.75; LaMa-Fourier files differ — port infers)"),
     "rife-v4.6": (ifnet_manifest,
                   "Practical-RIFE 4.6 flownet student blocks "
                   "(IFNet_HDv3; module. prefix stripped at load)"),
