@@ -598,6 +598,24 @@ def parity_check(name: str, sd: dict, arch_config, family: str,
             is_leaf=lambda v: v is None)
         y_jax = np.asarray(restormer.apply_padded(params, jnp.asarray(x),
                                                   cfg))
+    elif family == "inpaint":
+        from framewright_tpu.models import lama, torch_port as _tp
+
+        arch = _tp.infer_lama_arch(sd)
+        tm = build_lama(ngf=arch["ngf"], n_down=arch["n_down"],
+                        n_blocks=arch["n_blocks"], ratio=arch["ratio"])
+        params = jax.tree_util.tree_map(
+            jnp.asarray, torch_port.port_lama(sd))
+        cfg = lama.config_from_params(params)
+        img = jnp.asarray(x)
+        msk = jnp.zeros((1, h, w, 1)).at[:, h // 4: h // 2,
+                                         w // 4: w // 2].set(1.0)
+        y_jax = np.asarray(lama.apply_padded(params, img, msk, cfg))
+        # torch side consumes the masked-concat input; composite to
+        # match lama.apply's output contract
+        x = np.concatenate([x * (1.0 - np.asarray(msk)),
+                            np.asarray(msk)], axis=-1)
+        _lama_mask = np.asarray(msk)
     else:
         raise ValueError(f"no torch reference for family {family!r}")
 
@@ -607,8 +625,13 @@ def parity_check(name: str, sd: dict, arch_config, family: str,
         raise ValueError(f"torch reference missing keys: {missing[:5]}")
     tm.eval()
     with torch.no_grad():
-        y_t = tm(torch.as_tensor(x.transpose(0, 3, 1, 2)))
+        y_t = tm(torch.as_tensor(
+            np.ascontiguousarray(x.transpose(0, 3, 1, 2))))
     y_torch = y_t.numpy().transpose(0, 2, 3, 1)
+    if family == "inpaint":
+        # lama.apply composites: image*(1-mask) + out*mask; x[..., :3]
+        # already holds image*(1-mask)
+        y_torch = x[..., :3] + y_torch * _lama_mask
     diff = y_jax.astype(np.float64) - y_torch.astype(np.float64)
     mse = float(np.mean(diff ** 2))
     return {
