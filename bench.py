@@ -285,12 +285,16 @@ def main() -> int:
                 with Y4MWriter(src, width=1920, height=1080, fps=25) as wtr:
                     for t in range(n_frames):
                         wtr.write_frame(base[:, t * 16:t * 16 + 1920])
+                # (frames_done, time) pairs — progress may arrive in
+                # batch-sized jumps, so fps must come from count deltas,
+                # not from assuming one callback per frame
                 stamps = []
 
                 def cb(info):
-                    if (info.stage == "enhance"
-                            and info.frames_done > len(stamps)):
-                        stamps.append(time.time())
+                    if (info.stage == "enhance" and info.frames_done > 0
+                            and (not stamps
+                                 or info.frames_done > stamps[-1][0])):
+                        stamps.append((info.frames_done, time.time()))
 
                 cfg_e = Config(
                     project_dir=os.path.join(td, "proj"),
@@ -301,13 +305,17 @@ def main() -> int:
                 VideoRestorer(cfg_e, progress_callback=cb).restore_video(
                     src, output=os.path.join(td, "out.y4m"))
                 t_total = time.time() - t_run
-                if len(stamps) >= n_frames:
-                    half = stamps[n_frames // 2:]
-                    steady = (len(half) - 1) / max(
-                        half[-1] - half[0], 1e-6)
+                if stamps and stamps[-1][0] >= n_frames:
+                    half = [s for s in stamps if s[0] > n_frames // 2]
+                    if len(half) >= 2:
+                        steady = (half[-1][0] - half[0][0]) / max(
+                            half[-1][1] - half[0][1], 1e-6)
+                    else:  # one big batch: fall back to the whole run
+                        steady = stamps[-1][0] / max(
+                            stamps[-1][1] - t_run, 1e-6)
                     result["e2e_fps"] = round(steady, 3)
                     result["e2e_first_frame_s"] = round(
-                        stamps[0] - t_run, 1)
+                        stamps[0][1] - t_run, 1)
                     result["e2e_total_s"] = round(t_total, 1)
         except Exception as exc:  # noqa: BLE001 — secondary metric only
             result["e2e_error"] = str(exc)[:200]

@@ -269,8 +269,6 @@ class APIServer:
                     if i == t:
                         frame = f
                         break
-                    if i > t:
-                        break
             if frame is None:
                 return None
             h, w = frame.shape[:2]
@@ -410,8 +408,12 @@ class APIServer:
                 q = parse_qs(urlparse(self.path).query)
                 source = (q.get("source") or [""])[0]
                 tid = (q.get("task") or [None])[0]
+                # The reader decodes linearly inside the single-threaded
+                # handler, so the reachable index must stay small: preview
+                # outputs are short segments, and original-source thumbnails
+                # only make sense near the front of the clip.
                 try:
-                    t = max(0, min(int((q.get("t") or ["0"])[0]), 100000))
+                    t = max(0, min(int((q.get("t") or ["0"])[0]), 2000))
                 except ValueError:
                     return self._send(400, {"error": "bad t"})
                 known = set(server._previews) | {
@@ -428,6 +430,9 @@ class APIServer:
                         return self._send(404, {"error": "no output yet"})
                     media = Path(task.output)
                     t = max(0, t - getattr(task, "start", 0))
+                    n = getattr(task, "n_frames", 0)
+                    if n:
+                        t = min(t, max(0, n - 1))
                 png = server._read_frame_png(media, t)
                 if png is None:
                     return self._send(404, {"error": "frame unavailable"})

@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import logging
 import wave
+import zipfile
 from dataclasses import dataclass, field
 from pathlib import Path
 from typing import Optional, Tuple
@@ -305,7 +306,11 @@ class AudioEnhancer:
                     mask_fn = audio_net.make_mask_fn(params)
                     x = WienerMaskDenoiser(
                         cfg.denoise_strength, mask_fn=mask_fn).process(x, sr)
-                except (FileNotFoundError, OSError) as e:
+                # A corrupt/truncated checkpoint surfaces as BadZipFile /
+                # ValueError / KeyError out of np.load or the param lookup —
+                # degrade to Wiener the same as a missing file.
+                except (FileNotFoundError, OSError, ValueError, KeyError,
+                        zipfile.BadZipFile) as e:
                     logger.warning(
                         "audio AI checkpoint unavailable (%s); "
                         "falling back to wiener", e)

@@ -591,18 +591,26 @@ class AzureBlobStorage(CloudStorage):
         if method != "PUT":
             xms.pop("x-ms-blob-type")
         length = str(len(payload)) if payload else ""
+        # urllib auto-adds a Content-Type to any request with a body; an
+        # unsigned default would 403 (AuthenticationFailed), so PUTs pin an
+        # explicit octet-stream and sign it at the Content-Type slot.
+        content_type = "application/octet-stream" if method == "PUT" else ""
         canon_headers = "".join(
             f"{k}:{v}\n" for k, v in sorted(xms.items()))
         canon_resource = (f"/{self.account}/{self.container}/"
                           f"{urllib.parse.quote(key)}")
         string_to_sign = "\n".join([
-            method, "", "", length, "", "", "", "", "", "", "", "",
+            method, "", "", length, "", content_type,
+            "", "", "", "", "", "",
         ]) + "\n" + canon_headers + canon_resource
         signature = base64.b64encode(hmac.new(
             base64.b64decode(self.account_key or b"AA=="),
             string_to_sign.encode(), hashlib.sha256).digest()).decode()
-        return {**xms,
-                "Authorization": f"SharedKey {self.account}:{signature}"}
+        headers = {**xms,
+                   "Authorization": f"SharedKey {self.account}:{signature}"}
+        if content_type:
+            headers["Content-Type"] = content_type
+        return headers
 
     def upload(self, local: Path, remote_key: str) -> None:
         payload = Path(local).read_bytes()
@@ -663,6 +671,19 @@ class GoogleDriveStorage(CloudStorage):
         return files[0]["id"] if files else None
 
     def upload(self, local: Path, remote_key: str) -> None:
+        # Drive allows duplicate names in a folder; a repeated upload must
+        # update the existing file in place or download()/exists() would
+        # later resolve an arbitrary stale copy.
+        existing = self._find(remote_key)
+        if existing is not None:
+            status, data = self.transport(
+                "PATCH",
+                f"{self._UPLOAD}/files/{existing}?uploadType=media",
+                self._headers({"Content-Type": "application/octet-stream"}),
+                Path(local).read_bytes())
+            if status != 200:
+                raise CloudError(f"GDrive update failed ({status}): {data}")
+            return
         boundary = "fw-boundary-7b3d"
         meta = json.dumps({"name": remote_key,
                            "parents": [self.folder_id]})

@@ -350,6 +350,39 @@ class TestAzureGDriveStorage:
         assert body == b"YUV"
         assert headers["Authorization"].startswith("SharedKey acct:")
         assert headers["x-ms-blob-type"] == "BlockBlob"
+        # urllib auto-adds a Content-Type to body-carrying requests; PUT
+        # must pin and sign an explicit one or real uploads 403.
+        assert headers["Content-Type"] == "application/octet-stream"
+
+    def test_azure_put_signs_the_content_type_slot(self, tmp_path):
+        """The signed string-to-sign must include the Content-Type that is
+        actually sent (SharedKey canonicalization slot 6)."""
+        import base64
+        import hashlib
+        import hmac
+
+        from framewright_tpu.cloud import AzureBlobStorage
+
+        tr = FakeTransport([(201, {})])
+        st = AzureBlobStorage("acct", "cont", account_key="QUJD",
+                              transport=tr,
+                              now=lambda: "Sun, 17 Aug 2026 12:00:00 GMT")
+        f = tmp_path / "c.y4m"
+        f.write_bytes(b"YUV")
+        st.upload(f, "parts/c.y4m")
+        _, _, headers, body = tr.calls[0]
+        sts = "\n".join([
+            "PUT", "", "", str(len(body)), "", "application/octet-stream",
+            "", "", "", "", "", "",
+        ]) + "\n" + (
+            "x-ms-blob-type:BlockBlob\n"
+            "x-ms-date:Sun, 17 Aug 2026 12:00:00 GMT\n"
+            f"x-ms-version:{AzureBlobStorage._VERSION}\n"
+        ) + "/acct/cont/parts/c.y4m"
+        want = base64.b64encode(hmac.new(
+            base64.b64decode("QUJD"), sts.encode(),
+            hashlib.sha256).digest()).decode()
+        assert headers["Authorization"] == f"SharedKey acct:{want}"
 
     def test_azure_download_binary_exact(self, tmp_path):
         from framewright_tpu.cloud import AzureBlobStorage
@@ -380,18 +413,38 @@ class TestAzureGDriveStorage:
     def test_gdrive_upload_multipart(self, tmp_path):
         from framewright_tpu.cloud import GoogleDriveStorage
 
-        tr = FakeTransport([(200, {"id": "f1"})])
+        tr = FakeTransport([(200, {"files": []}),      # dedup lookup: none
+                            (200, {"id": "f1"})])
         st = GoogleDriveStorage(token="tok", folder_id="fold",
                                 transport=tr)
         f = tmp_path / "d.bin"
         f.write_bytes(b"PAYLOAD")
         st.upload(f, "jobs/d.bin")
-        m, url, headers, body = tr.calls[0]
+        m, url, headers, body = tr.calls[1]
         assert m == "POST" and "uploadType=multipart" in url
         assert b"PAYLOAD" in body
         assert b'"name": "jobs/d.bin"' in body
         assert b'"parents": ["fold"]' in body
         assert headers["Authorization"] == "Bearer tok"
+
+    def test_gdrive_reupload_patches_existing_file(self, tmp_path):
+        """Drive allows duplicate names; re-upload must PATCH in place so a
+        later download resolves the fresh bytes, not a stale copy."""
+        from framewright_tpu.cloud import GoogleDriveStorage
+
+        tr = FakeTransport([
+            (200, {"files": [{"id": "old1", "name": "jobs/d.bin"}]}),
+            (200, {"id": "old1"}),
+        ])
+        st = GoogleDriveStorage(token="tok", folder_id="fold",
+                                transport=tr)
+        f = tmp_path / "d.bin"
+        f.write_bytes(b"NEWBYTES")
+        st.upload(f, "jobs/d.bin")
+        m, url, headers, body = tr.calls[1]
+        assert m == "PATCH" and "files/old1" in url
+        assert "uploadType=media" in url
+        assert body == b"NEWBYTES"
 
     def test_gdrive_download_resolves_name_then_media(self, tmp_path):
         from framewright_tpu.cloud import GoogleDriveStorage
