@@ -36,7 +36,11 @@ class SRConfig:
     tile_size: int = 0            # 0 = planner decides
     tile_overlap: int = 0         # 0 = receptive default for the family
     batch_size: int = 0           # 0 = planner decides
-    sharding: str = "auto"        # auto|data|none: frame-axis mesh parallel
+    sharding: str = "auto"        # auto|data|2d|none: "data" shards the
+                                  # frame axis; "2d" adds height-axis
+                                  # spatial sharding (frames x space
+                                  # mesh — XLA inserts conv halo
+                                  # exchanges over ICI)
     hbm_utilization: float = 0.85
     weights_dir: Optional[str] = None
     allow_random_weights: bool = True   # bench/test mode
@@ -161,17 +165,28 @@ class SuperResolution(FrameProcessor):
         # frame-axis data parallelism over the local mesh: the analog of
         # the reference's MultiGPUDistributor (utils/multi_gpu.py:549)
         self._mesh = None
-        if cfg.sharding in ("auto", "data") and len(jax.devices()) > 1:
+        self._spatial = False
+        if cfg.sharding in ("auto", "data", "2d") and len(jax.devices()) > 1:
             from framewright_tpu.parallel.mesh import build_mesh, frame_sharding, replicate
 
-            self._mesh = build_mesh()
-            self._frame_sharding = frame_sharding(self._mesh)
+            nd = len(jax.devices())
+            shape = ()
+            if cfg.sharding == "2d" and nd % 2 == 0 and height % 2 == 0:
+                # frames x space: the height axis is sharded too, so the
+                # conv stencils halo-exchange over ICI (the TPU analog of
+                # the reference's per-GPU spatial tiling)
+                shape = (nd // 2, 2)
+                self._spatial = True
+            self._mesh = build_mesh(shape)
+            self._frame_sharding = frame_sharding(
+                self._mesh, spatial=self._spatial)
             self._params = jax.device_put(self._params, replicate(self._mesh))
             if self._fast_params is not None:
                 self._fast_params = jax.device_put(
                     self._fast_params, replicate(self._mesh))
-            logger.info("SR sharded over %d devices (frames axis)",
-                        self._mesh.shape["frames"])
+            logger.info("SR sharded over %d devices (%s)",
+                        len(self._mesh.devices.flat),
+                        "frames x space" if self._spatial else "frames axis")
         self._jit_dtype = dtype
         self._jit_fused = use_fused
         if cfg.output_color == "yuv420" and cfg.outscale:

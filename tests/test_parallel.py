@@ -201,3 +201,26 @@ class TestShardedSR:
         b = single.process_batch(frames)
         assert a.shape == b.shape == (5, 64, 64, 3)
         np.testing.assert_allclose(a.astype(int), b.astype(int), atol=1)
+
+    def test_sr_2d_mesh_spatial_sharding_matches_unsharded(self, rng, tmp_path):
+        """frames x space mesh: height-axis sharding makes XLA insert
+        conv halo exchanges; numerics must match the unsharded path."""
+        from framewright_tpu.processors.super_resolution import SRConfig, SuperResolution
+
+        common = dict(model_name="realesr-animevideov3", compute_dtype="float32",
+                      weights_dir=str(tmp_path), device_stats=True)
+        sharded = SuperResolution(SRConfig(sharding="2d", **common))
+        sharded.setup(16, 16)
+        assert sharded._mesh is not None and sharded._spatial
+        assert dict(sharded._mesh.shape) == {"frames": 4, "space": 2}
+        single = SuperResolution(SRConfig(sharding="none", **common))
+        single.setup(16, 16)
+        frames = rng.integers(0, 256, (5, 16, 16, 3), dtype=np.uint8)
+        ha = sharded.dispatch(frames)
+        a = sharded.materialize(ha)
+        b = single.process_batch(frames)
+        assert a.shape == b.shape == (5, 64, 64, 3)
+        np.testing.assert_allclose(a.astype(int), b.astype(int), atol=1)
+        stats = ha.get("stats_np")
+        assert stats is not None and stats["psnr"].shape == (5,)
+        assert np.all(np.isfinite(stats["psnr"]))
