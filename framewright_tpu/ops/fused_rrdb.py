@@ -54,8 +54,14 @@ import os as _os
 # ((112/102)^2 = 1.21x halo recompute vs 1.40x at 64); tests pin S=64
 # (smaller interpret-mode blocks) and a slow cross-S test guards 112.
 S = int(_os.environ.get("FW_RDB_S", "112"))
-HALO = 5
-BH = S - 2 * HALO          # 54 valid interior
+# HALO=8 (was 5): any halo >= 5 is numerically valid (garbage grows one
+# ring per conv); 8 makes the ring exactly one (8, 128)-aligned lane
+# strip (HALO*S % 128 == 0 for S % 16 == 0), which the merge-kernel
+# body (rrdb_body_merge) needs to fetch neighbor rings as BlockSpec
+# operands. At the production x2 geometry (540x960 body) BH=96 gives
+# the SAME 6x10 block grid as BH=102 did — zero extra kernel cost.
+HALO = int(_os.environ.get("FW_RDB_HALO", "8"))
+BH = S - 2 * HALO          # valid interior
 NF, GC = 64, 32            # Real-ESRGAN fixed channel plan
 PX = S * S
 NT = 192                   # total target channels: 4*32 + 64
@@ -72,9 +78,10 @@ TPC_GC_I8 = int(_os.environ.get("FW_TPC_GC_I8", "8"))
 # 328 -> 279 ms/frame body on v5e) and the kernel working set still
 # fits comfortably in the 128 MiB core VMEM.
 VMEM_LIMIT = int(_os.environ.get("FW_RDB_VMEM_MB", "100")) * 1024 * 1024
-# Body variant default (see rrdb_body_fast): flipped to "1" once the
-# block-resident path measured faster on v5e.
-_RESIDENT_DEFAULT = "0"
+# Body variant default (see rrdb_body_fast): "roundtrip" or "merge".
+# Measured on v5e (scripts/bench_body_merge.py, head+body at 1080p x2,
+# same process): bf16 308.6 -> 208.0 ms, int8-static 296.0 -> 186.7 ms.
+_BODY_DEFAULT = "merge"
 
 
 # ---------------------------------------------------------------------------
@@ -571,6 +578,277 @@ def fused_rdb_blocks(blocks: jnp.ndarray, extents: jnp.ndarray, wide: Dict,
 
 
 # ---------------------------------------------------------------------------
+# Merge-in-kernel block-resident body.
+#
+# Round-3/4 profiler finding (scripts/trace_report.py on a real v5e
+# trace): the 69 fused RDB sweeps take ~161 ms/frame (78% MXU peak) but
+# the per-RDB extract/assemble glue costs ~186 ms/frame — thousands of
+# small reshape/copy/slice ops, op-overhead-bound, not bandwidth-bound.
+# This path extracts blocks ONCE per frame and keeps them resident
+# across all sweeps; each kernel invocation refreshes its own halo ring
+# by fetching the neighbors' interior strips as extra BlockSpec
+# operands of the SAME blocks array:
+#   - up/down/diagonal rings are (HALO*S)-lane strips — lane-block
+#     aligned because HALO*S % 128 == 0 (HALO=8, S % 16 == 0)
+#   - left/right neighbors are fetched as full blocks and lane-rolled
+#     by BH in the packed-word domain (a lane roll moves both packed
+#     bf16 channels together)
+# Ring regions are pure lane predicates, and the valid-rect extents
+# already gate every frame border: outside the frame the merged input
+# is zero — exactly SAME zero-pad semantics. Correctness of the
+# refresh: after one kernel pass a block's outer 5 pixels are garbage
+# (5 convs), so rows/cols [5, HALO) and the whole interior stay valid;
+# the refresh only ever reads neighbor INTERIOR strips (rows BH:BH+HALO
+# and HALO:2*HALO), so the induction holds across all 69 sweeps.
+# ---------------------------------------------------------------------------
+
+HS = HALO * S  # ring strip lanes (one (8,128)-aligned lane block)
+
+
+def _merge_ring_packed(ext_ref, x_ref, up_ref, dn_ref, lf_ref, rt_ref,
+                       dul_ref, dur_ref, ddl_ref, ddr_ref, xm_ref):
+    """Compose the ring-refreshed block input into xm_ref (packed words).
+
+    All refs hold bf16; packing to int32 words (2 channels/word) is a
+    bitcast, and every select mask is a lane predicate, so the merge
+    runs entirely on packed words. Returns the (1, PX) valid mask for
+    reuse by the conv body.
+    """
+    bi = pl.program_id(0)
+    r0 = ext_ref[bi, 0]
+    r1 = ext_ref[bi, 1]
+    c0 = ext_ref[bi, 2]
+    c1 = ext_ref[bi, 3]
+    lanes = jax.lax.broadcasted_iota(jnp.int32, (1, PX), 1)
+    rows = lanes // S
+    cols = lanes % S
+    valid = (rows >= r0) & (rows < r1) & (cols >= c0) & (cols < c1)
+    ring = ((rows < HALO) | (rows >= S - HALO)
+            | (cols < HALO) | (cols >= S - HALO))
+
+    def pk(ref):
+        return pltpu.bitcast(ref[0], jnp.int32)
+
+    self_p = pk(x_ref)
+    lro = pltpu.roll(pk(lf_ref), (-BH) % PX, axis=1)
+    rro = pltpu.roll(pk(rt_ref), BH, axis=1)
+    nbv = jnp.where(cols < HALO, lro,
+                    jnp.where(cols >= S - HALO, rro, self_p))
+    xm_ref[:] = jnp.where(ring & valid, nbv,
+                          jnp.where(ring, 0, self_p))
+    # top/bottom strips overwrite (corners resolve to the diagonals)
+    lanes_s = jax.lax.broadcasted_iota(jnp.int32, (1, HS), 1)
+    cols_s = lanes_s % S
+    top = jnp.where(cols_s < HALO, pltpu.roll(pk(dul_ref), (-BH) % HS, axis=1),
+                    jnp.where(cols_s >= S - HALO,
+                              pltpu.roll(pk(dur_ref), BH, axis=1),
+                              pk(up_ref)))
+    vt = (rows[:, 0:HS] >= r0) & (cols[:, 0:HS] >= c0) & (cols[:, 0:HS] < c1)
+    xm_ref[:, 0:HS] = jnp.where(vt, top, 0)
+    bot = jnp.where(cols_s < HALO, pltpu.roll(pk(ddl_ref), (-BH) % HS, axis=1),
+                    jnp.where(cols_s >= S - HALO,
+                              pltpu.roll(pk(ddr_ref), BH, axis=1),
+                              pk(dn_ref)))
+    vb = ((rows[:, PX - HS:PX] < r1) & (cols[:, PX - HS:PX] >= c0)
+          & (cols[:, PX - HS:PX] < c1))
+    xm_ref[:, PX - HS:PX] = jnp.where(vb, bot, 0)
+    return valid
+
+
+def _rdb_kernel_merge(ext_ref, x_ref, up_ref, dn_ref, lf_ref, rt_ref,
+                      dul_ref, dur_ref, ddl_ref, ddr_ref,
+                      wx_ref, w1_ref, w2_ref, w3_ref, w4_ref, b_ref,
+                      o_ref, acc_ref, xf_ref, x1_ref, x2_ref, x3_ref, x4_ref):
+    valid = _merge_ring_packed(ext_ref, x_ref, up_ref, dn_ref, lf_ref,
+                               rt_ref, dul_ref, dur_ref, ddl_ref, ddr_ref,
+                               xf_ref)
+
+    def act_pack(v):
+        a = jnp.where(valid, _lrelu(v).astype(jnp.bfloat16),
+                      jnp.bfloat16(0.0))
+        return pltpu.bitcast(a, jnp.int32)
+
+    _accum_conv(xf_ref[:], wx_ref, acc_ref, NF, TPC_NF, 0, init=True)
+    x1_ref[:] = act_pack(acc_ref[0:32] + b_ref[0:32])
+    _accum_conv(x1_ref[:], w1_ref, acc_ref, GC, TPC_GC, 32)
+    x2_ref[:] = act_pack(acc_ref[32:64] + b_ref[32:64])
+    _accum_conv(x2_ref[:], w2_ref, acc_ref, GC, TPC_GC, 64)
+    x3_ref[:] = act_pack(acc_ref[64:96] + b_ref[64:96])
+    _accum_conv(x3_ref[:], w3_ref, acc_ref, GC, TPC_GC, 96)
+    x4_ref[:] = act_pack(acc_ref[96:128] + b_ref[96:128])
+    _accum_conv(x4_ref[:], w4_ref, acc_ref, GC, TPC_GC, 128)
+    x5 = acc_ref[128:NT] + b_ref[128:NT]
+    xm = pltpu.bitcast(xf_ref[:], jnp.bfloat16)
+    o_ref[0] = (0.2 * jnp.where(valid, x5, 0.0)).astype(jnp.bfloat16) + xm
+
+
+def _rdb_kernel_int8_static_merge(
+        ext_ref, aq_ref, x_ref, up_ref, dn_ref, lf_ref, rt_ref,
+        dul_ref, dur_ref, ddl_ref, ddr_ref,
+        wx_ref, w1_ref, w2_ref, w3_ref, w4_ref,
+        sx_ref, s1_ref, s2_ref, s3_ref, s4_ref, b_ref,
+        o_ref, acc_ref, xm_ref, xq_ref, x1_ref, x2_ref, x3_ref, x4_ref):
+    valid = _merge_ring_packed(ext_ref, x_ref, up_ref, dn_ref, lf_ref,
+                               rt_ref, dul_ref, dur_ref, ddl_ref, ddr_ref,
+                               xm_ref)
+
+    def quant_pack(a, stage):
+        inv = aq_ref[5 + stage]
+        q = jnp.clip(jnp.round(a * inv), -127.0, 127.0)
+        return pltpu.bitcast(q.astype(jnp.int8), jnp.int32)
+
+    def act(v):
+        return jnp.where(valid, _lrelu(v), 0.0)
+
+    xm = pltpu.bitcast(xm_ref[:], jnp.bfloat16)
+    xq_ref[:] = quant_pack(xm.astype(jnp.float32), 0)
+    _accum_conv_int8(xq_ref[:], wx_ref, sx_ref, aq_ref[0], acc_ref, NF,
+                     TPC_NF_I8, 0, init=True)
+    x1_ref[:] = quant_pack(act(acc_ref[0:32] + b_ref[0:32]), 1)
+    _accum_conv_int8(x1_ref[:], w1_ref, s1_ref, aq_ref[1], acc_ref, GC,
+                     TPC_GC_I8, 32)
+    x2_ref[:] = quant_pack(act(acc_ref[32:64] + b_ref[32:64]), 2)
+    _accum_conv_int8(x2_ref[:], w2_ref, s2_ref, aq_ref[2], acc_ref, GC,
+                     TPC_GC_I8, 64)
+    x3_ref[:] = quant_pack(act(acc_ref[64:96] + b_ref[64:96]), 3)
+    _accum_conv_int8(x3_ref[:], w3_ref, s3_ref, aq_ref[3], acc_ref, GC,
+                     TPC_GC_I8, 96)
+    x4_ref[:] = quant_pack(act(acc_ref[96:128] + b_ref[96:128]), 4)
+    _accum_conv_int8(x4_ref[:], w4_ref, s4_ref, aq_ref[4], acc_ref, GC,
+                     TPC_GC_I8, 128)
+    x5 = acc_ref[128:NT] + b_ref[128:NT]
+    o_ref[0] = (0.2 * jnp.where(valid, x5, 0.0)).astype(jnp.bfloat16) + xm
+
+
+def _merge_in_specs(nb: int, nw: int):
+    """BlockSpecs for (self, up, down, left, right, diagUL, diagUR,
+    diagDL, diagDR) views of the SAME (nb, NF, PX) blocks array."""
+    sb = BH // HALO  # bottom interior strip = lane block BH/HALO
+
+    def full(off):
+        return pl.BlockSpec(
+            (1, NF, PX),
+            lambda k, *_, o=off: (jnp.clip(k + o, 0, nb - 1), 0, 0),
+            memory_space=pltpu.VMEM)
+
+    def strip(off, blk):
+        return pl.BlockSpec(
+            (1, NF, HS),
+            lambda k, *_, o=off, sbk=blk: (jnp.clip(k + o, 0, nb - 1), 0, sbk),
+            memory_space=pltpu.VMEM)
+
+    return [
+        full(0),
+        strip(-nw, sb), strip(nw, 1),
+        full(-1), full(1),
+        strip(-nw - 1, sb), strip(-nw + 1, sb),
+        strip(nw - 1, 1), strip(nw + 1, 1),
+    ]
+
+
+def fused_rdb_blocks_merge(blocks: jnp.ndarray, extents: jnp.ndarray,
+                           wide: Dict, nw: int,
+                           interpret: bool = False) -> jnp.ndarray:
+    """One fused-RDB sweep over resident blocks with in-kernel ring
+    refresh. blocks: (NB, 64, S*S) bf16 (rings may be stale — they are
+    rebuilt from neighbor interiors before use)."""
+    nb = blocks.shape[0]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nb,),
+        in_specs=_merge_in_specs(nb, nw)
+                 + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 6,
+        out_specs=pl.BlockSpec((1, NF, PX), lambda k, *_: (k, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((NT, PX), jnp.float32),
+            pltpu.VMEM((NF // 2, PX), jnp.int32),
+            pltpu.VMEM((GC // 2, PX), jnp.int32),
+            pltpu.VMEM((GC // 2, PX), jnp.int32),
+            pltpu.VMEM((GC // 2, PX), jnp.int32),
+            pltpu.VMEM((GC // 2, PX), jnp.int32),
+        ],
+    )
+    return pl.pallas_call(
+        _rdb_kernel_merge,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((nb, NF, PX), jnp.bfloat16),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=VMEM_LIMIT),
+        interpret=interpret,
+    )(extents, *([blocks] * 9), wide["Wx"], wide["W1"], wide["W2"],
+      wide["W3"], wide["W4"], wide["b"])
+
+
+def fused_rdb_blocks_merge_int8(blocks: jnp.ndarray, extents: jnp.ndarray,
+                                wide: Dict, nw: int,
+                                interpret: bool = False) -> jnp.ndarray:
+    """int8-static counterpart of fused_rdb_blocks_merge. Requires
+    calibrated static scales ("act_q"); the dynamic-scale int8 mode
+    stays on the round-trip path."""
+    nb = blocks.shape[0]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(nb,),
+        in_specs=_merge_in_specs(nb, nw)
+                 + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 11,
+        out_specs=pl.BlockSpec((1, NF, PX), lambda k, *_: (k, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((NT, PX), jnp.float32),
+            pltpu.VMEM((NF // 2, PX), jnp.int32),   # merged (packed bf16)
+            pltpu.VMEM((NF // 4, PX), jnp.int32),   # x quantized
+            pltpu.VMEM((GC // 4, PX), jnp.int32),
+            pltpu.VMEM((GC // 4, PX), jnp.int32),
+            pltpu.VMEM((GC // 4, PX), jnp.int32),
+            pltpu.VMEM((GC // 4, PX), jnp.int32),
+        ],
+    )
+    weights = (wide["Wx"], wide["W1"], wide["W2"], wide["W3"], wide["W4"],
+               wide["sx"], wide["s1"], wide["s2"], wide["s3"], wide["s4"],
+               wide["b"])
+    return pl.pallas_call(
+        _rdb_kernel_int8_static_merge,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((nb, NF, PX), jnp.bfloat16),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=VMEM_LIMIT),
+        interpret=interpret,
+    )(extents, wide["act_q"], *([blocks] * 9), *weights)
+
+
+def rrdb_body_merge(feat: jnp.ndarray, fast_params: Dict,
+                    interpret: bool = False) -> jnp.ndarray:
+    """The RRDB trunk with merge-in-kernel resident blocks: ONE
+    extraction, 69 ring-refreshing kernel sweeps, ONE assembly."""
+    b, h, w, c = feat.shape
+    wide0 = fast_params["body_wide"]
+    int8 = "sx" in wide0
+    if int8 and "act_q" not in wide0:
+        return rrdb_body_fast_roundtrip(feat, fast_params,
+                                        interpret=interpret)
+    nh, nw = _grid_dims(h, w)
+    nb = b * nh * nw
+    fcm = feat.transpose(0, 3, 1, 2).astype(jnp.bfloat16)
+    blocks = extract_blocks(fcm, h, w).reshape(nb, NF, PX)
+    ext = jnp.asarray(np.tile(_block_extents(h, w, nh, nw), (b, 1)))
+    run = fused_rdb_blocks_merge_int8 if int8 else fused_rdb_blocks_merge
+
+    def rrdb_step(carry, wide3):
+        w1 = jax.tree_util.tree_map(lambda v: v[0], wide3)
+        w2 = jax.tree_util.tree_map(lambda v: v[1], wide3)
+        w3 = jax.tree_util.tree_map(lambda v: v[2], wide3)
+        o = run(carry, ext, w1, nw, interpret=interpret)
+        o = run(o, ext, w2, nw, interpret=interpret)
+        o = run(o, ext, w3, nw, interpret=interpret)
+        return (0.2 * o).astype(jnp.bfloat16) + carry, None
+
+    out, _ = jax.lax.scan(rrdb_step, blocks, fast_params["body_wide"])
+    out = assemble_blocks(out.reshape(nb, NF, S, S), b, h, w)
+    return out.transpose(0, 2, 3, 1)
+
+
+# ---------------------------------------------------------------------------
 # Block extraction / assembly (XLA, traced around the kernel)
 # ---------------------------------------------------------------------------
 
@@ -837,12 +1115,25 @@ def rrdb_body_fast(feat: jnp.ndarray, fast_params: Dict,
     Runs the int8 kernel when fast_params were built with
     compute_dtype="int8" (rrdb_fast_params).
 
-    FW_RDB_RESIDENT=1 selects the block-resident variant (extract
-    once, halo-refresh DMAs between kernels); =0 the per-RDB image
-    round trip. The default is set by the measured winner on v5e.
+    FW_RDB_BODY selects the body variant: "merge" (in-kernel ring
+    refresh, resident blocks — the measured v5e winner), "roundtrip"
+    (per-RDB image extract/assemble), "resident" (round-3 DMA-refresh
+    experiment). Default is the measured winner on v5e.
+    FW_RDB_RESIDENT=1 is kept as an alias for "resident".
     """
-    if _os.environ.get("FW_RDB_RESIDENT", _RESIDENT_DEFAULT) == "1":
+    kind = _os.environ.get("FW_RDB_BODY", _BODY_DEFAULT)
+    if _os.environ.get("FW_RDB_RESIDENT", "0") == "1":
+        kind = "resident"
+    if kind == "resident":
         return rrdb_body_resident(feat, fast_params, interpret=interpret)
+    if kind == "merge":
+        return rrdb_body_merge(feat, fast_params, interpret=interpret)
+    return rrdb_body_fast_roundtrip(feat, fast_params, interpret=interpret)
+
+
+def rrdb_body_fast_roundtrip(feat: jnp.ndarray, fast_params: Dict,
+                             interpret: bool = False) -> jnp.ndarray:
+    """Round-trip body: per-RDB image extract/kernel/assemble."""
     b, h, w, c = feat.shape
     int8 = "sx" in fast_params["body_wide"]
     fcm = feat.transpose(0, 3, 1, 2).astype(jnp.bfloat16)  # (B, 64, H, W)

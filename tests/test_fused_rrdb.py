@@ -190,6 +190,55 @@ class TestResidentBody:
         err = np.abs(got - want)
         assert err.max() < 5e-3, err.max()
 
+    @pytest.mark.parametrize("hw", [(54, 54), (70, 130)])
+    def test_merge_matches_roundtrip_bf16(self, tiny_model, hw):
+        # merge-in-kernel ring refresh must be BIT-identical to the
+        # round-trip path (same kernels; rings equal neighbor interiors
+        # in both designs, frame borders gated by the extents)
+        cfg, params, fast = tiny_model
+        h, w = hw
+        rng = np.random.default_rng(11)
+        feat = jnp.asarray(
+            rng.standard_normal((2, h, w, 64)).astype(np.float32) * 0.5
+        ).astype(jnp.bfloat16)
+        want = np.asarray(fused_rrdb.rrdb_body_fast_roundtrip(
+            feat, fast, interpret=True), np.float32)
+        got = np.asarray(fused_rrdb.rrdb_body_merge(
+            feat, fast, interpret=True), np.float32)
+        np.testing.assert_array_equal(got, want)
+
+    def test_merge_matches_roundtrip_int8_static(self, tiny_model):
+        cfg, params, fast = tiny_model
+        amax = rrdb.calibrate_act_scales(
+            params, cfg,
+            jnp.asarray(np.random.default_rng(3).random((1, 64, 64, 3)),
+                        jnp.bfloat16))
+        fast8 = rrdb.make_fast_params(params, compute_dtype="int8",
+                                      act_amax=np.asarray(amax))
+        rng = np.random.default_rng(12)
+        feat = jnp.asarray(
+            rng.standard_normal((1, 70, 90, 64)).astype(np.float32) * 0.5
+        ).astype(jnp.bfloat16)
+        want = np.asarray(fused_rrdb.rrdb_body_fast_roundtrip(
+            feat, fast8, interpret=True), np.float32)
+        got = np.asarray(fused_rrdb.rrdb_body_merge(
+            feat, fast8, interpret=True), np.float32)
+        np.testing.assert_array_equal(got, want)
+
+    def test_merge_int8_dynamic_falls_back_to_roundtrip(self, tiny_model):
+        # dynamic-scale int8 has no merge kernel; rrdb_body_merge must
+        # route it through the round-trip path rather than fail
+        cfg, params, fast = tiny_model
+        fast8d = rrdb.make_fast_params(params, compute_dtype="int8")
+        feat = jnp.asarray(
+            np.random.default_rng(13).standard_normal((1, 54, 54, 64))
+            .astype(np.float32) * 0.5).astype(jnp.bfloat16)
+        want = np.asarray(fused_rrdb.rrdb_body_fast_roundtrip(
+            feat, fast8d, interpret=True), np.float32)
+        got = np.asarray(fused_rrdb.rrdb_body_merge(
+            feat, fast8d, interpret=True), np.float32)
+        np.testing.assert_array_equal(got, want)
+
     def test_halo_refresh_xla_matches_reextract(self):
         # refreshing stale rings must equal re-extracting windows from
         # the assembled interior image
