@@ -173,7 +173,7 @@ def _head(params: Dict, x: jnp.ndarray, cfg: RRDBConfig) -> jnp.ndarray:
 
 def make_fast_params(params: Dict, dtype=jnp.bfloat16,
                      compute_dtype: str = "bf16",
-                     act_amax=None) -> Dict:
+                     act_amax=None, int8_scheme: str = None) -> Dict:
     """Precompute the wide-form weights for the fused Pallas body.
 
     compute_dtype="int8" selects the int8 fast mode (TensorRT-INT8
@@ -185,7 +185,7 @@ def make_fast_params(params: Dict, dtype=jnp.bfloat16,
     from framewright_tpu.ops.fused_rrdb import rrdb_fast_params
 
     return rrdb_fast_params(params, dtype, compute_dtype=compute_dtype,
-                            act_amax=act_amax)
+                            act_amax=act_amax, int8_scheme=int8_scheme)
 
 
 def calibrate_act_scales(params: Dict, cfg: RRDBConfig,

@@ -73,6 +73,11 @@ TPC_NF = int(_os.environ.get("FW_TPC_NF", "4"))    # K=4*64=256
 TPC_GC = int(_os.environ.get("FW_TPC_GC", "4"))    # K=4*32=128
 TPC_NF_I8 = int(_os.environ.get("FW_TPC_NF_I8", "4"))
 TPC_GC_I8 = int(_os.environ.get("FW_TPC_GC_I8", "8"))
+# The i32-accumulation kernel has no per-chunk dequant, so one giant
+# chunk per source wins (v5e sweep: (9,9) 134.9 ms head+body vs (4,8)
+# 142.6, (4,4) 143.2, (8,8) 150.0).
+TPC_NF_I32 = int(_os.environ.get("FW_TPC_NF_I32", "9"))
+TPC_GC_I32 = int(_os.environ.get("FW_TPC_GC_I32", "9"))
 # Scoped-VMEM ceiling for the kernels: the default 16 MiB caps S at 64;
 # larger blocks measurably cut the halo-recompute factor (S=96 bf16:
 # 328 -> 279 ms/frame body on v5e) and the kernel working set still
@@ -153,6 +158,61 @@ def rdb_wide_weights_int8(rdb_params: Dict, act_amax=None) -> Dict:
         sa = amax / 127.0
         out["act_q"] = jnp.asarray(np.concatenate([sa, 1.0 / sa]),
                                    jnp.float32)
+    return out
+
+
+def rdb_wide_weights_int8_i32(rdb_params: Dict, act_amax) -> Dict:
+    """int8 wide weights for the PURE-INT32-ACCUMULATION kernel.
+
+    The f32-accumulating int8 kernel spends 3 VPU passes per matmul
+    chunk (i32->f32 cast, scale fma, accumulate) — the serial inter-conv
+    VPU chain that caps int8 at ~1.1x bf16 (PERF.md). Here the weight
+    quantization scales are chosen so every source's contribution to a
+    target row shares ONE output scale:
+
+        s_t = max_src(sa_src * amax_w(src, t)) / 127
+        W_src rows quantized at scale s_t / sa_src
+        => real contribution = s_t * (int32 dot), addable ACROSS sources
+
+    so the accumulator stays int32 (one integer add per chunk) and all
+    float math collapses into a single per-stage requant fma:
+        q_next = clip(round(lrelu(acc * (s_t/sa_next) + b/sa_next)))
+    (lrelu commutes with the positive scale). Requires static
+    activation ranges (``act_amax`` (5,), from calibrate_act_scales).
+
+    Weight-precision cost vs per-row scales: a source whose
+    sa_src*amax_w is far below the row max loses weight bits; the
+    quality gate (tests/test_int8_mode.py PSNR-vs-bf16) guards this.
+    """
+    wide = rdb_wide_weights(rdb_params, dtype=jnp.float32)
+    amax = np.maximum(np.asarray(act_amax, np.float32), 1e-8)
+    sa = amax / 127.0  # (5,) activation scales for [x, x1..x4]
+    keys = ("Wx", "W1", "W2", "W3", "W4")
+    ws = [np.asarray(wide[k], np.float32) for k in keys]
+    s_t = np.zeros((NT,), np.float32)
+    for k, w in enumerate(ws):
+        g0 = 32 * k if k > 0 else 0
+        cand = sa[k] * np.abs(w).max(axis=1) / 127.0
+        s_t[g0:g0 + w.shape[0]] = np.maximum(s_t[g0:g0 + w.shape[0]], cand)
+    s_t = np.maximum(s_t, 1e-12)
+    out = {}
+    for k, w in enumerate(ws):
+        g0 = 32 * k if k > 0 else 0
+        srow = (s_t[g0:g0 + w.shape[0]] / sa[k])[:, None]
+        out[keys[k]] = jnp.asarray(
+            np.clip(np.round(w / srow), -127, 127).astype(np.int8))
+    b = np.asarray(wide["b"], np.float32)[:, 0]
+    osc = np.zeros((NT, 1), np.float32)
+    ob = np.zeros((NT, 1), np.float32)
+    for k in range(1, 5):  # conv_k rows -> quantized as stage k (sa[k])
+        r0, r1 = (k - 1) * 32, k * 32
+        osc[r0:r1, 0] = s_t[r0:r1] / sa[k]
+        ob[r0:r1, 0] = b[r0:r1] / sa[k]
+    osc[128:NT, 0] = s_t[128:NT]
+    ob[128:NT, 0] = b[128:NT]
+    out["oscale"] = jnp.asarray(osc)
+    out["obias"] = jnp.asarray(ob)
+    out["act_q"] = jnp.asarray(np.concatenate([sa, 1.0 / sa]), jnp.float32)
     return out
 
 
@@ -246,7 +306,7 @@ def conv_after_ps2_apply(folded: Dict, x: jnp.ndarray) -> jnp.ndarray:
 
 def rrdb_fast_params(params: Dict, dtype=jnp.bfloat16,
                      compute_dtype: str = "bf16",
-                     act_amax=None) -> Dict:
+                     act_amax=None, int8_scheme: str = None) -> Dict:
     """Full RRDBNet params -> fast-path params: wide RDB weights stacked
     (num_block, 3, ...) for lax.scan; upsample convs folded to low-res
     phase convs (fold_upconv_nearest2); other tail convs unchanged.
@@ -263,9 +323,12 @@ def rrdb_fast_params(params: Dict, dtype=jnp.bfloat16,
     if compute_dtype == "int8":
         amax = (None if act_amax is None
                 else np.asarray(act_amax, np.float32))
+        scheme = int8_scheme or _os.environ.get("FW_INT8_SCHEME", "i32")
 
         def make(blk_i, rdb_j, rdbp):
             a = None if amax is None else amax[blk_i, rdb_j]
+            if a is not None and scheme == "i32":
+                return rdb_wide_weights_int8_i32(rdbp, act_amax=a)
             return rdb_wide_weights_int8(rdbp, act_amax=a)
     else:
         def make(blk_i, rdb_j, rdbp):
@@ -386,6 +449,31 @@ def _accum_conv_int8(src_packed, w_ref, ws_ref, sa, acc_ref, c, tpc, off,
             (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.int32,
         ).astype(jnp.float32) * scale
+        if init and t == 0:
+            acc_ref[off:NT] = contrib
+        else:
+            acc_ref[off:NT] += contrib
+        k += m * c
+        t += m
+
+
+def _accum_conv_int8_raw(src_packed, w_ref, acc_ref, c, tpc, off,
+                         init=False):
+    """Pure-int32 accumulation: no per-chunk dequant — one integer add
+    per chunk (see rdb_wide_weights_int8_i32 for the scale algebra)."""
+    n = len(TAPS)
+    t = 0
+    k = 0
+    while t < n:
+        m = min(tpc, n - t)
+        parts = [_tap_roll(src_packed, *TAPS[t + u]) for u in range(m)]
+        packed = parts[0] if m == 1 else jnp.concatenate(parts, axis=0)
+        chunk = pltpu.bitcast(packed, jnp.int8)
+        contrib = jax.lax.dot_general(
+            w_ref[:, k:k + m * c], chunk,
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
         if init and t == 0:
             acc_ref[off:NT] = contrib
         else:
@@ -720,6 +808,80 @@ def _rdb_kernel_int8_static_merge(
     o_ref[0] = (0.2 * jnp.where(valid, x5, 0.0)).astype(jnp.bfloat16) + xm
 
 
+def _rdb_kernel_int8_i32_merge(
+        ext_ref, aq_ref, x_ref, up_ref, dn_ref, lf_ref, rt_ref,
+        dul_ref, dur_ref, ddl_ref, ddr_ref,
+        wx_ref, w1_ref, w2_ref, w3_ref, w4_ref, osc_ref, ob_ref,
+        o_ref, acc_ref, xm_ref, xq_ref, x1_ref, x2_ref, x3_ref, x4_ref):
+    """int8 merge kernel with PURE-INT32 accumulation (acc_ref int32).
+
+    All inter-conv float math is one fused requant per stage:
+    v = acc*osc + ob (already in the next stage's quant domain),
+    q = clip(round(lrelu(v))). See rdb_wide_weights_int8_i32."""
+    valid = _merge_ring_packed(ext_ref, x_ref, up_ref, dn_ref, lf_ref,
+                               rt_ref, dul_ref, dur_ref, ddl_ref, ddr_ref,
+                               xm_ref)
+    xm = pltpu.bitcast(xm_ref[:], jnp.bfloat16)
+    inv0 = aq_ref[5]
+    q0 = jnp.clip(jnp.round(xm.astype(jnp.float32) * inv0), -127.0, 127.0)
+    xq_ref[:] = pltpu.bitcast(q0.astype(jnp.int8), jnp.int32)
+
+    def requant(r0, r1):
+        v = (acc_ref[r0:r1].astype(jnp.float32) * osc_ref[r0:r1]
+             + ob_ref[r0:r1])
+        q = jnp.where(valid, jnp.clip(jnp.round(_lrelu(v)), -127.0, 127.0),
+                      0.0)
+        return pltpu.bitcast(q.astype(jnp.int8), jnp.int32)
+
+    _accum_conv_int8_raw(xq_ref[:], wx_ref, acc_ref, NF, TPC_NF_I32, 0,
+                         init=True)
+    x1_ref[:] = requant(0, 32)
+    _accum_conv_int8_raw(x1_ref[:], w1_ref, acc_ref, GC, TPC_GC_I32, 32)
+    x2_ref[:] = requant(32, 64)
+    _accum_conv_int8_raw(x2_ref[:], w2_ref, acc_ref, GC, TPC_GC_I32, 64)
+    x3_ref[:] = requant(64, 96)
+    _accum_conv_int8_raw(x3_ref[:], w3_ref, acc_ref, GC, TPC_GC_I32, 96)
+    x4_ref[:] = requant(96, 128)
+    _accum_conv_int8_raw(x4_ref[:], w4_ref, acc_ref, GC, TPC_GC_I32, 128)
+    x5 = (acc_ref[128:NT].astype(jnp.float32) * osc_ref[128:NT]
+          + ob_ref[128:NT])
+    o_ref[0] = (0.2 * jnp.where(valid, x5, 0.0)).astype(jnp.bfloat16) + xm
+
+
+def fused_rdb_blocks_merge_int8_i32(blocks: jnp.ndarray,
+                                    extents: jnp.ndarray, wide: Dict,
+                                    nw: int,
+                                    interpret: bool = False) -> jnp.ndarray:
+    """Merge-body sweep with the int32-accumulation int8 kernel."""
+    nb = blocks.shape[0]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(nb,),
+        in_specs=_merge_in_specs(nb, nw)
+                 + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 7,
+        out_specs=pl.BlockSpec((1, NF, PX), lambda k, *_: (k, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((NT, PX), jnp.int32),        # int32 accumulator
+            pltpu.VMEM((NF // 2, PX), jnp.int32),   # merged (packed bf16)
+            pltpu.VMEM((NF // 4, PX), jnp.int32),   # x quantized
+            pltpu.VMEM((GC // 4, PX), jnp.int32),
+            pltpu.VMEM((GC // 4, PX), jnp.int32),
+            pltpu.VMEM((GC // 4, PX), jnp.int32),
+            pltpu.VMEM((GC // 4, PX), jnp.int32),
+        ],
+    )
+    return pl.pallas_call(
+        _rdb_kernel_int8_i32_merge,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((nb, NF, PX), jnp.bfloat16),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=VMEM_LIMIT),
+        interpret=interpret,
+    )(extents, wide["act_q"], *([blocks] * 9), wide["Wx"], wide["W1"],
+      wide["W2"], wide["W3"], wide["W4"], wide["oscale"], wide["obias"])
+
+
 def _merge_in_specs(nb: int, nw: int):
     """BlockSpecs for (self, up, down, left, right, diagUL, diagUR,
     diagDL, diagDR) views of the SAME (nb, NF, PX) blocks array."""
@@ -823,7 +985,7 @@ def rrdb_body_merge(feat: jnp.ndarray, fast_params: Dict,
     extraction, 69 ring-refreshing kernel sweeps, ONE assembly."""
     b, h, w, c = feat.shape
     wide0 = fast_params["body_wide"]
-    int8 = "sx" in wide0
+    int8 = "sx" in wide0 or "oscale" in wide0
     if int8 and "act_q" not in wide0:
         return rrdb_body_fast_roundtrip(feat, fast_params,
                                         interpret=interpret)
@@ -832,7 +994,12 @@ def rrdb_body_merge(feat: jnp.ndarray, fast_params: Dict,
     fcm = feat.transpose(0, 3, 1, 2).astype(jnp.bfloat16)
     blocks = extract_blocks(fcm, h, w).reshape(nb, NF, PX)
     ext = jnp.asarray(np.tile(_block_extents(h, w, nh, nw), (b, 1)))
-    run = fused_rdb_blocks_merge_int8 if int8 else fused_rdb_blocks_merge
+    if "oscale" in wide0:
+        run = fused_rdb_blocks_merge_int8_i32
+    elif int8:
+        run = fused_rdb_blocks_merge_int8
+    else:
+        run = fused_rdb_blocks_merge
 
     def rrdb_step(carry, wide3):
         w1 = jax.tree_util.tree_map(lambda v: v[0], wide3)
@@ -1124,6 +1291,8 @@ def rrdb_body_fast(feat: jnp.ndarray, fast_params: Dict,
     kind = _os.environ.get("FW_RDB_BODY", _BODY_DEFAULT)
     if _os.environ.get("FW_RDB_RESIDENT", "0") == "1":
         kind = "resident"
+    if "oscale" in fast_params["body_wide"]:
+        kind = "merge"  # i32-scheme weights exist only as a merge kernel
     if kind == "resident":
         return rrdb_body_resident(feat, fast_params, interpret=interpret)
     if kind == "merge":

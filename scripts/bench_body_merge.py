@@ -46,10 +46,14 @@ def main():
         params_s, cfg, jnp.asarray(np.random.rand(1, 256, 256, 3),
                                    jnp.bfloat16))
     with jax.default_device(cpu):
-        fast8 = rrdb.make_fast_params(
-            jax.device_get(params_s), compute_dtype="int8",
-            act_amax=np.asarray(amax))
-    fast8 = jax.device_put(fast8, jax.devices()[0])
+        hp = jax.device_get(params_s)
+        fast8 = rrdb.make_fast_params(hp, compute_dtype="int8",
+                                      act_amax=np.asarray(amax),
+                                      int8_scheme="f32acc")
+        fast8i = rrdb.make_fast_params(hp, compute_dtype="int8",
+                                       act_amax=np.asarray(amax),
+                                       int8_scheme="i32")
+    fast8, fast8i = jax.device_put((fast8, fast8i), jax.devices()[0])
 
     def make(body_fn, fp):
         def run(p, f, t):
@@ -62,6 +66,7 @@ def main():
             ("bf16 merge    ", F.rrdb_body_merge, fast16),
             ("int8 roundtrip", F.rrdb_body_fast_roundtrip, fast8),
             ("int8 merge    ", F.rrdb_body_merge, fast8),
+            ("int8 merge i32", F.rrdb_body_merge, fast8i),
     ):
         f, fp_ = make(body, fp)
         t0 = time.time()

@@ -1,16 +1,12 @@
 #!/usr/bin/env python
-"""Attempt a real per-op device timeline via jax.profiler on the axon
-stack (PERF.md round-1 item 7 / VERDICT round-3 item 8).
+"""Per-op device timeline for the full RRDB fast path via jax.profiler
+(works on the axon stack — perfetto JSON parsed by trace_report.py).
 
-Traces one fused-body frame (bf16) and, if the trace materializes,
-prints the top device ops by total duration from the perfetto JSON.
-Outcome (works / fails, and how) is recorded in PERF.md either way.
+Usage: python scripts/probe_profiler.py [bf16|int8] [trace_dir]
 """
 
-import glob
-import gzip
-import json
 import os
+import subprocess
 import sys
 import time
 
@@ -21,60 +17,50 @@ import jax.numpy as jnp
 from framewright_tpu.models import rrdb
 
 H, W = 1080, 1920
-TRACE_DIR = "/tmp/jax_trace_r4"
 
 
 def main():
-    print("platform:", jax.devices()[0].platform)
+    mode = sys.argv[1] if len(sys.argv) > 1 else "bf16"
+    trace_dir = sys.argv[2] if len(sys.argv) > 2 else f"/tmp/jax_trace_{mode}"
+    print("platform:", jax.devices()[0].platform, "mode:", mode,
+          "body:", os.environ.get("FW_RDB_BODY", "default"))
     cpu = jax.local_devices(backend="cpu")[0]
     cfg = rrdb.RRDBConfig(num_block=23, scale=2)
     with jax.default_device(cpu):
         params = rrdb.init(jax.random.PRNGKey(0), cfg, dtype=jnp.bfloat16)
-        fast = rrdb.make_fast_params(params)
         params = rrdb.stack_body(params)
-    params, fast = jax.device_put((params, fast), jax.devices()[0])
+    params = jax.device_put(params, jax.devices()[0])
+    if mode == "int8":
+        amax = rrdb.calibrate_act_scales(
+            params, cfg, jnp.asarray(np.random.rand(1, 256, 256, 3),
+                                     jnp.bfloat16))
+        with jax.default_device(cpu):
+            fast = rrdb.make_fast_params(jax.device_get(params),
+                                         compute_dtype="int8",
+                                         act_amax=np.asarray(amax))
+    else:
+        with jax.default_device(cpu):
+            fast = rrdb.make_fast_params(jax.device_get(params))
+    fast = jax.device_put(fast, jax.devices()[0])
     x = jnp.asarray(np.random.rand(1, H, W, 3), jnp.bfloat16)
 
     f = jax.jit(lambda p, fp, t: rrdb.apply_fast(p, fp, t, cfg))
     y = f(params, fast, x)
     y.block_until_ready()
-    print("warmup done")
+    t0 = time.time()
+    for _ in range(4):
+        y = f(params, fast, x)
+    y.block_until_ready()
+    print(f"frame: {(time.time()-t0)/4*1000:.1f} ms")
 
-    os.makedirs(TRACE_DIR, exist_ok=True)
-    try:
-        with jax.profiler.trace(TRACE_DIR, create_perfetto_trace=True):
-            for _ in range(2):
-                y = f(params, fast, x)
-            y.block_until_ready()
-    except Exception as e:
-        print("TRACE FAILED:", type(e).__name__, e)
-        return 1
-
-    files = sorted(glob.glob(TRACE_DIR + "/**/*", recursive=True))
-    for p in files:
-        if os.path.isfile(p):
-            print("  trace file:", p, os.path.getsize(p))
-
-    pjs = [p for p in files if p.endswith(".json.gz")]
-    if not pjs:
-        print("no perfetto json produced")
-        return 2
-    with gzip.open(pjs[-1], "rt") as fh:
-        data = json.load(fh)
-    events = data.get("traceEvents", data if isinstance(data, list) else [])
-    # aggregate complete events (ph == 'X') by name on TPU tracks
-    tot = {}
-    for ev in events:
-        if not isinstance(ev, dict) or ev.get("ph") != "X":
-            continue
-        name = ev.get("name", "?")
-        dur = ev.get("dur", 0)
-        tot[name] = tot.get(name, 0.0) + dur
-    top = sorted(tot.items(), key=lambda kv: -kv[1])[:25]
-    print("top ops by total us (2 frames):")
-    for name, us in top:
-        print(f"  {us/1000:9.2f} ms  {name[:110]}")
-    return 0
+    os.makedirs(trace_dir, exist_ok=True)
+    with jax.profiler.trace(trace_dir, create_perfetto_trace=True):
+        for _ in range(2):
+            y = f(params, fast, x)
+        y.block_until_ready()
+    subprocess.run([sys.executable,
+                    os.path.join(os.path.dirname(__file__),
+                                 "trace_report.py"), trace_dir])
 
 
 if __name__ == "__main__":

@@ -213,8 +213,11 @@ class TestResidentBody:
             params, cfg,
             jnp.asarray(np.random.default_rng(3).random((1, 64, 64, 3)),
                         jnp.bfloat16))
+        # f32acc: the i32 scheme has no round-trip twin (merge-only);
+        # its numerics are gated by test_int8_mode's PSNR check
         fast8 = rrdb.make_fast_params(params, compute_dtype="int8",
-                                      act_amax=np.asarray(amax))
+                                      act_amax=np.asarray(amax),
+                                      int8_scheme="f32acc")
         rng = np.random.default_rng(12)
         feat = jnp.asarray(
             rng.standard_normal((1, 70, 90, 64)).astype(np.float32) * 0.5

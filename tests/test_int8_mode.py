@@ -113,7 +113,10 @@ class TestInt8StaticScales:
         np.testing.assert_allclose(aq[0, 0, 5:], 127.0 / 2.0, rtol=1e-6)
 
     @pytest.mark.slow
-    def test_static_close_to_bf16_body(self, tiny_model):
+    @pytest.mark.parametrize("scheme", ["f32acc", "i32"])
+    def test_static_close_to_bf16_body(self, tiny_model, scheme):
+        # covers both static kernels: the f32-accumulating one and the
+        # pure-int32-accumulation one (shared per-row output scales)
         cfg, params, fast16, _ = tiny_model
         rng = np.random.default_rng(0)
         feat_np = rng.standard_normal((1, 40, 48, 64)).astype(np.float32) * 0.5
@@ -126,7 +129,7 @@ class TestInt8StaticScales:
         amax = np.array(amax)            # writable copy
         amax[:, :, 0] = np.abs(feat_np).max() * 1.25
         fast8s = rrdb.make_fast_params(params, compute_dtype="int8",
-                                       act_amax=amax)
+                                       act_amax=amax, int8_scheme=scheme)
         ref = np.asarray(
             fused_rrdb.rrdb_body_fast(feat, fast16, interpret=True),
             np.float32)
