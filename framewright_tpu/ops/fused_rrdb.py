@@ -851,13 +851,20 @@ def _rdb_kernel_int8_i32_merge(
 def fused_rdb_blocks_merge_int8_i32(blocks: jnp.ndarray,
                                     extents: jnp.ndarray, wide: Dict,
                                     nw: int,
-                                    interpret: bool = False) -> jnp.ndarray:
+                                    interpret: bool = False,
+                                    carry: jnp.ndarray = None) -> jnp.ndarray:
     """Merge-body sweep with the int32-accumulation int8 kernel."""
     nb = blocks.shape[0]
+    res = carry is not None
+    kernel = (_rdb_kernel_int8_i32_merge_res if res
+              else _rdb_kernel_int8_i32_merge)
+    extra = ([pl.BlockSpec((1, NF, PX), lambda k, *_: (k, 0, 0),
+                           memory_space=pltpu.VMEM)] if res else [])
+    extra_args = (carry,) if res else ()
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(nb,),
-        in_specs=_merge_in_specs(nb, nw)
+        in_specs=_merge_in_specs(nb, nw) + extra
                  + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 7,
         out_specs=pl.BlockSpec((1, NF, PX), lambda k, *_: (k, 0, 0),
                                memory_space=pltpu.VMEM),
@@ -872,14 +879,84 @@ def fused_rdb_blocks_merge_int8_i32(blocks: jnp.ndarray,
         ],
     )
     return pl.pallas_call(
-        _rdb_kernel_int8_i32_merge,
+        kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((nb, NF, PX), jnp.bfloat16),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=VMEM_LIMIT),
         interpret=interpret,
-    )(extents, wide["act_q"], *([blocks] * 9), wide["Wx"], wide["W1"],
-      wide["W2"], wide["W3"], wide["W4"], wide["oscale"], wide["obias"])
+    )(extents, wide["act_q"], *([blocks] * 9), *extra_args, wide["Wx"],
+      wide["W1"], wide["W2"], wide["W3"], wide["W4"], wide["oscale"],
+      wide["obias"])
+
+
+def _rdb_kernel_merge_res(ext_ref, x_ref, up_ref, dn_ref, lf_ref, rt_ref,
+                          dul_ref, dur_ref, ddl_ref, ddr_ref, carry_ref,
+                          wx_ref, w1_ref, w2_ref, w3_ref, w4_ref, b_ref,
+                          o_ref, acc_ref, xf_ref, x1_ref, x2_ref, x3_ref,
+                          x4_ref):
+    """Merge kernel for the THIRD RDB of an RRDB: also applies the
+    RRDB-level residual (out = 0.2*o + carry) in-kernel, replacing the
+    XLA multiply_add over the whole blocks array (~10 ms/frame)."""
+    valid = _merge_ring_packed(ext_ref, x_ref, up_ref, dn_ref, lf_ref,
+                               rt_ref, dul_ref, dur_ref, ddl_ref, ddr_ref,
+                               xf_ref)
+
+    def act_pack(v):
+        a = jnp.where(valid, _lrelu(v).astype(jnp.bfloat16),
+                      jnp.bfloat16(0.0))
+        return pltpu.bitcast(a, jnp.int32)
+
+    _accum_conv(xf_ref[:], wx_ref, acc_ref, NF, TPC_NF, 0, init=True)
+    x1_ref[:] = act_pack(acc_ref[0:32] + b_ref[0:32])
+    _accum_conv(x1_ref[:], w1_ref, acc_ref, GC, TPC_GC, 32)
+    x2_ref[:] = act_pack(acc_ref[32:64] + b_ref[32:64])
+    _accum_conv(x2_ref[:], w2_ref, acc_ref, GC, TPC_GC, 64)
+    x3_ref[:] = act_pack(acc_ref[64:96] + b_ref[64:96])
+    _accum_conv(x3_ref[:], w3_ref, acc_ref, GC, TPC_GC, 96)
+    x4_ref[:] = act_pack(acc_ref[96:128] + b_ref[96:128])
+    _accum_conv(x4_ref[:], w4_ref, acc_ref, GC, TPC_GC, 128)
+    x5 = acc_ref[128:NT] + b_ref[128:NT]
+    xm = pltpu.bitcast(xf_ref[:], jnp.bfloat16)
+    o = (0.2 * jnp.where(valid, x5, 0.0)).astype(jnp.bfloat16) + xm
+    o_ref[0] = (0.2 * o).astype(jnp.bfloat16) + carry_ref[0]
+
+
+def _rdb_kernel_int8_i32_merge_res(
+        ext_ref, aq_ref, x_ref, up_ref, dn_ref, lf_ref, rt_ref,
+        dul_ref, dur_ref, ddl_ref, ddr_ref, carry_ref,
+        wx_ref, w1_ref, w2_ref, w3_ref, w4_ref, osc_ref, ob_ref,
+        o_ref, acc_ref, xm_ref, xq_ref, x1_ref, x2_ref, x3_ref, x4_ref):
+    """i32 int8 merge kernel + fused RRDB residual (third RDB)."""
+    valid = _merge_ring_packed(ext_ref, x_ref, up_ref, dn_ref, lf_ref,
+                               rt_ref, dul_ref, dur_ref, ddl_ref, ddr_ref,
+                               xm_ref)
+    xm = pltpu.bitcast(xm_ref[:], jnp.bfloat16)
+    inv0 = aq_ref[5]
+    q0 = jnp.clip(jnp.round(xm.astype(jnp.float32) * inv0), -127.0, 127.0)
+    xq_ref[:] = pltpu.bitcast(q0.astype(jnp.int8), jnp.int32)
+
+    def requant(r0, r1):
+        v = (acc_ref[r0:r1].astype(jnp.float32) * osc_ref[r0:r1]
+             + ob_ref[r0:r1])
+        q = jnp.where(valid, jnp.clip(jnp.round(_lrelu(v)), -127.0, 127.0),
+                      0.0)
+        return pltpu.bitcast(q.astype(jnp.int8), jnp.int32)
+
+    _accum_conv_int8_raw(xq_ref[:], wx_ref, acc_ref, NF, TPC_NF_I32, 0,
+                         init=True)
+    x1_ref[:] = requant(0, 32)
+    _accum_conv_int8_raw(x1_ref[:], w1_ref, acc_ref, GC, TPC_GC_I32, 32)
+    x2_ref[:] = requant(32, 64)
+    _accum_conv_int8_raw(x2_ref[:], w2_ref, acc_ref, GC, TPC_GC_I32, 64)
+    x3_ref[:] = requant(64, 96)
+    _accum_conv_int8_raw(x3_ref[:], w3_ref, acc_ref, GC, TPC_GC_I32, 96)
+    x4_ref[:] = requant(96, 128)
+    _accum_conv_int8_raw(x4_ref[:], w4_ref, acc_ref, GC, TPC_GC_I32, 128)
+    x5 = (acc_ref[128:NT].astype(jnp.float32) * osc_ref[128:NT]
+          + ob_ref[128:NT])
+    o = (0.2 * jnp.where(valid, x5, 0.0)).astype(jnp.bfloat16) + xm
+    o_ref[0] = (0.2 * o).astype(jnp.bfloat16) + carry_ref[0]
 
 
 def _merge_in_specs(nb: int, nw: int):
@@ -910,15 +987,23 @@ def _merge_in_specs(nb: int, nw: int):
 
 def fused_rdb_blocks_merge(blocks: jnp.ndarray, extents: jnp.ndarray,
                            wide: Dict, nw: int,
-                           interpret: bool = False) -> jnp.ndarray:
+                           interpret: bool = False,
+                           carry: jnp.ndarray = None) -> jnp.ndarray:
     """One fused-RDB sweep over resident blocks with in-kernel ring
     refresh. blocks: (NB, 64, S*S) bf16 (rings may be stale — they are
-    rebuilt from neighbor interiors before use)."""
+    rebuilt from neighbor interiors before use). With ``carry`` the
+    RRDB residual (0.2*o + carry) is fused into the kernel (third RDB
+    of each RRDB)."""
     nb = blocks.shape[0]
+    res = carry is not None
+    kernel = _rdb_kernel_merge_res if res else _rdb_kernel_merge
+    extra = ([pl.BlockSpec((1, NF, PX), lambda k, *_: (k, 0, 0),
+                           memory_space=pltpu.VMEM)] if res else [])
+    extra_args = (carry,) if res else ()
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(nb,),
-        in_specs=_merge_in_specs(nb, nw)
+        in_specs=_merge_in_specs(nb, nw) + extra
                  + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 6,
         out_specs=pl.BlockSpec((1, NF, PX), lambda k, *_: (k, 0, 0),
                                memory_space=pltpu.VMEM),
@@ -932,14 +1017,14 @@ def fused_rdb_blocks_merge(blocks: jnp.ndarray, extents: jnp.ndarray,
         ],
     )
     return pl.pallas_call(
-        _rdb_kernel_merge,
+        kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((nb, NF, PX), jnp.bfloat16),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=VMEM_LIMIT),
         interpret=interpret,
-    )(extents, *([blocks] * 9), wide["Wx"], wide["W1"], wide["W2"],
-      wide["W3"], wide["W4"], wide["b"])
+    )(extents, *([blocks] * 9), *extra_args, wide["Wx"], wide["W1"],
+      wide["W2"], wide["W3"], wide["W4"], wide["b"])
 
 
 def fused_rdb_blocks_merge_int8(blocks: jnp.ndarray, extents: jnp.ndarray,
@@ -995,11 +1080,11 @@ def rrdb_body_merge(feat: jnp.ndarray, fast_params: Dict,
     blocks = extract_blocks(fcm, h, w).reshape(nb, NF, PX)
     ext = jnp.asarray(np.tile(_block_extents(h, w, nh, nw), (b, 1)))
     if "oscale" in wide0:
-        run = fused_rdb_blocks_merge_int8_i32
+        run, fused_res = fused_rdb_blocks_merge_int8_i32, True
     elif int8:
-        run = fused_rdb_blocks_merge_int8
+        run, fused_res = fused_rdb_blocks_merge_int8, False
     else:
-        run = fused_rdb_blocks_merge
+        run, fused_res = fused_rdb_blocks_merge, True
 
     def rrdb_step(carry, wide3):
         w1 = jax.tree_util.tree_map(lambda v: v[0], wide3)
@@ -1007,6 +1092,9 @@ def rrdb_body_merge(feat: jnp.ndarray, fast_params: Dict,
         w3 = jax.tree_util.tree_map(lambda v: v[2], wide3)
         o = run(carry, ext, w1, nw, interpret=interpret)
         o = run(o, ext, w2, nw, interpret=interpret)
+        if fused_res:
+            return run(o, ext, w3, nw, interpret=interpret,
+                       carry=carry), None
         o = run(o, ext, w3, nw, interpret=interpret)
         return (0.2 * o).astype(jnp.bfloat16) + carry, None
 

@@ -48,6 +48,19 @@ def main():
         label = f"{pname}/{tname}"
         per_track[label].append(ev)
 
+    if len(sys.argv) > 2 and sys.argv[2] == "--raw":
+        # top individual events (unstripped names) on the XLA Ops track
+        tot = {}
+        for label, evs in per_track.items():
+            if "XLA Ops" not in label:
+                continue
+            for e in evs:
+                n = e.get("name", "?")
+                tot[n] = tot.get(n, 0.0) + e.get("dur", 0)
+        for n, us in sorted(tot.items(), key=lambda kv: -kv[1])[:40]:
+            print(f"  {us/1000:9.2f} ms  {n[:110]}")
+        return
+
     for label, evs in sorted(per_track.items()):
         total_span = sum(e.get("dur", 0) for e in evs)
         if total_span < 1000 or "python" in label:
