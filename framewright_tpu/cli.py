@@ -47,6 +47,11 @@ def _add_restore_args(p: argparse.ArgumentParser,
     p.add_argument("--device", dest="device_platform", choices=["auto", "tpu", "cpu"])
     p.add_argument("--deduplicate", action="store_true", default=None)
     p.add_argument("--denoise", action="store_true", default=None)
+    p.add_argument("--denoise-method", dest="denoise_model",
+                   choices=["auto", "temporal", "nafnet", "restormer",
+                            "bilateral"],
+                   help="auto profiles the noise (luma/chroma/temporal/"
+                        "grain) and picks denoiser + strength")
     p.add_argument("--interpolate", dest="interpolation", action="store_true", default=None)
     p.add_argument("--target-fps", dest="target_fps", type=float)
     p.add_argument("--face-restore", dest="face_restore", action="store_true", default=None)

@@ -45,6 +45,7 @@ PRESETS: Dict[str, Dict[str, Any]] = {
         "sr_model": "RealESRGAN_x2plus",
         "compute_dtype": "bfloat16",
         "denoise": True,
+        "denoise_model": "auto",
         "face_restore": False,
         "interpolation": False,
         "temporal_consistency": True,
@@ -56,6 +57,7 @@ PRESETS: Dict[str, Dict[str, Any]] = {
         "sr_model": "RealESRGAN_x4plus",
         "compute_dtype": "bfloat16",
         "denoise": True,
+        "denoise_model": "auto",
         "face_restore": True,
         "interpolation": True,
         "target_fps": 0.0,
@@ -70,6 +72,7 @@ PRESETS: Dict[str, Dict[str, Any]] = {
         "sr_model": "RealESRGAN_x4plus",
         "compute_dtype": "bfloat16",
         "denoise": True,
+        "denoise_model": "auto",
         "face_restore": True,
         "interpolation": True,
         "deduplicate": True,
@@ -116,7 +119,8 @@ def _sr_model_known(name: str) -> bool:
         return False
 
 _VALID_DTYPES = ("bfloat16", "float32", "int8")
-_VALID_DENOISERS = ("nafnet", "restormer", "temporal", "bilateral", "none")
+_VALID_DENOISERS = ("auto", "nafnet", "restormer", "temporal", "bilateral",
+                    "none")
 _VALID_SHARDING = ("data", "spatial", "none", "auto")
 
 

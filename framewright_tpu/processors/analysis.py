@@ -92,6 +92,7 @@ class AnalysisReport:
     flicker_score: float = 0.0
     quality_score: float = 0.0          # 0-100
     frames_sampled: int = 0
+    noise_profile: object = None        # processors.noise_profiler.NoiseProfile
 
     def to_dict(self) -> Dict:
         return {
@@ -102,6 +103,8 @@ class AnalysisReport:
             "estimated_source_height": self.estimated_source_height,
             "flicker_score": round(self.flicker_score, 3),
             "frames_sampled": self.frames_sampled,
+            "noise_profile": (self.noise_profile.to_dict()
+                              if self.noise_profile is not None else None),
         }
 
 
@@ -117,8 +120,11 @@ class ContentAnalyzer:
         lumas: List[float] = []
         grains: List[float] = []
         sample_frames: List[np.ndarray] = []
-        for i, f in enumerate(frames_iter):
+        consec: List[np.ndarray] = []   # consecutive head frames for the
+        for i, f in enumerate(frames_iter):  # temporal noise estimate
             lumas.append(float(f.mean()))
+            if len(consec) < 9:
+                consec.append(f)
             if i % self.sample_every:
                 continue
             if len(stats) >= self.max_samples:
@@ -137,6 +143,14 @@ class ContentAnalyzer:
         agg = FrameStats(**{k: mean(k) for k in FrameStats().__dict__})
         rep.stats = agg
         rep.grain_level = float(np.mean(grains))
+
+        # full noise decomposition (reference noise_profiler.py:137):
+        # consecutive head frames give the temporal component, spread
+        # samples the spatial ones
+        from framewright_tpu.processors.noise_profiler import NoiseProfiler
+
+        rep.noise_profile = NoiseProfiler().analyze_frames(
+            consec + sample_frames)
 
         # content type
         if agg.saturation < 0.08:
@@ -292,7 +306,12 @@ def recommend_settings(report: AnalysisReport) -> Dict:
     ProcessingPlan / --auto-enhance driver, analyzer.py:190)."""
     rec: Dict = {}
     degr = set(report.degradations)
-    if DegradationType.NOISE in degr:
+    prof = report.noise_profile
+    if prof is not None and prof.recommended_denoiser != "none":
+        # profiled denoiser choice + strength (reference noise_profiler
+        # _determine_recommendations:542 feeding the ProcessingPlan)
+        rec.update(prof.config_overrides())
+    elif DegradationType.NOISE in degr:
         rec["denoise"] = True
         rec["denoise_strength"] = min(0.9, 0.4 + report.stats.noise)
     if DegradationType.INTERLACING in degr:

@@ -30,12 +30,16 @@ logger = logging.getLogger(__name__)
 class TemporalDenoiseConfig:
     radius: int = 3                 # window = 2r+1 (reference default)
     strength: float = 0.5           # blend of denoised vs original
-    method: str = "temporal"        # temporal | nafnet | restormer | bilateral
+    method: str = "temporal"        # auto | temporal | nafnet | restormer
+    #                                 | bilateral ("auto" profiles the
+    #                                 first window with NoiseProfiler
+    #                                 and configures itself)
     flow_align: bool = True         # motion-compensate neighbors (needs flow weights)
     flow_model: str = "ifnet"       # ifnet | raft (RAFT-class estimator)
     similarity_sigma: float = 0.08  # photometric rejection width ([0,1] units)
     scene_change_threshold: float = 0.30
     flicker_reduction: bool = True
+    chroma_only: bool = False       # denoise chroma, preserve luma
     compute_dtype: str = "float32"
     weights_dir: Optional[str] = None
 
@@ -44,6 +48,7 @@ class TemporalDenoiseConfig:
 class TemporalDenoiseResult:
     frames: int = 0
     scene_resets: int = 0
+    profile: Optional[dict] = None  # NoiseProfile.to_dict() in auto mode
 
 
 class TemporalDenoiser:
@@ -57,14 +62,18 @@ class TemporalDenoiser:
         self.result = TemporalDenoiseResult()
 
     # ------------------------------------------------------------------
-    def setup(self, height: int, width: int) -> None:
+    def setup(self, height: int = 0, width: int = 0) -> None:
+        cfg = self.config
+        self._dims = (height, width)
+        if cfg.method == "auto":
+            # deferred: _auto_configure resolves the method from the
+            # first window's noise profile, then calls setup again
+            return
         import jax
         import jax.numpy as jnp
 
         from framewright_tpu.models import ifnet
         from framewright_tpu.ops.warp import flow_warp
-
-        cfg = self.config
         if cfg.flow_model == "raft":
             from framewright_tpu.models import raft
             from framewright_tpu.models.registry import init_model
@@ -176,7 +185,38 @@ class TemporalDenoiser:
         elif cfg.method == "bilateral":
             out = self._bilateral(center)
         blended = cfg.strength * out + (1.0 - cfg.strength) * center
+        if cfg.chroma_only and blended.shape[-1] == 3:
+            # keep the original luma, take denoised chroma: adding the
+            # luma delta to every channel shifts Y and leaves U/V
+            # untouched (the BT.601 chroma coefficients sum to zero) —
+            # reference DenoiserType.CHROMA_ONLY semantics
+            w = np.asarray([0.299, 0.587, 0.114], np.float32)
+            dy = ((center - blended) * w).sum(-1, keepdims=True)
+            blended = blended + dy
         return to_uint8(np.clip(blended[0], 0.0, 1.0))
+
+    # ------------------------------------------------------------------
+    def _auto_configure(self, head: List[np.ndarray]) -> None:
+        """Profile the head frames and configure method/strength/
+        rejection width (the reference wires NoiseProfiler output into
+        denoiser choice the same way, noise_profiler.py:542)."""
+        from framewright_tpu.processors.noise_profiler import NoiseProfiler
+
+        cfg = self.config
+        prof = NoiseProfiler(sample_frames=len(head)).analyze_frames(head)
+        cfg.method = (prof.recommended_denoiser
+                      if prof.recommended_denoiser != "none" else "none")
+        if cfg.method != "none":
+            cfg.strength = max(0.1, prof.recommended_strength)
+            cfg.similarity_sigma = max(cfg.similarity_sigma,
+                                       prof.similarity_sigma)
+            cfg.chroma_only = prof.chroma_only
+        self.result.profile = prof.to_dict()
+        logger.info("auto denoise: %s strength=%.2f (noise %s, sigma %.2f)",
+                    cfg.method, cfg.strength, prof.dominant_type.value,
+                    prof.characteristics.luma_sigma)
+        if cfg.method != "none":
+            self.setup(*getattr(self, "_dims", (0, 0)))
 
     @staticmethod
     def _bilateral(x: np.ndarray) -> np.ndarray:
@@ -201,6 +241,18 @@ class TemporalDenoiser:
         """Stream with a look-ahead buffer of r frames; windows are cut
         at scene changes (reference scene-change reset)."""
         cfg = self.config
+        if cfg.method == "auto":
+            import itertools
+
+            head = list(itertools.islice(frames_iter,
+                                         max(8, 2 * cfg.radius + 1)))
+            self._auto_configure(head)
+            frames_iter = itertools.chain(head, frames_iter)
+        if cfg.method == "none":
+            for frame in frames_iter:
+                self.result.frames += 1
+                yield frame
+            return
         r = cfg.radius
         buf: List[np.ndarray] = []
         segment_start = 0  # index within buf where the current scene begins

@@ -608,8 +608,9 @@ class VideoRestorer:
                 radius=(cfg.temporal_window - 1) // 2,
                 strength=cfg.denoise_strength,
                 method=cfg.denoise_model
-                if cfg.denoise_model in ("temporal", "nafnet", "restormer",
-                                         "bilateral") else "temporal",
+                if cfg.denoise_model in ("auto", "temporal", "nafnet",
+                                         "restormer", "bilateral")
+                else "temporal",
                 scene_change_threshold=cfg.scene_threshold,
                 flow_model=cfg.flow_model,
             ))
