@@ -864,6 +864,29 @@ def cmd_subtitles(args: argparse.Namespace) -> int:
     )
 
     meta = probe(args.source)
+    if args.sync or args.enhance:
+        # retime/clean an existing SRT instead of extracting
+        from framewright_tpu.processors.subtitles import (
+            SubtitleEnhancer,
+            SubtitleTimeSync,
+            format_srt,
+            parse_srt,
+        )
+
+        srt_path = Path(args.sync or args.enhance)
+        track = parse_srt(srt_path.read_text())
+        if args.sync:
+            ext = SubtitleTimingExtractor(region=args.region)
+            with open_reader(args.source) as r:
+                events = ext.analyze(iter(r))
+            track = SubtitleTimeSync.sync_to_events(track, events, meta.fps)
+        if args.enhance:
+            track = SubtitleEnhancer.enhance(track, scale=args.scale)
+        out = Path(args.output) if args.output else \
+            srt_path.with_suffix(".synced.srt")
+        out.write_text(format_srt(track))
+        print(f"{len(track.lines)} lines -> {out}")
+        return 0
     ocr_fn = None if args.no_ocr else default_ocr_fn(lang=args.lang)
     if ocr_fn is None and not args.no_ocr:
         print("note: no OCR backend (tesseract) found; SRT will carry "
@@ -1104,6 +1127,14 @@ def build_parser() -> argparse.ArgumentParser:
                    default="bottom", help="where on the frame subtitles live")
     p.add_argument("--no-ocr", action="store_true",
                    help="timing-only SRT (skip text recognition)")
+    p.add_argument("--sync", metavar="SRT", default=None,
+                   help="retime an existing SRT against detected "
+                        "on-screen events (drift/offset correction)")
+    p.add_argument("--enhance", metavar="SRT", default=None,
+                   help="clean OCR artifacts + standardize formatting "
+                        "of an existing SRT")
+    p.add_argument("--scale", type=float, default=1.0,
+                   help="position scale factor for --enhance")
     p.set_defaults(func=cmd_subtitles)
 
     p = sub.add_parser("interpolate", help="standalone frame interpolation")
