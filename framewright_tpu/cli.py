@@ -904,6 +904,28 @@ def cmd_subtitles(args: argparse.Namespace) -> int:
 def cmd_audio(args: argparse.Namespace) -> int:
     from framewright_tpu.audio import AudioEnhanceConfig, AudioEnhancer
 
+    if args.separate:
+        from framewright_tpu.audio_separation import (
+            AudioSeparator,
+            SeparationConfig,
+        )
+
+        paths = AudioSeparator(SeparationConfig()).separate_file(
+            Path(args.source), Path(args.separate))
+        for name, p in paths.items():
+            print(f"{name}: {p}")
+        return 0
+    if args.output is None:
+        print("error: output path required (or use --separate DIR)",
+              file=sys.stderr)
+        return 1
+    if args.dialog:
+        from framewright_tpu.audio_separation import DialogEnhancer
+
+        out = DialogEnhancer().process_file(Path(args.source),
+                                            Path(args.output))
+        print(str(out))
+        return 0
     cfg = AudioEnhanceConfig(
         denoise=not args.no_denoise,
         denoise_model=args.denoise_model,
@@ -1234,7 +1256,13 @@ def build_parser() -> argparse.ArgumentParser:
 
     p = sub.add_parser("audio", help="enhance a WAV audio file")
     p.add_argument("source")
-    p.add_argument("output")
+    p.add_argument("output", nargs="?", default=None)
+    p.add_argument("--separate", metavar="DIR", default=None,
+                   help="split into vocals/background stems (learned "
+                        "band-mask + REPET/modulation separator)")
+    p.add_argument("--dialog", action="store_true",
+                   help="speech clarity chain: presence EQ, de-ess, "
+                        "compressor, limiter")
     p.add_argument("--no-denoise", action="store_true")
     p.add_argument("--denoise-model", default="ai",
                    choices=["ai", "wiener", "spectral"],

@@ -177,6 +177,51 @@ def make_batch(rng: np.random.Generator, sr: int = 48000,
     return mb.astype(np.float32), irm
 
 
+def synth_music(rng: np.random.Generator, n: int, sr: int) -> np.ndarray:
+    """Music-like background: sustained chord stacks with slow attacks
+    and light vibrato — spectrally rich but temporally stationary (the
+    property the separator's modulation gate exploits)."""
+    t = np.arange(n) / sr
+    x = np.zeros(n, np.float32)
+    roots = rng.choice([110.0, 130.8, 146.8, 164.8], size=2, replace=False)
+    for root in roots:
+        for ratio in (1.0, 1.25, 1.5, 2.0):
+            f = root * ratio * rng.uniform(0.998, 1.002)
+            vib = 1.0 + 0.002 * np.sin(2 * np.pi * rng.uniform(4, 6) * t)
+            amp = rng.uniform(0.1, 0.3) / ratio
+            x += (amp * np.sin(2 * np.pi * f * vib * t
+                               + rng.uniform(0, 2 * np.pi))).astype(np.float32)
+    # slow swell so it is not perfectly constant
+    swell = 0.8 + 0.2 * np.sin(2 * np.pi * rng.uniform(0.05, 0.2) * t)
+    x *= swell.astype(np.float32)
+    peak = np.abs(x).max() + 1e-6
+    return 0.5 * x / peak
+
+
+def make_batch_sep(rng: np.random.Generator, sr: int = 48000,
+                   seconds: float = 1.5, frame: int = 960, hop: int = 480
+                   ) -> Tuple[np.ndarray, np.ndarray]:
+    """Separation example: (mixture band power (T, B), vocals IRM)."""
+    n = int(sr * seconds)
+    voc = synth_clean(rng, n, sr)
+    mus = synth_music(rng, n, sr)
+    smr_db = rng.uniform(-6, 12)          # speech-to-music ratio
+    vp = np.sqrt(np.mean(voc ** 2)) + 1e-9
+    mp = np.sqrt(np.mean(mus ** 2)) + 1e-9
+    mus = mus * (vp / mp) * 10 ** (-smr_db / 20)
+
+    win = np.hanning(frame).astype(np.float32)
+    n_frames = (n - frame) // hop + 1
+    idx = np.arange(n_frames)[:, None] * hop + np.arange(frame)[None, :]
+    vs = np.abs(np.fft.rfft(voc[idx] * win, axis=1)) ** 2
+    ms = np.abs(np.fft.rfft(mus[idx] * win, axis=1)) ** 2
+    mix = np.abs(np.fft.rfft((voc + mus)[idx] * win, axis=1)) ** 2
+    bm = _band_matrix(vs.shape[1]).T
+    vb, mb, xb = vs @ bm, ms @ bm, mix @ bm
+    irm = np.sqrt(vb / np.maximum(vb + mb, 1e-12)).astype(np.float32)
+    return xb.astype(np.float32), irm
+
+
 # ---------------------------------------------------------------------------
 # Training (plain JAX + manual Adam — small enough not to need optax)
 # ---------------------------------------------------------------------------
@@ -214,11 +259,61 @@ def train_mask_net(steps: int = 300, seed: int = 0, lr: float = 2e-3,
     return params
 
 
+def train_separator(steps: int = 400, seed: int = 0, lr: float = 2e-3,
+                    log_every: int = 0) -> Dict:
+    """Multi-target variant: same conv-GRU trunk, trained to predict
+    the VOCALS band mask on speech+music mixtures (the background mask
+    is its complement). Checkpoint: audio_sep_v1.npz."""
+    import jax
+    import jax.numpy as jnp
+
+    params = init_params(seed + 100)
+    rng = np.random.default_rng(seed + 101)
+
+    def loss_fn(p, x, y):
+        g = apply(p, x)
+        return jnp.mean((g - y) ** 2)
+
+    grad_fn = jax.jit(jax.value_and_grad(loss_fn))
+    m = {k: np.zeros_like(v) for k, v in params.items()}
+    v = {k: np.zeros_like(vv) for k, vv in params.items()}
+    for step in range(1, steps + 1):
+        x, y = make_batch_sep(rng)
+        loss, g = grad_fn(params, jnp.asarray(x), jnp.asarray(y))
+        for k in params:
+            gk = np.asarray(g[k])
+            m[k] = 0.9 * m[k] + 0.1 * gk
+            v[k] = 0.999 * v[k] + 0.001 * gk * gk
+            mh = m[k] / (1 - 0.9 ** step)
+            vh = v[k] / (1 - 0.999 ** step)
+            params[k] = (params[k] - lr * mh / (np.sqrt(vh) + 1e-8)
+                         ).astype(np.float32)
+        if log_every and step % log_every == 0:
+            print(f"sep step {step}: loss {float(loss):.4f}")
+    return params
+
+
 # ---------------------------------------------------------------------------
 # Checkpoint I/O + the mask_fn adapter
 # ---------------------------------------------------------------------------
 
 _DEFAULT_CKPT = Path(__file__).parent / "weights" / "audio_mask_v1.npz"
+_SEP_CKPT = Path(__file__).parent / "weights" / "audio_sep_v1.npz"
+
+
+def make_sep_mask_fn(path: Optional[Path] = None):
+    """-> fn(band_pow (T, B)) -> vocals band gains, from the separator
+    checkpoint (FileNotFoundError when it is absent)."""
+    import jax
+    import jax.numpy as jnp
+
+    params = load_params(path or _SEP_CKPT)
+    fwd = jax.jit(lambda x: apply(params, x))
+
+    def mask_fn(band_pow: np.ndarray) -> np.ndarray:
+        return np.asarray(fwd(jnp.asarray(band_pow, jnp.float32)))
+
+    return mask_fn
 
 
 def save_params(params: Dict, path: Path = _DEFAULT_CKPT) -> Path:
