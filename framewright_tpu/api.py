@@ -79,6 +79,17 @@ padding:1px 6px;border-radius:3px}.cmp .lbl.b{right:6px}
 </form>
 <pre id="analysis" style="display:none;max-height:14rem;overflow:auto;
 background:#1e2127;padding:.6rem;border-radius:4px"></pre></fieldset>
+<fieldset><legend>guided restore (analyze &rarr; recommend &rarr; restore)</legend>
+<form onsubmit="return guidedAnalyze(event)">
+<input id="gsrc" placeholder="/path/to/video.y4m" size="38" required>
+<button>Analyze &amp; recommend</button>
+<span id="gmsg"></span></form>
+<div id="gpanel" style="display:none">
+<div id="gsummary" style="margin:.6rem 0;color:#9ab"></div>
+<table id="gsettings" style="width:auto"></table>
+<button type="button" onclick="guidedRestore()" style="margin-top:.6rem">
+Restore with these settings</button>
+</div></fieldset>
 <details><summary>hardware</summary>
 <pre id="hardware">loading...</pre></details>
 <table id="jobs"><tr><th>Job</th><th>Source</th><th>State</th>
@@ -200,6 +211,62 @@ function renderCompare(d){
     after.style.clipPath = 'inset(0 ' + (100 - range.value) + '% 0 0)';
   div.append(before, after, la, lb, range);
   document.getElementById('previews').after(div);
+}
+// guided workflow: analyze -> editable recommendation -> one-click job
+let gRec = null;
+async function guidedAnalyze(ev){
+  ev.preventDefault();
+  const msg = document.getElementById('gmsg');
+  msg.textContent = 'analyzing...';
+  const r = await fetch('/api/recommend', {method:'POST',
+    headers:{'Content-Type':'application/json'},
+    body: JSON.stringify({source: document.getElementById('gsrc').value})});
+  const d = await r.json();
+  if (!r.ok){ msg.textContent = 'error: ' + d.error; return false; }
+  gRec = d; msg.textContent = '';
+  const a = d.analysis;
+  const np = a.noise_profile || {};
+  document.getElementById('gsummary').textContent =
+    'content: ' + a.content_type + ' | quality: ' + a.quality_score +
+    '/100 | degradations: ' + (a.degradations.join(', ') || 'none') +
+    ' | noise: ' + (np.dominant_type || '?') +
+    ' (σ ' + (np.luma_sigma ?? '?') + ')' +
+    ' | recommended preset: ' + d.preset;
+  const t = document.getElementById('gsettings');
+  t.textContent = '';
+  const hdr = t.insertRow();
+  for (const h of ['setting (differs from preset)', 'value'])
+    hdr.insertCell().textContent = h;
+  for (const [k, v] of Object.entries(d.overrides)){
+    const row = t.insertRow();
+    row.insertCell().textContent = k;
+    const cell = row.insertCell();
+    const inp = document.createElement('input');
+    if (typeof v === 'boolean'){
+      inp.type = 'checkbox'; inp.checked = v;
+    } else { inp.value = v; inp.size = 12; }
+    inp.dataset.key = k; inp.dataset.kind = typeof v;
+    cell.appendChild(inp);
+  }
+  document.getElementById('gpanel').style.display = '';
+  return false;
+}
+async function guidedRestore(){
+  if (!gRec) return;
+  const cfg = {preset: gRec.preset};
+  for (const inp of document.querySelectorAll('#gsettings input')){
+    const k = inp.dataset.key;
+    if (inp.type === 'checkbox') cfg[k] = inp.checked;
+    else if (inp.dataset.kind === 'number') cfg[k] = parseFloat(inp.value);
+    else cfg[k] = inp.value;
+  }
+  const r = await fetch('/api/jobs', {method:'POST',
+    headers:{'Content-Type':'application/json'},
+    body: JSON.stringify({source: document.getElementById('gsrc').value,
+                          config: cfg})});
+  const d = await r.json();
+  document.getElementById('gmsg').textContent =
+    r.ok ? 'queued ' + d.job_id : 'error: ' + d.error;
 }
 loadPresets(); loadRecipes(); loadHardware();
 function render(jobs){
@@ -498,6 +565,37 @@ class APIServer:
                         with open_reader(source) as r:
                             rep = ContentAnalyzer().analyze(iter(r), height=meta.height)
                         return self._send(200, rep.to_dict())
+                    except Exception as exc:  # noqa: BLE001
+                        return self._send(400, {"error": str(exc)})
+                if path == "/api/recommend":
+                    # the guided analyze->recommend step (reference
+                    # ui.py analyze handler + recommendations.py:98):
+                    # analysis + chosen preset + the override diff the
+                    # user can edit before one-click restore
+                    source = body.get("source", "")
+                    try:
+                        from framewright_tpu.io import open_reader, probe
+                        from framewright_tpu.presets import (
+                            PresetRegistry,
+                            SmartPresetSelector,
+                        )
+                        from framewright_tpu.processors.analysis import (
+                            ContentAnalyzer,
+                        )
+
+                        meta = probe(source)
+                        with open_reader(source) as r:
+                            rep = ContentAnalyzer().analyze(
+                                iter(r), height=meta.height)
+                        preset, overrides, cfg = SmartPresetSelector(
+                            PresetRegistry()).select_with_info(
+                                rep, meta.nb_frames)
+                        return self._send(200, {
+                            "analysis": rep.to_dict(),
+                            "preset": preset,
+                            "overrides": overrides,
+                            "config": cfg.to_dict(),
+                        })
                     except Exception as exc:  # noqa: BLE001
                         return self._send(400, {"error": str(exc)})
                 self._send(404, {"error": "unknown endpoint"})

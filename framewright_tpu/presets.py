@@ -103,6 +103,13 @@ class SmartPresetSelector:
 
     def select(self, report, nb_frames: int = 0) -> Config:
         """report: processors.analysis.AnalysisReport."""
+        _, _, cfg = self.select_with_info(report, nb_frames)
+        return cfg
+
+    def select_with_info(self, report, nb_frames: int = 0):
+        """-> (preset_name, overrides, Config): the recommendation with
+        its provenance, for UIs that show an editable preset diff
+        (reference _ui_pkg/recommendations.py:98)."""
         from framewright_tpu.processors.analysis import recommend_settings
 
         names = {p.name for p in self.registry.available()}
@@ -117,4 +124,4 @@ class SmartPresetSelector:
         if nb_frames > 100_000:
             overrides["sr_model"] = "realesr-general-x4v3"
         logger.info("smart selector: preset=%s overrides=%s", preset, overrides)
-        return self.registry.build_config(preset, **overrides)
+        return preset, overrides, self.registry.build_config(preset, **overrides)

@@ -92,6 +92,38 @@ class TestAPI:
         assert b"framewright" in body
         assert b"/api/frame" in body          # compare slider wiring
 
+    def test_recommend_endpoint_guided_flow(self, api, tmp_path):
+        # analyze -> recommend -> restore without hand-writing a config
+        # (reference ui.py guided workflow)
+        from framewright_tpu.io.y4m import Y4MWriter
+
+        rng = np.random.default_rng(0)
+        clip = tmp_path / "noisy.y4m"
+        base = rng.integers(40, 200, (48, 64, 3)).astype(np.float32)
+        with Y4MWriter(clip, 64, 48, fps=24) as w:
+            for _ in range(10):
+                noisy = base + rng.normal(0, 15, base.shape)
+                w.write_frame(np.clip(noisy, 0, 255).astype(np.uint8))
+        code, rec = _post(api, "/api/recommend", {"source": str(clip)})
+        assert code == 200
+        assert rec["preset"] in ("fast", "quality", "archive")
+        assert "analysis" in rec and "config" in rec
+        assert rec["analysis"]["noise_profile"]["luma_sigma"] > 5
+        assert rec["overrides"].get("denoise") is True
+        # one-click restore: submit the recommendation as the config
+        cfg = dict(rec["overrides"])
+        cfg["preset"] = rec["preset"]
+        code, out = _post(api, "/api/jobs",
+                          {"source": str(clip), "config": cfg})
+        assert code == 201 and out["job_id"]
+
+    def test_dashboard_has_guided_panel(self, api):
+        with urllib.request.urlopen(f"http://127.0.0.1:{api.port}/",
+                                    timeout=5) as r:
+            body = r.read()
+        assert b"/api/recommend" in body
+        assert b"guided restore" in body
+
     def test_frame_endpoint_serves_png(self, api, tmp_path):
         # register the source as a job first (unregistered paths are 403)
         import numpy as np
