@@ -31,6 +31,12 @@ from framewright_tpu.models.layers import (
 )
 
 
+# Tail variant default: "1" = phase tail from 2x res (conv_up1 in XLA),
+# "2" = extended tail from body res (conv_up1 folded into the kernel).
+# Set by the measured winner on v5e (scripts/bench_tail2.py).
+_TAIL_DEFAULT = "1"
+
+
 @dataclass(frozen=True)
 class RRDBConfig:
     num_in_ch: int = 3
@@ -161,6 +167,22 @@ def _tail_pallas(params: Dict, fast_params: Dict, feat: jnp.ndarray,
                             interpret=interpret)
 
 
+def _tail_pallas2(params: Dict, fast_params: Dict, feat: jnp.ndarray,
+                  body_out: jnp.ndarray, interpret: bool = False
+                  ) -> jnp.ndarray:
+    """Tail with ALL FOUR tail convs (conv_up1/up2/hr/last) fused into
+    one phase-decomposed Pallas kernel at BODY resolution
+    (ops/fused_tail.py tail2): removes the XLA conv_up1 at 2x res
+    (~10 ms/frame on v5e) and the mid-resolution block extraction."""
+    from framewright_tpu.ops.fused_tail import fused_tail2_image
+
+    feat = feat + conv2d(params["conv_body"], body_out.astype(feat.dtype))
+    fcm = feat.transpose(0, 3, 1, 2).astype(jnp.bfloat16)
+    h, w = int(fcm.shape[2]), int(fcm.shape[3])
+    return fused_tail2_image(fcm, fast_params["tail2_phase"], h, w,
+                             interpret=interpret)
+
+
 def _head(params: Dict, x: jnp.ndarray, cfg: RRDBConfig) -> jnp.ndarray:
     if cfg.scale == 2:
         feat = pixel_unshuffle(x, 2)
@@ -250,10 +272,16 @@ def apply_fast(params: Dict, fast_params: Dict, x: jnp.ndarray,
     """
     from framewright_tpu.ops.fused_rrdb import rrdb_body_fast
 
+    import os as _os
+
     feat = _head(params, x, cfg)
     body_out = rrdb_body_fast(feat, fast_params, interpret=interpret)
     if fast_tail is not None:
         return fast_tail(feat, body_out)
+    kind = _os.environ.get("FW_TAIL", _TAIL_DEFAULT)
+    if kind == "2" and "tail2_phase" in fast_params:
+        return _tail_pallas2(params, fast_params, feat, body_out,
+                             interpret=interpret)
     if "tail_phase" in fast_params:
         return _tail_pallas(params, fast_params, feat, body_out,
                             interpret=interpret)

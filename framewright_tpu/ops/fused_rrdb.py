@@ -351,6 +351,12 @@ def rrdb_fast_params(params: Dict, dtype=jnp.bfloat16,
         from framewright_tpu.ops.fused_tail import tail_phase_weights
         out["tail_phase"] = tail_phase_weights(
             params["conv_up2"], params["conv_hr"], params["conv_last"])
+    if all(k in params for k in ("conv_up1", "conv_up2", "conv_hr",
+                                 "conv_last")):
+        from framewright_tpu.ops.fused_tail import tail2_phase_weights
+        out["tail2_phase"] = tail2_phase_weights(
+            params["conv_up1"], params["conv_up2"], params["conv_hr"],
+            params["conv_last"])
     return out
 
 

@@ -253,6 +253,237 @@ def fused_tail_blocks(blocks: jnp.ndarray, extents: jnp.ndarray,
 
 
 # ---------------------------------------------------------------------------
+# Extended tail: conv_up1 folded in (input at BODY resolution).
+#
+# The round-4 device trace showed conv_up1's XLA conv at 1080p costs
+# ~10 ms/frame (compare_select_fusion + conv fusions) plus the
+# 1080-res block extraction feeding the phase-tail kernel. This
+# variant takes lrelu-input feat1 = conv_body(body)+skip at 540-res
+# and computes ALL FOUR tail convs in one kernel:
+#   A0: conv_up1-after-nearest2x -> 4 phases of the 1080 image
+#   A : conv_up2-after-nearest2x of the 1080 image -> 16 phases of the
+#       4K image over the 540 grid (phase-of-phase routing)
+#   B/C: conv_hr/conv_last 3x3 at 4K phase-routed over the 16 phases
+# Halo 4 (one ring per stage) at 540-res blocks.
+# ---------------------------------------------------------------------------
+
+S2 = int(_os.environ.get("FW_TAIL2_S", "96"))
+HALO2 = 4
+BH2 = S2 - 2 * HALO2
+PX2 = S2 * S2
+
+
+def _phase_route_a(P: int, Q: int):
+    """conv_up2 tap routing for 4K phase (P, Q) over the 540 grid:
+    [(a0_phase, dr, dc) x4] in _up2_phase_weights tap order.
+
+    4K row = 4s + P with P = 2p + A (p = 1080-phase bit, A = conv_up2
+    output phase). conv_up2's 2x2 support reads 1080 rows p+d for
+    d in {-1,0} (A=0) or {0,1} (A=1); 1080 row u = 2s' + p' maps to
+    a0-phase p' = u & 1 at 540-offset u >> 1 (arithmetic shift keeps
+    -1 correct: phase 1, offset -1)."""
+    def axis(pax):
+        p, amp = pax >> 1, pax & 1
+        ds = (-1, 0) if amp == 0 else (0, 1)
+        return [((p + d) & 1, (p + d) >> 1) for d in ds]
+
+    taps = []
+    for pr, dr in axis(P):
+        for pc, dc in axis(Q):
+            taps.append((pr * 2 + pc, dr, dc))
+    return taps
+
+
+def _phase_route_bc(P: int, Q: int):
+    """3x3 conv at 4K for output phase (P, Q) over the 16-phase form:
+    [(in_phase16, dr, dc) x9] in (di, dj) tap order. 4K tap row
+    4s + P + di - 1 -> phase (P+di-1) mod 4 at 540-offset
+    (P+di-1) >> 2."""
+    out = []
+    for di in range(3):
+        r = P + di - 1
+        pr, dr = r & 3, r >> 2
+        for dj in range(3):
+            c = Q + dj - 1
+            pc, dc = c & 3, c >> 2
+            out.append((pr * 4 + pc, dr, dc))
+    return out
+
+
+_PHASES16 = tuple((P, Q) for P in range(4) for Q in range(4))
+_TAPS_A2 = {ph: _phase_route_a(*ph) for ph in _PHASES16}
+_TAPS_BC2 = {ph: _phase_route_bc(*ph) for ph in _PHASES16}
+
+
+def tail2_phase_weights(conv_up1: Dict, conv_up2: Dict, conv_hr: Dict,
+                        conv_last: Dict, dtype=jnp.bfloat16) -> Dict:
+    """Weight bundle for the extended tail kernel."""
+    base = tail_phase_weights(conv_up2, conv_hr, conv_last, dtype)
+    w_up1 = np.asarray(conv_up1["w"], np.float32)
+    wa0 = []
+    for (a, b) in PHASES:
+        w, _ = _up2_phase_weights(w_up1, a, b)
+        wa0.append(w)
+    return {
+        "Wa0": jnp.asarray(np.stack(wa0), dtype),        # (4, 64, 256)
+        "ba0": jnp.asarray(np.asarray(conv_up1["b"], np.float32)
+                           .reshape(-1, 1)),
+        "Wa": base["Wa"], "Wb": base["Wb"], "Wc": base["Wc"],
+        "ba": base["ba"], "bb": base["bb"], "bc": base["bc"],
+    }
+
+
+def _roll2(src, dr, dc):
+    shift = (-dr) * S2 + (-dc)
+    if shift == 0:
+        return src
+    return pltpu.roll(src, shift % PX2, axis=1)
+
+
+def _tail2_kernel(ext_ref, x_ref, wa0_ref, wa_ref, wb_ref, wc_ref,
+                  ba0_ref, ba_ref, bb_ref, bc_ref, o_ref, a0_ref, a_ref,
+                  b_ref):
+    bi = pl.program_id(0)
+    r0 = ext_ref[bi, 0]
+    r1 = ext_ref[bi, 1]
+    c0 = ext_ref[bi, 2]
+    c1 = ext_ref[bi, 3]
+    lanes = jax.lax.broadcasted_iota(jnp.int32, (1, PX2), 1)
+    rows = lanes // S2
+    cols = lanes % S2
+    valid = (rows >= r0) & (rows < r1) & (cols >= c0) & (cols < c1)
+
+    def act_pack(v):
+        m = jnp.where(valid, _lrelu(v).astype(jnp.bfloat16),
+                      jnp.bfloat16(0.0))
+        return pltpu.bitcast(m, jnp.int32)
+
+    xp = pltpu.bitcast(x_ref[0], jnp.int32)       # (32, PX2)
+
+    # A0: conv_up1 phases (input 540 -> 1080-phase form)
+    for pi, ph in enumerate(PHASES):
+        parts = [_roll2(xp, dr, dc) for dr, dc in _TAPS_A[ph]]
+        chunk = pltpu.bitcast(jnp.concatenate(parts, axis=0), jnp.bfloat16)
+        acc = jnp.dot(wa0_ref[pi], chunk,
+                      preferred_element_type=jnp.float32)
+        a0_ref[pi * 32:(pi + 1) * 32] = act_pack(acc + ba0_ref[:])
+
+    # A: conv_up2 phase-of-phase (1080-phase form -> 16-phase 4K form)
+    for pi, (P, Q) in enumerate(_PHASES16):
+        wa_idx = (P & 1) * 2 + (Q & 1)            # conv_up2 phase (A, B)
+        parts = [
+            _roll2(a0_ref[ip * 32:(ip + 1) * 32], dr, dc)
+            for ip, dr, dc in _TAPS_A2[(P, Q)]
+        ]
+        chunk = pltpu.bitcast(jnp.concatenate(parts, axis=0), jnp.bfloat16)
+        acc = jnp.dot(wa_ref[wa_idx], chunk,
+                      preferred_element_type=jnp.float32)
+        a_ref[pi * 32:(pi + 1) * 32] = act_pack(acc + ba_ref[:])
+
+    # B: conv_hr at 4K (phase-routed 3x3 over the 16-phase form)
+    for pi, ph in enumerate(_PHASES16):
+        taps = _TAPS_BC2[ph]
+        acc = None
+        for t in range(0, 9, 3):
+            m = min(3, 9 - t)
+            parts = [
+                _roll2(a_ref[tp[0] * 32:tp[0] * 32 + 32], tp[1], tp[2])
+                for tp in taps[t:t + m]
+            ]
+            packed = parts[0] if m == 1 else jnp.concatenate(parts, axis=0)
+            chunk = pltpu.bitcast(packed, jnp.bfloat16)
+            c = jnp.dot(wb_ref[0, :, t * NF:(t + m) * NF], chunk,
+                        preferred_element_type=jnp.float32)
+            acc = c if acc is None else acc + c
+        b_ref[pi * 32:(pi + 1) * 32] = act_pack(acc + bb_ref[:])
+
+    # C: conv_last at 4K -> 16 phases x 8 rows (3 RGB + pad)
+    for pi, ph in enumerate(_PHASES16):
+        taps = _TAPS_BC2[ph]
+        acc = None
+        for t in range(0, 9, 3):
+            m = min(3, 9 - t)
+            parts = [
+                _roll2(b_ref[tp[0] * 32:tp[0] * 32 + 32], tp[1], tp[2])
+                for tp in taps[t:t + m]
+            ]
+            packed = parts[0] if m == 1 else jnp.concatenate(parts, axis=0)
+            chunk = pltpu.bitcast(packed, jnp.bfloat16)
+            c = jnp.dot(wc_ref[0, :, t * NF:(t + m) * NF], chunk,
+                        preferred_element_type=jnp.float32)
+            acc = c if acc is None else acc + c
+        out = jnp.where(valid, acc + bc_ref[:], 0.0)
+        o_ref[0, pi * 8:(pi + 1) * 8] = out.astype(jnp.bfloat16)
+
+
+def fused_tail2_blocks(blocks: jnp.ndarray, extents: jnp.ndarray,
+                       wts: Dict, interpret: bool = False) -> jnp.ndarray:
+    """blocks: (NB, 64, PX2) bf16 at BODY res -> (NB, 128, PX2) bf16
+    (16 4K-phases x 8 rows, rows 0-2 of each group = RGB)."""
+    nb = blocks.shape[0]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nb,),
+        in_specs=[pl.BlockSpec((1, NF, PX2), lambda k, *_: (k, 0, 0),
+                               memory_space=pltpu.VMEM)]
+                 + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 8,
+        out_specs=pl.BlockSpec((1, 128, PX2), lambda k, *_: (k, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((128, PX2), jnp.int32),   # A0: 4 x 64ch packed
+            pltpu.VMEM((512, PX2), jnp.int32),   # A: 16 x 64ch packed
+            pltpu.VMEM((512, PX2), jnp.int32),   # B
+        ],
+    )
+    return pl.pallas_call(
+        _tail2_kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((nb, 128, PX2), jnp.bfloat16),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=int(_os.environ.get("FW_RDB_VMEM_MB", "100"))
+            * 1024 * 1024),
+        interpret=interpret,
+    )(extents, blocks, wts["Wa0"], wts["Wa"], wts["Wb"], wts["Wc"],
+      wts["ba0"], wts["ba"], wts["bb"], wts["bc"])
+
+
+@functools.partial(jax.jit, static_argnames=("h", "w", "interpret"))
+def fused_tail2_image(feat_cm: jnp.ndarray, wts: Dict, h: int, w: int,
+                      interpret: bool = False) -> jnp.ndarray:
+    """feat_cm: (B, 64, h, w) bf16 at BODY resolution (conv_body+skip
+    output, BEFORE conv_up1) -> (B, 4h, 4w, 3) bf16."""
+    b = feat_cm.shape[0]
+    nh, nw = -(-h // BH2), -(-w // BH2)
+    hp, wp = nh * BH2, nw * BH2
+    x = jnp.pad(feat_cm, ((0, 0), (0, 0), (HALO2, hp - h + HALO2),
+                          (HALO2, wp - w + HALO2)))
+    windows = []
+    extents = []
+    for i in range(nh):
+        for j in range(nw):
+            windows.append(jax.lax.slice(
+                x, (0, 0, i * BH2, j * BH2),
+                (b, NF, i * BH2 + S2, j * BH2 + S2)))
+            extents.append((HALO2 if i == 0 else 0,
+                            min(S2, HALO2 + h - i * BH2),
+                            HALO2 if j == 0 else 0,
+                            min(S2, HALO2 + w - j * BH2)))
+    nt = nh * nw
+    blocks = jnp.stack(windows, axis=1).reshape(b * nt, NF, PX2)
+    ext = jnp.asarray(np.tile(np.asarray(extents, np.int32), (b, 1)))
+    out = fused_tail2_blocks(blocks, ext, wts, interpret=interpret)
+    out = out.reshape(b, nt, 128, S2, S2)[
+        :, :, :, HALO2:S2 - HALO2, HALO2:S2 - HALO2]
+    out = out.reshape(b, nh, nw, 128, BH2, BH2)
+    out = out.transpose(0, 3, 1, 4, 2, 5).reshape(b, 128, hp, wp)
+    out = out[:, :, :h, :w]
+    # depth-to-space x4: channel (P*4+Q)*8 + c -> 4K pixel (4i+P, 4j+Q, c)
+    t = out.reshape(b, 4, 4, 8, h, w)[:, :, :, :3]   # (B, P, Q, 3, h, w)
+    t = t.transpose(0, 4, 1, 5, 2, 3)
+    return t.reshape(b, 4 * h, 4 * w, 3)
+
+
+# ---------------------------------------------------------------------------
 # Image-level wrapper
 # ---------------------------------------------------------------------------
 

@@ -13,6 +13,7 @@ os.environ.setdefault("JAX_PLATFORMS", "cpu")
 # larger block tuned for v5e VMEM; the kernel logic is S-parametric and
 # a slow cross-S test covers the production block size)
 os.environ.setdefault("FW_RDB_S", "64")
+os.environ.setdefault("FW_TAIL2_S", "32")   # small interpret-mode blocks
 # Fused SRVGG chain: small blocks for interpret-mode tests (production
 # default S=112 is a v5e VMEM tuning; the kernel is S-parametric)
 os.environ.setdefault("FW_VGG_S", "48")

@@ -90,3 +90,58 @@ class TestFusedTailNumerics:
             np.float32)
         assert out.shape == ref.shape == (1, 96, 128, 3)
         assert np.abs(out - ref).mean() < 0.02
+
+
+class TestFusedTail2:
+    """Extended tail (conv_up1 folded in; input at body resolution)."""
+
+    @pytest.fixture(scope="class")
+    def tail2_params(self):
+        from framewright_tpu.models.layers import conv_init
+
+        ks = jax.random.split(jax.random.PRNGKey(11), 4)
+        return {
+            "conv_up1": conv_init(ks[0], 3, 64, 64, jnp.float32),
+            "conv_up2": conv_init(ks[1], 3, 64, 64, jnp.float32),
+            "conv_hr": conv_init(ks[2], 3, 64, 64, jnp.float32),
+            "conv_last": conv_init(ks[3], 3, 64, 3, jnp.float32),
+        }
+
+    @pytest.mark.parametrize("hw", [(24, 24), (37, 53)])
+    def test_matches_xla_four_conv_tail(self, tail2_params, hw):
+        p = tail2_params
+        h, w = hw
+        feat1 = jnp.asarray(
+            np.random.default_rng(1).standard_normal((1, h, w, 64)) * 0.3,
+            jnp.bfloat16)
+
+        def ref(x):
+            x = lrelu(conv2d(p["conv_up1"], upsample_nearest(x, 2)))
+            x = lrelu(conv2d(p["conv_up2"], upsample_nearest(x, 2)))
+            return conv2d(p["conv_last"], lrelu(conv2d(p["conv_hr"], x)))
+
+        want = np.asarray(ref(feat1), np.float32)
+        wts = fused_tail.tail2_phase_weights(
+            p["conv_up1"], p["conv_up2"], p["conv_hr"], p["conv_last"])
+        got = np.asarray(fused_tail.fused_tail2_image(
+            feat1.transpose(0, 3, 1, 2), wts, h, w, interpret=True),
+            np.float32)
+        assert got.shape == (1, 4 * h, 4 * w, 3)
+        err = np.abs(want - got)
+        scale = np.abs(want).max() + 1e-3
+        assert err.max() / scale < 0.02, err.max()
+
+    def test_apply_fast_tail2_matches_apply(self, monkeypatch):
+        monkeypatch.setenv("FW_TAIL", "2")
+        cfg = rrdb.RRDBConfig(num_block=1, scale=4)
+        params = rrdb.init(jax.random.PRNGKey(3), cfg, dtype=jnp.float32)
+        fast = rrdb.make_fast_params(params)
+        assert "tail2_phase" in fast
+        x = jnp.asarray(np.random.default_rng(2).random((1, 28, 36, 3)),
+                        jnp.bfloat16)
+        want = np.asarray(rrdb.apply(params, x, cfg), np.float32)
+        got = np.asarray(rrdb.apply_fast(params, fast, x, cfg,
+                                         interpret=True), np.float32)
+        err = np.abs(want - got)
+        assert err.max() < 0.05, err.max()
+        assert err.mean() < 0.005, err.mean()
