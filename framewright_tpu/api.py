@@ -284,7 +284,8 @@ function render(jobs){
     row.insertCell().textContent = j.job_id;
     row.insertCell().textContent = j.source;
     const st = row.insertCell();
-    st.textContent = j.state;
+    st.textContent = j.state +
+      (j.state === 'running' && j.stage ? ' · ' + j.stage : '');
     st.className = 'state-' + String(j.state).replace(/[^a-z]/g, '');
     const pc = row.insertCell();
     const bar = document.createElement('progress');
@@ -642,7 +643,8 @@ class APIServer:
             def _job_dict(j):
                 return {
                     "job_id": j.job_id, "source": j.source, "output": j.output,
-                    "state": j.state, "frames_done": j.frames_done,
+                    "state": j.state, "stage": j.stage,
+                    "frames_done": j.frames_done,
                     "total_frames": j.total_frames, "error": j.error,
                 }
 

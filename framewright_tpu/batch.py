@@ -33,12 +33,28 @@ class BatchQueueProcessor:
         self.process_fn = process_fn or self._default_process
         self._stop = threading.Event()
 
-    @staticmethod
-    def _default_process(job: JobRecord) -> None:
+    def _default_process(self, job: JobRecord) -> None:
         from framewright_tpu.restorer import VideoRestorer
 
         cfg = Config.from_dict(job.config) if job.config else Config()
-        VideoRestorer(cfg).restore_video(job.source, output=job.output or None)
+
+        last = {"t": 0.0}
+
+        def on_progress(info) -> None:
+            # live per-stage progress for dashboards (throttled writes)
+            now = time.time()
+            if now - last["t"] < 0.5 and info.frames_done < info.total_frames:
+                return
+            last["t"] = now
+            try:
+                self.store.update_progress(
+                    job.job_id, info.frames_done, stage=info.stage,
+                    total_frames=info.total_frames or None)
+            except Exception:  # noqa: BLE001 — progress is best-effort
+                logger.debug("progress write failed", exc_info=True)
+
+        VideoRestorer(cfg, progress_callback=on_progress).restore_video(
+            job.source, output=job.output or None)
 
     def submit(self, source: str, output: str = "",
                config: Optional[Config] = None) -> str:

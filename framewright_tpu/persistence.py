@@ -29,6 +29,7 @@ CREATE TABLE IF NOT EXISTS jobs (
     state TEXT NOT NULL DEFAULT 'pending',
     total_frames INTEGER DEFAULT 0,
     frames_done INTEGER DEFAULT 0,
+    stage TEXT DEFAULT '',
     error TEXT,
     created_at REAL,
     updated_at REAL
@@ -56,6 +57,7 @@ class JobRecord:
     state: str = "pending"
     total_frames: int = 0
     frames_done: int = 0
+    stage: str = ""
     config: Dict = field(default_factory=dict)
     config_hash: str = ""
     error: str = ""
@@ -71,8 +73,16 @@ class JobStore:
         self.db_path.parent.mkdir(parents=True, exist_ok=True)
         self._lock = threading.RLock()
         self._conn = sqlite3.connect(self.db_path, check_same_thread=False)
+        self._conn.row_factory = sqlite3.Row   # name-based rows: the
+        # stage column sits at a different position in fresh vs
+        # migrated databases
         self._conn.execute("PRAGMA journal_mode=WAL")
         self._conn.executescript(_SCHEMA)
+        # round-4 column (live per-stage progress); migrate older DBs
+        cols = [r[1] for r in self._conn.execute("PRAGMA table_info(jobs)")]
+        if "stage" not in cols:
+            self._conn.execute("ALTER TABLE jobs ADD COLUMN stage TEXT "
+                               "DEFAULT ''")
         self._conn.commit()
 
     def close(self) -> None:
@@ -104,11 +114,21 @@ class JobStore:
                 (state, error, time.time(), job_id))
             self._conn.commit()
 
-    def update_progress(self, job_id: str, frames_done: int) -> None:
+    def update_progress(self, job_id: str, frames_done: int,
+                        stage: str = None, total_frames: int = None) -> None:
+        sets = ["frames_done=?", "updated_at=?"]
+        args = [frames_done, time.time()]
+        if stage is not None:
+            sets.append("stage=?")
+            args.append(stage)
+        if total_frames is not None:
+            sets.append("total_frames=?")
+            args.append(total_frames)
+        args.append(job_id)
         with self._lock:
             self._conn.execute(
-                "UPDATE jobs SET frames_done=?, updated_at=? WHERE job_id=?",
-                (frames_done, time.time(), job_id))
+                f"UPDATE jobs SET {', '.join(sets)} WHERE job_id=?",
+                tuple(args))
             self._conn.commit()
 
     def record_range(self, job_id: str, stage: str, start: int, end: int) -> None:
@@ -154,9 +174,15 @@ class JobStore:
 
     @staticmethod
     def _to_record(row) -> JobRecord:
+        keys = row.keys()
         return JobRecord(
-            job_id=row[0], source=row[1], output=row[2] or "",
-            config=json.loads(row[3] or "{}"), config_hash=row[4] or "",
-            state=row[5], total_frames=row[6], frames_done=row[7],
-            error=row[8] or "", created_at=row[9], updated_at=row[10],
+            job_id=row["job_id"], source=row["source"],
+            output=row["output"] or "",
+            config=json.loads(row["config_json"] or "{}"),
+            config_hash=row["config_hash"] or "",
+            state=row["state"], total_frames=row["total_frames"],
+            frames_done=row["frames_done"],
+            stage=(row["stage"] or "") if "stage" in keys else "",
+            error=row["error"] or "", created_at=row["created_at"],
+            updated_at=row["updated_at"],
         )

@@ -405,3 +405,47 @@ class TestCostEstimate:
 
         est = estimate_cost(100, 1920, 1080, "nosuch")
         assert est.est_fps > 0
+
+
+class TestJobStageProgress:
+    """Round 4: live per-stage progress on job rows (dashboard panels)."""
+
+    def test_update_progress_with_stage(self, tmp_path):
+        from framewright_tpu.persistence import JobStore
+
+        store = JobStore(tmp_path / "j.db")
+        jid = store.create_job("a.y4m")
+        store.update_progress(jid, 5, stage="enhance", total_frames=48)
+        job = store.get_job(jid)
+        assert job.frames_done == 5
+        assert job.stage == "enhance"
+        assert job.total_frames == 48
+        store.update_progress(jid, 9)          # stage untouched
+        assert store.get_job(jid).stage == "enhance"
+        store.close()
+
+    def test_stage_column_migration(self, tmp_path):
+        import sqlite3
+
+        from framewright_tpu.persistence import JobStore
+
+        # simulate a round-3 database (no stage column)
+        db = tmp_path / "old.db"
+        conn = sqlite3.connect(db)
+        conn.executescript(
+            "CREATE TABLE jobs (job_id TEXT PRIMARY KEY, source TEXT NOT "
+            "NULL, output TEXT, config_json TEXT, config_hash TEXT, state "
+            "TEXT NOT NULL DEFAULT 'pending', total_frames INTEGER DEFAULT "
+            "0, frames_done INTEGER DEFAULT 0, error TEXT, created_at REAL,"
+            " updated_at REAL);")
+        conn.execute(
+            "INSERT INTO jobs (job_id, source, state, created_at,"
+            " updated_at) VALUES ('old1', 'x.y4m', 'pending', 1, 1)")
+        conn.commit()
+        conn.close()
+        store = JobStore(db)                    # migrates
+        job = store.get_job("old1")
+        assert job is not None and job.stage == ""
+        store.update_progress("old1", 3, stage="dedup")
+        assert store.get_job("old1").stage == "dedup"
+        store.close()
