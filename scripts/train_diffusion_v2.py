@@ -2,11 +2,14 @@
 """Round-4 diffusion-SR quality push (VERDICT item 6).
 
 Recipe: wider UNet (base_ch 48) + larger training patches (96) +
-longer x0 pre-train with sampler-grid t-bias, then a long end-to-end
-fine-tune through the 2-step DDIM unroll. Saves the checkpoint only if
-the held-out margin beats the shipped one; prints per-phase eval.
+x0 pre-train with sampler-grid t-bias, then an end-to-end fine-tune
+through the 2-step DDIM unroll in TIME-BUDGETED chunks with periodic
+eval; the best-margin params are checkpointed after every chunk
+(/tmp/diff_v2_best.npz) so progress survives interruption. The
+packaged checkpoint is replaced only if min-margin across 4 held-out
+seeds beats the shipped +0.58.
 
-Run: PYTHONPATH=/root/repo:/root/.axon_site python scripts/train_diffusion_v2.py
+Run: PYTHONPATH=/root/repo:/root/.axon_site python scripts/train_diffusion_v2.py [budget_minutes]
 """
 
 import dataclasses
@@ -16,10 +19,10 @@ from pathlib import Path
 
 import numpy as np
 
+BEST = Path("/tmp/diff_v2_best.npz")
+
 
 def evaluate(params, cfg, seeds=(123, 7, 99, 2024), n=32):
-    import jax.numpy as jnp
-
     from framewright_tpu.models import diffusion_sr, distill
 
     margins = []
@@ -36,32 +39,48 @@ def main():
 
     from framewright_tpu.models import diffusion_sr, distill, registry
 
-    print("platform:", jax.devices()[0].platform, flush=True)
+    budget_min = float(sys.argv[1]) if len(sys.argv) > 1 else 75.0
+    print("platform:", jax.devices()[0].platform,
+          "budget:", budget_min, "min", flush=True)
     cfg = dataclasses.replace(diffusion_sr.DiffusionSRConfig(),
                               base_ch=48, steps=2)
+    deadline = time.time() + budget_min * 60
+
     t0 = time.time()
     params = distill.train_diffusion(
-        cfg=cfg, steps=3000, batch=8, hr_size=96, lr=3e-4,
+        cfg=cfg, steps=2500, batch=8, hr_size=96, lr=3e-4,
         t_bias=0.7, pool_size=4096, pool_refresh=500, log_every=500)
-    print(f"x0 pre-train done ({time.time()-t0:.0f}s); margins:",
-          [round(m, 3) for m in evaluate(params, cfg)], flush=True)
-
-    t0 = time.time()
-    params = distill.finetune_sampler(
-        cfg=cfg, steps=8000, batch=8, hr_size=96, lr=1e-4,
-        params=params, pool_size=4096, pool_refresh=500, log_every=500)
     margins = evaluate(params, cfg)
-    print(f"sampler fine-tune done ({time.time()-t0:.0f}s); margins:",
+    print(f"x0 pre-train done ({time.time()-t0:.0f}s); margins:",
           [round(m, 3) for m in margins], flush=True)
+    best = min(margins)
+    distill.save_npz(params, BEST)
+
+    chunk = 600
+    lr = 1e-4
+    while time.time() < deadline:
+        t0 = time.time()
+        params = distill.finetune_sampler(
+            cfg=cfg, steps=chunk, batch=8, hr_size=96, lr=lr,
+            params=params, pool_size=2048, pool_refresh=300)
+        margins = evaluate(params, cfg)
+        print(f"finetune +{chunk} ({time.time()-t0:.0f}s); margins:",
+              [round(m, 3) for m in margins], flush=True)
+        if min(margins) > best:
+            best = min(margins)
+            distill.save_npz(params, BEST)
+            print(f"  new best min-margin {best:.3f} -> {BEST}", flush=True)
+        lr *= 0.8
 
     out = registry.packaged_weights_dir() / "DiffusionSR_x4.npz"
-    if min(margins) > 0.9:
-        distill.save_npz(params, out)
-        print(f"saved {out} (min margin {min(margins):.3f})")
+    if best > 0.9:
+        import shutil
+
+        shutil.copy(BEST, out)
+        print(f"saved {out} (min margin {best:.3f})")
     else:
-        alt = Path("/tmp/DiffusionSR_x4_v2.npz")
-        distill.save_npz(params, alt)
-        print(f"margin too low; kept at {alt} (min {min(margins):.3f})")
+        print(f"kept at {BEST} (min margin {best:.3f} <= 0.9; "
+              f"shipped checkpoint unchanged)")
     return 0
 
 
