@@ -94,6 +94,8 @@ Restore with these settings</button>
 <pre id="hardware">loading...</pre></details>
 <table id="jobs"><tr><th>Job</th><th>Source</th><th>State</th>
 <th>Progress</th></tr></table>
+<pre id="joblog" style="display:none;max-height:16rem;overflow:auto;
+background:#1e2127;padding:.6rem;border-radius:4px"></pre>
 <h3 id="pvh" style="display:none">previews</h3>
 <table id="previews" style="display:none"><tr><th>Task</th><th>Status</th>
 <th>Output</th></tr></table>
@@ -280,6 +282,8 @@ function render(jobs){
   for(const j of jobs){
     const pct = j.total_frames ? Math.round(100*j.frames_done/j.total_frames) : 0;
     const row = t.insertRow();
+    row.style.cursor = 'pointer';
+    row.onclick = () => toggleLog(j.job_id);
     // textContent only — job fields are user input (stored-XSS surface)
     row.insertCell().textContent = j.job_id;
     row.insertCell().textContent = j.source;
@@ -296,6 +300,27 @@ function render(jobs){
 }
 async function refresh(){
   const r = await fetch('/api/jobs'); render(await r.json());
+}
+// live log panel: click a job row to follow its log (reference ui.py
+// live-log panel)
+let logJob = null;
+async function toggleLog(jid){
+  const box = document.getElementById('joblog');
+  if (logJob === jid){ logJob = null; box.style.display = 'none'; return; }
+  logJob = jid; box.style.display = '';
+  pollLog();
+}
+async function pollLog(){
+  if (!logJob) return;
+  const box = document.getElementById('joblog');
+  const r = await fetch('/api/jobs/' + logJob + '/log');
+  if (r.ok){
+    const d = await r.json();
+    box.textContent = 'log ' + logJob + '\n' +
+      (d.lines.length ? d.lines.join('\n') : '(no log lines yet)');
+    box.scrollTop = box.scrollHeight;
+  }
+  setTimeout(pollLog, 1500);
 }
 // push channel: server-sent events stream job updates; fall back to
 // polling when the stream drops
@@ -439,6 +464,16 @@ class APIServer:
                                             for j in server.store.list_jobs()])
                 if path == "/api/events":
                     return self._sse_events()
+                if path.startswith("/api/jobs/") and path.endswith("/log"):
+                    # live log panel (reference ui.py restore handler)
+                    jid = path.split("/")[-2]
+                    lines = server.queue.job_log(jid)
+                    if lines is None:
+                        if server.store.get_job(jid) is None:
+                            return self._send(404, {"error": "not found"})
+                        lines = []
+                    return self._send(200, {"job_id": jid,
+                                            "lines": list(lines)})
                 if path.startswith("/api/jobs/"):
                     job = server.store.get_job(path.split("/")[-1])
                     if job is None:

@@ -23,6 +23,28 @@ logger = logging.getLogger(__name__)
 VIDEO_SUFFIXES = (".y4m", ".mp4", ".mkv", ".avi", ".mov", ".webm", ".mpg", ".ts")
 
 
+class _JobLogBuffer(logging.Handler):
+    """Per-job ring buffer of log lines (the reference UI's live log
+    panel, ui.py restore handler): attached to the framewright_tpu
+    logger for the duration of a job."""
+
+    def __init__(self, maxlen: int = 400):
+        super().__init__(level=logging.INFO)
+        self.maxlen = maxlen
+        self.lines: List[str] = []
+        self.setFormatter(logging.Formatter("%(asctime)s %(levelname).1s "
+                                            "%(name)s: %(message)s",
+                                            datefmt="%H:%M:%S"))
+
+    def emit(self, record):
+        try:
+            self.lines.append(self.format(record))
+            if len(self.lines) > self.maxlen:
+                del self.lines[: len(self.lines) - self.maxlen]
+        except Exception:  # noqa: BLE001 — logging must never raise
+            pass
+
+
 class BatchQueueProcessor:
     """Drains pending jobs from the store through a process function
     (default: VideoRestorer.restore_video)."""
@@ -32,6 +54,11 @@ class BatchQueueProcessor:
         self.store = store
         self.process_fn = process_fn or self._default_process
         self._stop = threading.Event()
+        self.job_logs: Dict[str, List[str]] = {}
+        self._log_keep = 20       # completed-job logs kept in memory
+
+    def job_log(self, job_id: str) -> Optional[List[str]]:
+        return self.job_logs.get(job_id)
 
     def _default_process(self, job: JobRecord) -> None:
         from framewright_tpu.restorer import VideoRestorer
@@ -70,12 +97,26 @@ class BatchQueueProcessor:
             return None
         job = pending[0]
         self.store.set_state(job.job_id, "running")
+        buf = _JobLogBuffer()
+        self.job_logs[job.job_id] = buf.lines
+        if len(self.job_logs) > self._log_keep:
+            self.job_logs.pop(next(iter(self.job_logs)))
+        pkg_logger = logging.getLogger("framewright_tpu")
+        pkg_logger.addHandler(buf)
+        old_level = pkg_logger.level
+        if pkg_logger.getEffectiveLevel() > logging.INFO:
+            pkg_logger.setLevel(logging.INFO)  # records must reach the
+            #                                    buffer even when the app
+            #                                    runs at WARNING
         try:
             self.process_fn(job)
             self.store.set_state(job.job_id, "completed")
         except Exception as exc:  # noqa: BLE001
             logger.exception("job %s failed", job.job_id)
             self.store.set_state(job.job_id, "failed", error=str(exc))
+        finally:
+            pkg_logger.removeHandler(buf)
+            pkg_logger.setLevel(old_level)
         return job.job_id
 
     def run_until_empty(self) -> int:

@@ -117,6 +117,29 @@ class TestAPI:
                           {"source": str(clip), "config": cfg})
         assert code == 201 and out["job_id"]
 
+    def test_job_log_endpoint(self, api, tmp_path):
+        # live log panel: processed jobs expose captured log lines
+        import logging
+
+        from framewright_tpu.io.y4m import Y4MWriter
+
+        clip = tmp_path / "log.y4m"
+        with Y4MWriter(clip, 32, 24, fps=24) as w:
+            for _ in range(3):
+                w.write_frame(np.zeros((24, 32, 3), np.uint8))
+        jid = api.queue.submit(str(clip), "")
+
+        def fake_process(job):
+            logging.getLogger("framewright_tpu.restorer").info(
+                "stage enhance started")
+
+        api.queue.process_fn = fake_process
+        api.queue.process_next()
+        code, d = _get(api, f"/api/jobs/{jid}/log")
+        assert code == 200
+        assert any("stage enhance started" in ln for ln in d["lines"])
+        assert _get(api, "/api/jobs/nope/log")[0] == 404
+
     def test_dashboard_has_guided_panel(self, api):
         with urllib.request.urlopen(f"http://127.0.0.1:{api.port}/",
                                     timeout=5) as r:
