@@ -28,9 +28,16 @@ Replaces per-frame `realesrgan-ncnn-vulkan` subprocess calls
   so activations computed for out-of-frame halo pixels must be masked
   to zero after every conv to reproduce SAME zero-padding semantics.
   Per-block valid extents arrive as prefetched scalars.
+- Round 4: the MERGE body keeps blocks resident across all sweeps with
+  in-kernel ring refresh (see the merge section below), and the int8
+  path accumulates in PURE INT32 with shared per-row output scales
+  (rdb_wide_weights_int8_i32) — all inter-conv float math collapses
+  into one fused requant per stage.
 
-Kernel geometry: S=64 block (4096 px lanes), halo 5 (covers the 5
-sequential convs), interior 54. VMEM ~9 MiB.
+Kernel geometry: S=112 blocks (12544 px lanes, = 98 lane-tiles), halo
+8 (>= the 5 sequential convs AND one (8,128)-aligned ring strip for
+the merge BlockSpecs), interior 96 — the same 6x10 grid at the
+production 540x960 body resolution as the old halo-5 geometry.
 """
 
 from __future__ import annotations
