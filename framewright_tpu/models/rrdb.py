@@ -34,7 +34,7 @@ from framewright_tpu.models.layers import (
 # Tail variant default: "1" = phase tail from 2x res (conv_up1 in XLA),
 # "2" = extended tail from body res (conv_up1 folded into the kernel).
 # Set by the measured winner on v5e (scripts/bench_tail2.py).
-_TAIL_DEFAULT = "1"
+_TAIL_DEFAULT = "auto"   # bf16 -> tail2, int8 -> tail1 (measured; see apply_fast)
 
 
 @dataclass(frozen=True)
@@ -279,6 +279,15 @@ def apply_fast(params: Dict, fast_params: Dict, x: jnp.ndarray,
     if fast_tail is not None:
         return fast_tail(feat, body_out)
     kind = _os.environ.get("FW_TAIL", _TAIL_DEFAULT)
+    if kind == "auto":
+        # Measured on v5e at 1080p x2 (scripts/bench_tail2.py, same
+        # process): bf16 full frame 242.2 (tail1) -> 211.7 ms (tail2);
+        # int8-i32 191.5 (tail1) -> 199.1 ms (tail2) — tail2 wins only
+        # when the body runs bf16 (the int8 body finishes sooner, so
+        # the serial 16-phase tail2 kernel is exposed rather than
+        # hidden behind cheaper XLA tail work).
+        body_int8 = fast_params["body_wide"]["Wx"].dtype == jnp.int8
+        kind = "1" if body_int8 else "2"
     if kind == "2" and "tail2_phase" in fast_params:
         return _tail_pallas2(params, fast_params, feat, body_out,
                              interpret=interpret)
