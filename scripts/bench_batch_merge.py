@@ -48,7 +48,7 @@ def main():
     fast16, fast8i = jax.device_put((fast16, fast8i), jax.devices()[0])
 
     for name, fp in (("bf16", fast16), ("int8", fast8i)):
-        for b in (1, 2):
+        for b in (2, 3, 4):
             x = jnp.asarray(np.random.rand(b, H, W, 3), jnp.bfloat16)
             f = jax.jit(lambda p, fpp, t: rrdb.apply_fast(p, fpp, t, cfg))
             try:

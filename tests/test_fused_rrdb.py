@@ -207,6 +207,22 @@ class TestResidentBody:
             feat, fast, interpret=True), np.float32)
         np.testing.assert_array_equal(got, want)
 
+    def test_merge_batch_equals_per_frame(self, tiny_model):
+        # frame batching through the merge body (production planner
+        # batches whole frames): each frame's rings must come from its
+        # OWN neighbors — batch output bit-identical to per-frame runs
+        cfg, params, fast = tiny_model
+        rng = np.random.default_rng(13)
+        feat = jnp.asarray(
+            rng.standard_normal((3, 40, 56, 64)).astype(np.float32) * 0.5
+        ).astype(jnp.bfloat16)
+        batched = np.asarray(fused_rrdb.rrdb_body_merge(
+            feat, fast, interpret=True), np.float32)
+        for i in range(3):
+            single = np.asarray(fused_rrdb.rrdb_body_merge(
+                feat[i:i + 1], fast, interpret=True), np.float32)
+            np.testing.assert_array_equal(batched[i:i + 1], single)
+
     def test_merge_matches_roundtrip_int8_static(self, tiny_model):
         cfg, params, fast = tiny_model
         amax = rrdb.calibrate_act_scales(
