@@ -132,7 +132,34 @@ def main() -> int:
         "platform": platform,
         "proxy": not on_tpu,
         "s_per_frame": round(dt, 4),
+        "batch": 1,
     }
+
+    if on_tpu:
+        # frame batching through the merge-resident body (round-4
+        # sweep, scripts/bench_batch_merge.py: B=4 is 1.37x over B=1
+        # bf16 — the round-2 B=2 anti-result was an artifact of the
+        # per-RDB extraction working set the merge body eliminated).
+        # The planner batches whole frames in production, so fps/chip
+        # at the best batch IS the production per-chip rate.
+        try:
+            bb = 4
+            xb = jnp.broadcast_to(x, (bb,) + x.shape[1:])
+            yb = fwd(params, fast, xb)
+            sync(yb)
+            t0 = time.time()
+            for _ in range(reps):
+                yb = fwd(params, fast, xb)
+            sync(yb)
+            dtb = (time.time() - t0) / (reps * bb)
+            result["b1_fps"] = result["value"]
+            if 1.0 / dtb > result["value"]:
+                result["value"] = round(1.0 / dtb, 3)
+                result["vs_baseline"] = round(1.0 / dtb / baseline_fps, 3)
+                result["s_per_frame"] = round(dtb, 4)
+                result["batch"] = bb
+        except Exception as exc:  # noqa: BLE001 — keep the B=1 headline
+            result["batch_error"] = str(exc)[:200]
     if tpu_wedged:
         result["tpu_unreachable"] = True  # dev-tunnel wedge (PERF.md)
 
@@ -262,6 +289,26 @@ def main() -> int:
             dt8 = (time.time() - t0) / reps
             result["int8_fps"] = round(1.0 / dt8, 3)
             result["int8_s_per_frame"] = round(dt8, 4)
+            result["int8_batch"] = 1
+            # int8 batching plateau is B=3 (B=4 fails to compile on the
+            # axon remote compiler — scripts/bench_batch_merge.py)
+            try:
+                b8 = 3
+                x8 = jnp.broadcast_to(x, (b8,) + x.shape[1:])
+                y = fwd8(p8, fast8, x8)
+                sync(y)
+                t0 = time.time()
+                for _ in range(reps):
+                    y = fwd8(p8, fast8, x8)
+                sync(y)
+                dt8b = (time.time() - t0) / (reps * b8)
+                if 1.0 / dt8b > result["int8_fps"]:
+                    result["int8_b1_fps"] = result["int8_fps"]
+                    result["int8_fps"] = round(1.0 / dt8b, 3)
+                    result["int8_s_per_frame"] = round(dt8b, 4)
+                    result["int8_batch"] = b8
+            except Exception as exc:  # noqa: BLE001
+                result["int8_batch_error"] = str(exc)[:200]
         except Exception as exc:  # noqa: BLE001 — secondary metric only
             result["int8_error"] = str(exc)[:200]
 
