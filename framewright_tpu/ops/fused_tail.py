@@ -477,10 +477,16 @@ def fused_tail2_image(feat_cm: jnp.ndarray, wts: Dict, h: int, w: int,
     out = out.reshape(b, nh, nw, 128, BH2, BH2)
     out = out.transpose(0, 3, 1, 4, 2, 5).reshape(b, 128, hp, wp)
     out = out[:, :, :h, :w]
-    # depth-to-space x4: channel (P*4+Q)*8 + c -> 4K pixel (4i+P, 4j+Q, c)
+    # depth-to-space x4: channel (P*4+Q)*8 + c -> 4K pixel (4i+P, 4j+Q, c).
+    # Two-stage interleave (lanes Q first, then rows P, then the NHWC
+    # move) instead of one 6-D transpose: the single-shot ROOT reshape
+    # was the top non-kernel op in the round-4 device trace (~13.5 ms/
+    # frame); this form measured ~6 ms/frame faster in context
+    # (scripts/bench_d2s_ctx.py: 205.1 vs 211.4 ms full-frame).
     t = out.reshape(b, 4, 4, 8, h, w)[:, :, :, :3]   # (B, P, Q, 3, h, w)
-    t = t.transpose(0, 4, 1, 5, 2, 3)
-    return t.reshape(b, 4 * h, 4 * w, 3)
+    y = t.transpose(0, 3, 1, 4, 5, 2).reshape(b, 3, 4, h, 4 * w)
+    y = y.transpose(0, 1, 3, 2, 4).reshape(b, 3, 4 * h, 4 * w)
+    return y.transpose(0, 2, 3, 1)
 
 
 # ---------------------------------------------------------------------------
