@@ -275,10 +275,27 @@ def apply_fast(params: Dict, fast_params: Dict, x: jnp.ndarray,
     import os as _os
 
     feat = _head(params, x, cfg)
+    kind = _os.environ.get("FW_TAIL", _TAIL_DEFAULT)
+    if (kind == "3" and "tail3_phase" in fast_params
+            and fast_tail is None):
+        # tail3: the body's resident blocks feed the whole tail in ONE
+        # kernel (conv_body + skip + up1/up2/hr/last) — no assembly, no
+        # image-level conv_body, no tail re-extraction
+        # (ops/fused_tail3.py).
+        from framewright_tpu.ops.fused_rrdb import rrdb_body_merge_blocks
+        from framewright_tpu.ops.fused_tail3 import tail3_image
+
+        res = rrdb_body_merge_blocks(feat, fast_params,
+                                     interpret=interpret)
+        if res is not None:
+            out_blocks, feat_blocks, ext, (b, nh, nw) = res
+            return tail3_image(
+                out_blocks, feat_blocks, ext, b, nh, nw,
+                int(feat.shape[1]), int(feat.shape[2]),
+                fast_params["tail3_phase"], interpret=interpret)
     body_out = rrdb_body_fast(feat, fast_params, interpret=interpret)
     if fast_tail is not None:
         return fast_tail(feat, body_out)
-    kind = _os.environ.get("FW_TAIL", _TAIL_DEFAULT)
     if kind == "auto":
         # Measured on v5e at 1080p x2 (scripts/bench_tail2.py, same
         # process): bf16 full frame 242.2 (tail1) -> 211.7 ms (tail2);

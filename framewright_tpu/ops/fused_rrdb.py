@@ -364,6 +364,10 @@ def rrdb_fast_params(params: Dict, dtype=jnp.bfloat16,
         out["tail2_phase"] = tail2_phase_weights(
             params["conv_up1"], params["conv_up2"], params["conv_hr"],
             params["conv_last"])
+        if "conv_body" in params:
+            from framewright_tpu.ops.fused_tail3 import tail3_phase_weights
+            out["tail3_phase"] = tail3_phase_weights(
+                params["conv_body"], out["tail2_phase"])
     return out
 
 
@@ -1077,16 +1081,18 @@ def fused_rdb_blocks_merge_int8(blocks: jnp.ndarray, extents: jnp.ndarray,
     )(extents, wide["act_q"], *([blocks] * 9), *weights)
 
 
-def rrdb_body_merge(feat: jnp.ndarray, fast_params: Dict,
-                    interpret: bool = False) -> jnp.ndarray:
-    """The RRDB trunk with merge-in-kernel resident blocks: ONE
-    extraction, 69 ring-refreshing kernel sweeps, ONE assembly."""
+def rrdb_body_merge_blocks(feat: jnp.ndarray, fast_params: Dict,
+                           interpret: bool = False):
+    """Merge-body sweeps WITHOUT the final assembly: returns
+    ``(out_blocks, init_blocks, extents, (b, nh, nw))`` for consumers
+    that keep working in the resident block layout (the tail3 kernel,
+    ops/fused_tail3.py), or ``None`` when this body can't run the merge
+    path (dynamic-scale int8 stays on the round-trip kernels)."""
     b, h, w, c = feat.shape
     wide0 = fast_params["body_wide"]
     int8 = "sx" in wide0 or "oscale" in wide0
     if int8 and "act_q" not in wide0:
-        return rrdb_body_fast_roundtrip(feat, fast_params,
-                                        interpret=interpret)
+        return None
     nh, nw = _grid_dims(h, w)
     nb = b * nh * nw
     fcm = feat.transpose(0, 3, 1, 2).astype(jnp.bfloat16)
@@ -1111,8 +1117,23 @@ def rrdb_body_merge(feat: jnp.ndarray, fast_params: Dict,
         o = run(o, ext, w3, nw, interpret=interpret)
         return (0.2 * o).astype(jnp.bfloat16) + carry, None
 
-    out, _ = jax.lax.scan(rrdb_step, blocks, fast_params["body_wide"])
-    out = assemble_blocks(out.reshape(nb, NF, S, S), b, h, w)
+    unroll = int(_os.environ.get("FW_SCAN_UNROLL", "1"))
+    out, _ = jax.lax.scan(rrdb_step, blocks, fast_params["body_wide"],
+                          unroll=unroll)
+    return out, blocks, ext, (b, nh, nw)
+
+
+def rrdb_body_merge(feat: jnp.ndarray, fast_params: Dict,
+                    interpret: bool = False) -> jnp.ndarray:
+    """The RRDB trunk with merge-in-kernel resident blocks: ONE
+    extraction, 69 ring-refreshing kernel sweeps, ONE assembly."""
+    b, h, w, c = feat.shape
+    res = rrdb_body_merge_blocks(feat, fast_params, interpret=interpret)
+    if res is None:
+        return rrdb_body_fast_roundtrip(feat, fast_params,
+                                        interpret=interpret)
+    out, _, _, (b, nh, nw) = res
+    out = assemble_blocks(out.reshape(b * nh * nw, NF, S, S), b, h, w)
     return out.transpose(0, 2, 3, 1)
 
 
