@@ -732,9 +732,43 @@ KNOWN_VERBS = {
     "restore", "probe", "check", "presets", "models", "analyze", "bench",
     "suite", "recipes", "recipe", "auto", "do", "batch", "watch",
     "qa-report", "export-presets", "audio", "wizard", "farm", "subtitles",
-    "interpolate", "extract-frames", "reassemble", "compare", "upload",
-    "notify", "completion", "report", "audio-sync", "proxy",
+    "interpolate", "extend", "extract-frames", "reassemble", "compare",
+    "upload", "notify", "completion", "report", "audio-sync", "proxy",
 }
+
+
+def cmd_extend(args: argparse.Namespace) -> int:
+    """Extend a clip with synthesized continuation frames (reference
+    FrameExtender, processors/restoration/frame_generator.py:880)."""
+    from framewright_tpu.io import open_reader, open_writer, probe
+    from framewright_tpu.processors.frame_generation import FrameExtender
+
+    if args.device != "auto":
+        import jax
+
+        jax.config.update("jax_platforms", args.device)
+    meta = probe(args.source)
+    with open_reader(args.source) as r:
+        frames = list(r)
+    if not frames:
+        print("error: empty input", file=sys.stderr)
+        return 1
+    ext = FrameExtender(flow_backend=args.flow_model)
+    before = (ext.extend_backward(frames, args.frames)
+              if args.direction in ("backward", "both") else [])
+    after = (ext.extend_forward(frames, args.frames)
+             if args.direction in ("forward", "both") else [])
+    out = args.output or Path(args.source).with_name(
+        Path(args.source).stem + "_extended.y4m")
+    writer = open_writer(out, meta.width, meta.height, fps=meta.fps)
+    for f in [*before, *frames, *after]:
+        writer.write_frame(f)
+    writer.close()
+    print(json.dumps({"output": str(out),
+                      "frames": len(before) + len(frames) + len(after),
+                      "added_before": len(before),
+                      "added_after": len(after)}, indent=2))
+    return 0
 
 
 def cmd_report(args: argparse.Namespace) -> int:
@@ -1170,6 +1204,21 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--device", choices=["auto", "tpu", "cpu"],
                    default="auto")
     p.set_defaults(func=cmd_interpolate)
+
+    p = sub.add_parser("extend",
+                       help="extend a clip forward/backward by motion "
+                            "extrapolation")
+    p.add_argument("source")
+    p.add_argument("-o", "--output", type=Path, default=None)
+    p.add_argument("--frames", type=int, default=24,
+                   help="number of frames to synthesize")
+    p.add_argument("--direction", choices=["forward", "backward", "both"],
+                   default="forward")
+    p.add_argument("--flow-model", dest="flow_model", default="ifnet",
+                   choices=["ifnet", "raft"])
+    p.add_argument("--device", choices=["auto", "tpu", "cpu"],
+                   default="auto")
+    p.set_defaults(func=cmd_extend)
 
     p = sub.add_parser("extract-frames",
                        help="decode a video to a PNG frame directory")

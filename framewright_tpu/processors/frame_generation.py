@@ -1,10 +1,15 @@
-"""Missing-frame detection and gap filling.
+"""Missing-frame detection, gap filling, and sequence extension.
 
 Capability parity with the reference's frame generation stack
 (processors/frame_generation.py:147 MissingFrameGenerator,
-restoration/frame_generator.py GapFiller:1114): detect dropped frames
-(abrupt motion discontinuities in otherwise-smooth motion) and
-synthesize replacements with the IFNet interpolator.
+processors/restoration/frame_generator.py GapFiller:1114,
+FrameExtender:880): detect dropped frames (abrupt motion
+discontinuities in otherwise-smooth motion), synthesize replacements
+with the IFNet interpolator, and extend clips forward/backward by
+constant-velocity flow extrapolation (the reference's SVD-diffusion
+extension backend has no portable weights in this environment; the
+motion-extrapolation path is the honest in-process analog and uses
+the same flow stack as interpolation).
 """
 
 from __future__ import annotations
@@ -110,3 +115,61 @@ class GapFiller:
             yield frame
             prev = frame
             idx += 1
+
+class FrameExtender:
+    """Extend a clip forward or backward by motion extrapolation.
+
+    Reference analog: processors/restoration/frame_generator.py:880
+    ``FrameExtender`` (``extend_forward``/``extend_backward``). The
+    reference generates continuations with a video-diffusion pipeline
+    (SVD); here extension is constant-velocity flow extrapolation —
+    estimate the boundary flow once, then iteratively backward-warp the
+    boundary frame, damping the flow each step so synthesized motion
+    settles rather than diverging. Low-confidence flow regions fall
+    back toward a static hold (blend by the flow consistency map), so
+    occlusions smear instead of tearing.
+    """
+
+    def __init__(self, estimator=None, damping: float = 0.92,
+                 flow_backend: str = "ifnet"):
+        from framewright_tpu.processors.flow import FlowEstimator
+
+        self.estimator = estimator or FlowEstimator(backend=flow_backend)
+        self.damping = float(damping)
+
+    def _extrapolate(self, anchor: np.ndarray, prev: np.ndarray,
+                     count: int) -> List[np.ndarray]:
+        """Frames continuing PAST ``anchor``, where ``prev`` is the
+        frame one step before it (in extension direction)."""
+        if count <= 0:
+            return []
+        field = self.estimator.estimate(anchor, prev)
+        flow = field.flow.copy()
+        conf = field.confidence[..., None]
+        out: List[np.ndarray] = []
+        cur = anchor
+        for _ in range(count):
+            warped = self.estimator.warp_frame(cur, flow)
+            blended = (warped.astype(np.float32) * conf
+                       + cur.astype(np.float32) * (1.0 - conf))
+            cur = (np.clip(blended + 0.5, 0, 255).astype(np.uint8)
+                   if anchor.dtype == np.uint8
+                   else blended.astype(anchor.dtype))
+            out.append(cur)
+            flow *= self.damping
+        return out
+
+    def extend_forward(self, frames: List[np.ndarray],
+                       count: int) -> List[np.ndarray]:
+        """Plausible continuation frames after ``frames[-1]``."""
+        if len(frames) < 2:
+            return [frames[-1].copy() for _ in range(count)] if frames else []
+        return self._extrapolate(frames[-1], frames[-2], count)
+
+    def extend_backward(self, frames: List[np.ndarray],
+                        count: int) -> List[np.ndarray]:
+        """Plausible frames before ``frames[0]`` (returned in playback
+        order, earliest first)."""
+        if len(frames) < 2:
+            return [frames[0].copy() for _ in range(count)] if frames else []
+        return self._extrapolate(frames[0], frames[1], count)[::-1]

@@ -127,3 +127,89 @@ class TestGapFiller:
         out = list(gf.process_stream(iter(a + b)))
         assert gf.report.frames_inserted == 0
         assert len(out) == 10
+
+
+class TestFrameExtender:
+    """Constant-velocity extension (reference FrameExtender analog,
+    processors/restoration/frame_generator.py:880)."""
+
+    class _StubEstimator:
+        """Known constant flow; reuses the real warp."""
+
+        def __init__(self, dx, dy, h, w):
+            self.flow = np.full((h, w, 2), (dx, dy), np.float32)
+
+        def estimate(self, a, b, with_confidence=True):
+            from framewright_tpu.processors.flow import FlowField
+
+            mag = np.hypot(self.flow[..., 0], self.flow[..., 1])
+            return FlowField(self.flow, mag,
+                             np.ones(mag.shape, np.float32))
+
+        @staticmethod
+        def warp_frame(frame, flow):
+            from framewright_tpu.processors.flow import FlowEstimator
+
+            return FlowEstimator.warp_frame(frame, flow)
+
+    @staticmethod
+    def _clip(rng, n, shift):
+        h, w = 40, 56
+        tex = rng.integers(0, 256, (h, w + n * shift + 24), np.uint8)
+        return [np.stack([tex[:, t * shift:t * shift + w]] * 3, -1)
+                for t in range(n)], tex, h, w
+
+    def test_extend_forward_tracks_motion(self):
+        rng = np.random.default_rng(3)
+        shift = 2
+        frames, tex, h, w = self._clip(rng, 4, shift)
+        # content at x in frame t is at x - shift in frame t+1's crop
+        # window => flow(anchor -> prev) = (+shift, 0)
+        from framewright_tpu.processors.frame_generation import \
+            FrameExtender
+
+        ext = FrameExtender(
+            estimator=self._StubEstimator(shift, 0, h, w), damping=1.0)
+        out = ext.extend_forward(frames, 3)
+        assert len(out) == 3
+        for k, f in enumerate(out, start=1):
+            want = np.stack(
+                [tex[:, (3 + k) * shift:(3 + k) * shift + w]] * 3, -1)
+            # interior only: the right edge is border-extended
+            err = np.abs(f[:, : w - (k + 1) * shift].astype(np.float32)
+                         - want[:, : w - (k + 1) * shift])
+            assert err.mean() < 2.0, (k, err.mean())
+
+    def test_extend_backward_symmetry(self):
+        rng = np.random.default_rng(4)
+        shift = 2
+        frames, tex, h, w = self._clip(rng, 4, shift)
+        from framewright_tpu.processors.frame_generation import \
+            FrameExtender
+
+        ext = FrameExtender(
+            estimator=self._StubEstimator(-shift, 0, h, w), damping=1.0)
+        out = ext.extend_backward(frames, 2)
+        assert len(out) == 2
+        # earliest first: out[0] is two steps before frames[0]
+        for k, f in enumerate(out):
+            steps = 2 - k
+            want_x = -steps * shift
+            if want_x < 0:
+                # negative window: compare the overlapping interior
+                want = np.stack([tex[:, 0:w + want_x]] * 3, -1)
+                err = np.abs(
+                    f[:, -want.shape[1]:].astype(np.float32) - want)
+            else:
+                want = np.stack([tex[:, want_x:want_x + w]] * 3, -1)
+                err = np.abs(f.astype(np.float32) - want)
+            assert err.mean() < 12.0, (k, err.mean())
+
+    def test_short_input_holds(self):
+        f = np.zeros((8, 8, 3), np.uint8)
+        from framewright_tpu.processors.frame_generation import FrameExtender
+
+        ext = FrameExtender(estimator=self._StubEstimator(0, 0, 8, 8))
+        out = ext.extend_forward([f], 2)
+        assert len(out) == 2 and (out[0] == f).all()
+        assert ext.extend_backward([], 2) == []
