@@ -333,112 +333,129 @@ def tail2_phase_weights(conv_up1: Dict, conv_up2: Dict, conv_hr: Dict,
     }
 
 
-def _roll2(src, dr, dc):
-    shift = (-dr) * S2 + (-dc)
-    if shift == 0:
-        return src
-    return pltpu.roll(src, shift % PX2, axis=1)
+@functools.lru_cache(maxsize=None)
+def _make_tail2_kernel(s2: int):
+    """The extended phase-tail kernel body, closed over the block side
+    ``s2`` (geometry-parametric: S2 is the tuned image-level default;
+    the resident tail3b path runs the same kernel at the BODY geometry
+    S=112 directly on the merge body's blocks — ops/fused_tail3.py)."""
+    px2 = s2 * s2
 
+    def roll(src, dr, dc):
+        shift = (-dr) * s2 + (-dc)
+        if shift == 0:
+            return src
+        return pltpu.roll(src, shift % px2, axis=1)
 
-def _tail2_kernel(ext_ref, x_ref, wa0_ref, wa_ref, wb_ref, wc_ref,
-                  ba0_ref, ba_ref, bb_ref, bc_ref, o_ref, a0_ref, a_ref,
-                  b_ref):
-    bi = pl.program_id(0)
-    r0 = ext_ref[bi, 0]
-    r1 = ext_ref[bi, 1]
-    c0 = ext_ref[bi, 2]
-    c1 = ext_ref[bi, 3]
-    lanes = jax.lax.broadcasted_iota(jnp.int32, (1, PX2), 1)
-    rows = lanes // S2
-    cols = lanes % S2
-    valid = (rows >= r0) & (rows < r1) & (cols >= c0) & (cols < c1)
+    def kernel(ext_ref, x_ref, wa0_ref, wa_ref, wb_ref, wc_ref,
+               ba0_ref, ba_ref, bb_ref, bc_ref, o_ref, a0_ref, a_ref,
+               b_ref):
+        bi = pl.program_id(0)
+        r0 = ext_ref[bi, 0]
+        r1 = ext_ref[bi, 1]
+        c0 = ext_ref[bi, 2]
+        c1 = ext_ref[bi, 3]
+        lanes = jax.lax.broadcasted_iota(jnp.int32, (1, px2), 1)
+        rows = lanes // s2
+        cols = lanes % s2
+        valid = (rows >= r0) & (rows < r1) & (cols >= c0) & (cols < c1)
 
-    def act_pack(v):
-        m = jnp.where(valid, _lrelu(v).astype(jnp.bfloat16),
-                      jnp.bfloat16(0.0))
-        return pltpu.bitcast(m, jnp.int32)
+        def act_pack(v):
+            m = jnp.where(valid, _lrelu(v).astype(jnp.bfloat16),
+                          jnp.bfloat16(0.0))
+            return pltpu.bitcast(m, jnp.int32)
 
-    xp = pltpu.bitcast(x_ref[0], jnp.int32)       # (32, PX2)
+        xp = pltpu.bitcast(x_ref[0], jnp.int32)       # (32, px2)
 
-    # A0: conv_up1 phases (input 540 -> 1080-phase form)
-    for pi, ph in enumerate(PHASES):
-        parts = [_roll2(xp, dr, dc) for dr, dc in _TAPS_A[ph]]
-        chunk = pltpu.bitcast(jnp.concatenate(parts, axis=0), jnp.bfloat16)
-        acc = jnp.dot(wa0_ref[pi], chunk,
-                      preferred_element_type=jnp.float32)
-        a0_ref[pi * 32:(pi + 1) * 32] = act_pack(acc + ba0_ref[:])
+        # A0: conv_up1 phases (input 540 -> 1080-phase form)
+        for pi, ph in enumerate(PHASES):
+            parts = [roll(xp, dr, dc) for dr, dc in _TAPS_A[ph]]
+            chunk = pltpu.bitcast(jnp.concatenate(parts, axis=0),
+                                  jnp.bfloat16)
+            acc = jnp.dot(wa0_ref[pi], chunk,
+                          preferred_element_type=jnp.float32)
+            a0_ref[pi * 32:(pi + 1) * 32] = act_pack(acc + ba0_ref[:])
 
-    # A: conv_up2 phase-of-phase (1080-phase form -> 16-phase 4K form)
-    for pi, (P, Q) in enumerate(_PHASES16):
-        wa_idx = (P & 1) * 2 + (Q & 1)            # conv_up2 phase (A, B)
-        parts = [
-            _roll2(a0_ref[ip * 32:(ip + 1) * 32], dr, dc)
-            for ip, dr, dc in _TAPS_A2[(P, Q)]
-        ]
-        chunk = pltpu.bitcast(jnp.concatenate(parts, axis=0), jnp.bfloat16)
-        acc = jnp.dot(wa_ref[wa_idx], chunk,
-                      preferred_element_type=jnp.float32)
-        a_ref[pi * 32:(pi + 1) * 32] = act_pack(acc + ba_ref[:])
-
-    # B: conv_hr at 4K (phase-routed 3x3 over the 16-phase form)
-    for pi, ph in enumerate(_PHASES16):
-        taps = _TAPS_BC2[ph]
-        acc = None
-        for t in range(0, 9, 3):
-            m = min(3, 9 - t)
+        # A: conv_up2 phase-of-phase (1080-phase -> 16-phase 4K form)
+        for pi, (P, Q) in enumerate(_PHASES16):
+            wa_idx = (P & 1) * 2 + (Q & 1)        # conv_up2 phase (A, B)
             parts = [
-                _roll2(a_ref[tp[0] * 32:tp[0] * 32 + 32], tp[1], tp[2])
-                for tp in taps[t:t + m]
+                roll(a0_ref[ip * 32:(ip + 1) * 32], dr, dc)
+                for ip, dr, dc in _TAPS_A2[(P, Q)]
             ]
-            packed = parts[0] if m == 1 else jnp.concatenate(parts, axis=0)
-            chunk = pltpu.bitcast(packed, jnp.bfloat16)
-            c = jnp.dot(wb_ref[0, :, t * NF:(t + m) * NF], chunk,
-                        preferred_element_type=jnp.float32)
-            acc = c if acc is None else acc + c
-        b_ref[pi * 32:(pi + 1) * 32] = act_pack(acc + bb_ref[:])
+            chunk = pltpu.bitcast(jnp.concatenate(parts, axis=0),
+                                  jnp.bfloat16)
+            acc = jnp.dot(wa_ref[wa_idx], chunk,
+                          preferred_element_type=jnp.float32)
+            a_ref[pi * 32:(pi + 1) * 32] = act_pack(acc + ba_ref[:])
 
-    # C: conv_last at 4K -> 16 phases x 8 rows (3 RGB + pad)
-    for pi, ph in enumerate(_PHASES16):
-        taps = _TAPS_BC2[ph]
-        acc = None
-        for t in range(0, 9, 3):
-            m = min(3, 9 - t)
-            parts = [
-                _roll2(b_ref[tp[0] * 32:tp[0] * 32 + 32], tp[1], tp[2])
-                for tp in taps[t:t + m]
-            ]
-            packed = parts[0] if m == 1 else jnp.concatenate(parts, axis=0)
-            chunk = pltpu.bitcast(packed, jnp.bfloat16)
-            c = jnp.dot(wc_ref[0, :, t * NF:(t + m) * NF], chunk,
-                        preferred_element_type=jnp.float32)
-            acc = c if acc is None else acc + c
-        out = jnp.where(valid, acc + bc_ref[:], 0.0)
-        o_ref[0, pi * 8:(pi + 1) * 8] = out.astype(jnp.bfloat16)
+        # B: conv_hr at 4K (phase-routed 3x3 over the 16-phase form)
+        for pi, ph in enumerate(_PHASES16):
+            taps = _TAPS_BC2[ph]
+            acc = None
+            for t in range(0, 9, 3):
+                m = min(3, 9 - t)
+                parts = [
+                    roll(a_ref[tp[0] * 32:tp[0] * 32 + 32], tp[1], tp[2])
+                    for tp in taps[t:t + m]
+                ]
+                packed = (parts[0] if m == 1
+                          else jnp.concatenate(parts, axis=0))
+                chunk = pltpu.bitcast(packed, jnp.bfloat16)
+                c = jnp.dot(wb_ref[0, :, t * NF:(t + m) * NF], chunk,
+                            preferred_element_type=jnp.float32)
+                acc = c if acc is None else acc + c
+            b_ref[pi * 32:(pi + 1) * 32] = act_pack(acc + bb_ref[:])
+
+        # C: conv_last at 4K -> 16 phases x 8 rows (3 RGB + pad)
+        for pi, ph in enumerate(_PHASES16):
+            taps = _TAPS_BC2[ph]
+            acc = None
+            for t in range(0, 9, 3):
+                m = min(3, 9 - t)
+                parts = [
+                    roll(b_ref[tp[0] * 32:tp[0] * 32 + 32], tp[1], tp[2])
+                    for tp in taps[t:t + m]
+                ]
+                packed = (parts[0] if m == 1
+                          else jnp.concatenate(parts, axis=0))
+                chunk = pltpu.bitcast(packed, jnp.bfloat16)
+                c = jnp.dot(wc_ref[0, :, t * NF:(t + m) * NF], chunk,
+                            preferred_element_type=jnp.float32)
+                acc = c if acc is None else acc + c
+            out = jnp.where(valid, acc + bc_ref[:], 0.0)
+            o_ref[0, pi * 8:(pi + 1) * 8] = out.astype(jnp.bfloat16)
+
+    return kernel
 
 
 def fused_tail2_blocks(blocks: jnp.ndarray, extents: jnp.ndarray,
                        wts: Dict, interpret: bool = False) -> jnp.ndarray:
-    """blocks: (NB, 64, PX2) bf16 at BODY res -> (NB, 128, PX2) bf16
-    (16 4K-phases x 8 rows, rows 0-2 of each group = RGB)."""
+    """blocks: (NB, 64, s2*s2) bf16 at BODY res -> (NB, 128, s2*s2) bf16
+    (16 4K-phases x 8 rows, rows 0-2 of each group = RGB). The block
+    side s2 is inferred from the lane count (square blocks)."""
     nb = blocks.shape[0]
+    px2 = int(blocks.shape[-1])
+    s2 = int(round(px2 ** 0.5))
+    assert s2 * s2 == px2, blocks.shape
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(nb,),
-        in_specs=[pl.BlockSpec((1, NF, PX2), lambda k, *_: (k, 0, 0),
+        in_specs=[pl.BlockSpec((1, NF, px2), lambda k, *_: (k, 0, 0),
                                memory_space=pltpu.VMEM)]
                  + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 8,
-        out_specs=pl.BlockSpec((1, 128, PX2), lambda k, *_: (k, 0, 0),
+        out_specs=pl.BlockSpec((1, 128, px2), lambda k, *_: (k, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((128, PX2), jnp.int32),   # A0: 4 x 64ch packed
-            pltpu.VMEM((512, PX2), jnp.int32),   # A: 16 x 64ch packed
-            pltpu.VMEM((512, PX2), jnp.int32),   # B
+            pltpu.VMEM((128, px2), jnp.int32),   # A0: 4 x 64ch packed
+            pltpu.VMEM((512, px2), jnp.int32),   # A: 16 x 64ch packed
+            pltpu.VMEM((512, px2), jnp.int32),   # B
         ],
     )
     return pl.pallas_call(
-        _tail2_kernel,
+        _make_tail2_kernel(s2),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((nb, 128, PX2), jnp.bfloat16),
+        out_shape=jax.ShapeDtypeStruct((nb, 128, px2), jnp.bfloat16),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=int(_os.environ.get("FW_RDB_VMEM_MB", "100"))
             * 1024 * 1024),
