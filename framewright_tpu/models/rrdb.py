@@ -34,7 +34,9 @@ from framewright_tpu.models.layers import (
 # Tail variant default: "1" = phase tail from 2x res (conv_up1 in XLA),
 # "2" = extended tail from body res (conv_up1 folded into the kernel).
 # Set by the measured winner on v5e (scripts/bench_tail2.py).
-_TAIL_DEFAULT = "auto"   # bf16 -> tail2, int8 -> tail1 (measured; see apply_fast)
+_TAIL_DEFAULT = "auto"   # resident tail3 when the merge body runs;
+#                          else bf16 -> tail2, int8 -> tail1 (measured;
+#                          see apply_fast)
 
 
 @dataclass(frozen=True)
@@ -276,12 +278,19 @@ def apply_fast(params: Dict, fast_params: Dict, x: jnp.ndarray,
 
     feat = _head(params, x, cfg)
     kind = _os.environ.get("FW_TAIL", _TAIL_DEFAULT)
-    if (kind == "3" and "tail3_phase" in fast_params
+    if (kind in ("3", "auto") and "tail3_phase" in fast_params
             and fast_tail is None):
-        # tail3: the body's resident blocks feed the whole tail in ONE
-        # kernel (conv_body + skip + up1/up2/hr/last) — no assembly, no
-        # image-level conv_body, no tail re-extraction
-        # (ops/fused_tail3.py).
+        # tail3 (the default whenever the merge body can run): the
+        # body's resident blocks feed the whole tail — K1 ring-merge +
+        # conv_body + skip, then the phase tail at the body geometry —
+        # no assembly, no image-level conv_body, no tail re-extraction
+        # (ops/fused_tail3.py). Measured on v5e at 1080p x2
+        # (scripts/bench_tail3.py, same process, full apply_fast):
+        # bf16 B=1 204.3 (tail2) -> 200.5 ms; bf16 B=4 194.3 -> 192.7;
+        # int8-i32 B=1 190.9 (tail1) -> 149.3 ms (6.70 fps); int8 B=3
+        # 180.9 -> 145.6 ms (6.87 fps) — the int8 path's image-level
+        # glue (assembly + XLA conv_body + conv_up1 + re-extraction)
+        # was ~22% of its frame time.
         from framewright_tpu.ops.fused_rrdb import rrdb_body_merge_blocks
         from framewright_tpu.ops.fused_tail3 import tail3_image
 
@@ -297,12 +306,11 @@ def apply_fast(params: Dict, fast_params: Dict, x: jnp.ndarray,
     if fast_tail is not None:
         return fast_tail(feat, body_out)
     if kind == "auto":
-        # Measured on v5e at 1080p x2 (scripts/bench_tail2.py, same
+        # Fallback when the merge body can't run (dynamic-scale int8):
+        # measured on v5e at 1080p x2 (scripts/bench_tail2.py, same
         # process): bf16 full frame 242.2 (tail1) -> 211.7 ms (tail2);
-        # int8-i32 191.5 (tail1) -> 199.1 ms (tail2) — tail2 wins only
-        # when the body runs bf16 (the int8 body finishes sooner, so
-        # the serial 16-phase tail2 kernel is exposed rather than
-        # hidden behind cheaper XLA tail work).
+        # int8 dynamic 191.5 (tail1) -> 199.1 ms (tail2) — tail2 wins
+        # only when the body runs bf16.
         body_int8 = fast_params["body_wide"]["Wx"].dtype == jnp.int8
         kind = "1" if body_int8 else "2"
     if kind == "2" and "tail2_phase" in fast_params:
