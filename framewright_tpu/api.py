@@ -62,7 +62,11 @@ button{cursor:pointer}button:hover{border-color:#9ab}
 .cmp .lbl{position:absolute;top:4px;font-size:.72rem;background:#0009;
 padding:1px 6px;border-radius:3px}.cmp .lbl.b{right:6px}
 .cmp .lbl.a{left:6px}
-.cmp input{position:absolute;left:0;bottom:-1.4rem;width:100%}</style></head><body>
+.cmp input{position:absolute;left:0;bottom:-1.4rem;width:100%}
+.gal{display:flex;gap:6px;margin:2rem 0 .6rem}
+.gal .pair{cursor:pointer;text-align:center;font-size:.68rem;color:#9ab}
+.gal img{display:block;max-width:132px;border:1px solid #333}
+.gal .pair.sel img{border-color:#6cf}</style></head><body>
 <h1>framewright-tpu</h1>
 <fieldset><legend>submit a restore job</legend>
 <form id="submit" onsubmit="return submitJob(event)">
@@ -213,6 +217,31 @@ function renderCompare(d){
     after.style.clipPath = 'inset(0 ' + (100 - range.value) + '% 0 0)';
   div.append(before, after, la, lb, range);
   document.getElementById('previews').after(div);
+  // gallery strip: restored thumbnails across the segment (reference
+  // ui.py gallery panel); click loads that frame into the slider
+  const gal = document.createElement('div');
+  gal.className = 'gal'; gal.id = 'gal-' + d.task_id;
+  const n = d.n_frames || 48, start = d.start || 0;
+  const picks = [0, 1, 2, 3].map(i =>
+    start + Math.min(n - 1, Math.floor(i * (n - 1) / 3)));
+  for (const t of [...new Set(picks)]){
+    const p = document.createElement('div');
+    p.className = 'pair' + (t === mid ? ' sel' : '');
+    const im = document.createElement('img');
+    im.src = '/api/frame?source=' + src + '&t=' + t +
+             '&task=' + encodeURIComponent(d.task_id);
+    const cap = document.createElement('div');
+    cap.textContent = 'frame ' + t;
+    p.append(im, cap);
+    p.onclick = () => {
+      before.src = '/api/frame?source=' + src + '&t=' + t;
+      after.src = im.src;
+      for (const q of gal.children) q.classList.remove('sel');
+      p.classList.add('sel');
+    };
+    gal.appendChild(p);
+  }
+  div.after(gal);
 }
 // guided workflow: analyze -> editable recommendation -> one-click job
 let gRec = null;
