@@ -91,6 +91,7 @@ class TestAPI:
             body = r.read()
         assert b"framewright" in body
         assert b"/api/frame" in body          # compare slider wiring
+        assert b"gal-" in body                # before/after thumbnail gallery
 
     def test_recommend_endpoint_guided_flow(self, api, tmp_path):
         # analyze -> recommend -> restore without hand-writing a config
