@@ -190,10 +190,11 @@ class TestVideoGenerator:
 
 class BenchmarkRunner:
     def __init__(self, work_dir: Path, iterations: int = 3,
-                 compute_dtype: str = "bfloat16"):
+                 compute_dtype: str = "bfloat16", device: str = "auto"):
         self.work_dir = Path(work_dir)
         self.iterations = iterations
         self.compute_dtype = compute_dtype
+        self.device = device
 
     def run_case(self, case: BenchmarkCase) -> BenchmarkResult:
         from framewright_tpu.config import Config
@@ -213,6 +214,7 @@ class BenchmarkRunner:
                 compute_dtype=self.compute_dtype,
                 interpolation=case.interpolate,
                 target_fps=case.target_fps,
+                device_platform=self.device,
                 validate_output=False, checkpoint_enabled=False,
             )
             t0 = time.time()

@@ -413,7 +413,8 @@ def cmd_bench(args: argparse.Namespace) -> int:
 def cmd_suite(args: argparse.Namespace) -> int:
     from framewright_tpu.benchmarks import BenchmarkRunner, standard_suite
 
-    runner = BenchmarkRunner(Path(args.work_dir), iterations=args.iterations)
+    runner = BenchmarkRunner(Path(args.work_dir), iterations=args.iterations,
+                             device=args.device)
     results = runner.run_suite(standard_suite(tiny=args.tiny))
     for r in results:
         print(f"{r.case:20s} {r.fps:8.2f} fps  ({r.frames} frames in {r.seconds}s)")
@@ -1087,6 +1088,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--iterations", type=int, default=3)
     p.add_argument("--tiny", action="store_true")
     p.add_argument("--output", default="")
+    p.add_argument("--device", choices=["auto", "tpu", "cpu"], default="auto")
     p.set_defaults(func=cmd_suite)
 
     p = sub.add_parser("recipes", help="list restoration recipes")
