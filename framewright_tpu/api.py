@@ -35,10 +35,13 @@ from framewright_tpu.persistence import JobStore
 from framewright_tpu.security import RateLimiter
 
 
-def _task_dict(task) -> dict:
+def _task_dict(task, source: str = "") -> dict:
+    # ``source`` travels with the task dict so the dashboard can build
+    # /api/frame URLs without reading a form field (the guided workflow
+    # submits via #gsrc, leaving #src empty).
     return {"task_id": task.task_id, "status": task.status,
             "progress": task.progress, "start": task.start,
-            "n_frames": task.n_frames,
+            "n_frames": task.n_frames, "source": source,
             "output": str(task.output) if task.output else None,
             "error": task.error}
 
@@ -197,7 +200,8 @@ async function pollPreviews(){
 // /api/frame; restored side clipped by the range input)
 function renderCompare(d){
   if (document.getElementById('cmp-' + d.task_id)) return;
-  const src = encodeURIComponent(document.getElementById('src').value);
+  const src = encodeURIComponent(
+    d.source || document.getElementById('src').value);
   const mid = (d.start || 0) + Math.floor((d.n_frames || 48) / 2);
   const div = document.createElement('div');
   div.className = 'cmp'; div.id = 'cmp-' + d.task_id;
@@ -222,11 +226,15 @@ function renderCompare(d){
   const gal = document.createElement('div');
   gal.className = 'gal'; gal.id = 'gal-' + d.task_id;
   const n = d.n_frames || 48, start = d.start || 0;
-  const picks = [0, 1, 2, 3].map(i =>
-    start + Math.min(n - 1, Math.floor(i * (n - 1) / 3)));
-  for (const t of [...new Set(picks)]){
+  const picks = [...new Set([0, 1, 2, 3].map(i =>
+    start + Math.min(n - 1, Math.floor(i * (n - 1) / 3))))];
+  // the slider shows frame `mid`, which is never among the picks —
+  // mark the pick closest to it as the initial selection
+  const sel = picks.reduce((a, b) =>
+    Math.abs(b - mid) < Math.abs(a - mid) ? b : a);
+  for (const t of picks){
     const p = document.createElement('div');
-    p.className = 'pair' + (t === mid ? ' sel' : '');
+    p.className = 'pair' + (t === sel ? ' sel' : '');
     const im = document.createElement('img');
     im.src = '/api/frame?source=' + src + '&t=' + t +
              '&task=' + encodeURIComponent(d.task_id);
@@ -510,10 +518,10 @@ class APIServer:
                     return self._send(200, self._job_dict(job))
                 if path.startswith("/api/preview/"):
                     tid = path.split("/")[-1]
-                    for ps in server._previews.values():
+                    for src, ps in server._previews.items():
                         task = ps.queue.get_task(tid)
                         if task is not None:
-                            return self._send(200, _task_dict(task))
+                            return self._send(200, _task_dict(task, src))
                     return self._send(404, {"error": "not found"})
                 if path == "/api/preview-status":
                     return self._send(200, {
@@ -619,7 +627,7 @@ class APIServer:
                                              int(body.get("n_frames", 48)),
                                              cfg,
                                              int(body.get("priority", 5)))
-                    return self._send(202, _task_dict(task))
+                    return self._send(202, _task_dict(task, source))
                 if path == "/api/analyze":
                     source = body.get("source", "")
                     try:
