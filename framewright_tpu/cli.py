@@ -410,6 +410,34 @@ def cmd_bench(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_warmup(args: argparse.Namespace) -> int:
+    """Prewarm the persistent XLA compilation cache for the production
+    SR program at a target geometry, so the first real restore loads
+    serialized executables instead of cold-compiling (~6 min on the
+    remote compile server; the TensorRT engine-cache analog)."""
+    from framewright_tpu.warmup import warmup_sr
+
+    height, width = args.height, args.width
+    output_color = args.output_color
+    batches = ([int(b) for b in args.batches.split(",")]
+               if args.batches else None)
+    for k in ("height", "width", "output_color", "batches"):
+        delattr(args, k)  # warmup-only flags, not Config fields
+    cfg = _config_from_args(args)
+    setup_logging(logging.DEBUG if cfg.verbose else logging.INFO)
+    if cfg.device_platform != "auto":
+        # must run before any jax computation; the axon TPU plugin
+        # ignores the JAX_PLATFORMS env var, so use the config API
+        import jax
+
+        jax.config.update("jax_platforms", cfg.device_platform)
+    res = warmup_sr(height, width, cfg,
+                    output_color=output_color, batches=batches,
+                    progress=print)
+    print(f"cache: {res['cache_dir']}  plan batch: {res['plan_batch']}")
+    return 0
+
+
 def cmd_suite(args: argparse.Namespace) -> int:
     from framewright_tpu.benchmarks import BenchmarkRunner, standard_suite
 
@@ -731,7 +759,7 @@ def cmd_notify(args: argparse.Namespace) -> int:
 
 KNOWN_VERBS = {
     "restore", "probe", "check", "presets", "models", "analyze", "bench",
-    "suite", "recipes", "recipe", "auto", "do", "batch", "watch",
+    "warmup", "suite", "recipes", "recipe", "auto", "do", "batch", "watch",
     "qa-report", "export-presets", "audio", "wizard", "farm", "subtitles",
     "interpolate", "extend", "extract-frames", "reassemble", "compare",
     "upload", "notify", "completion", "report", "audio-sync", "proxy",
@@ -1082,6 +1110,21 @@ def build_parser() -> argparse.ArgumentParser:
 
     p = sub.add_parser("bench", help="run the headline benchmark")
     p.set_defaults(func=cmd_bench)
+
+    p = sub.add_parser("warmup",
+                       help="precompile the SR program for a geometry "
+                            "into the persistent XLA cache")
+    p.add_argument("--height", type=int, default=1080)
+    p.add_argument("--width", type=int, default=1920)
+    p.add_argument("--output-color", default="yuv420",
+                   choices=["yuv420", "rgb"],
+                   help="production writer path to compile "
+                        "(yuv420 = straight-to-Y4M fast path)")
+    p.add_argument("--batches", default="",
+                   help="comma-separated frame-batch sizes "
+                        "(default: planner batch + 1)")
+    _add_restore_args(p, with_source=False)
+    p.set_defaults(func=cmd_warmup)
 
     p = sub.add_parser("suite", help="run the standard benchmark suite")
     p.add_argument("--work-dir", default="./framewright_bench")

@@ -38,6 +38,7 @@ from framewright_tpu.processors.deduplication import (
 )
 from framewright_tpu.processors.super_resolution import SRConfig, SuperResolution
 from framewright_tpu.quality.validators import QualityReport, QualityValidator
+from framewright_tpu.warmup import build_sr_config
 
 logger = logging.getLogger(__name__)
 
@@ -121,18 +122,12 @@ class VideoRestorer:
     def _enable_xla_cache(self) -> None:
         """Persistent XLA compilation cache (the TensorRT-engine-cache
         analog, reference trt backend): first run pays the compile,
-        repeats load the serialized executable. Defaults to
-        <project_dir>/xla_cache; config.xla_cache_dir overrides."""
-        try:
-            import jax
+        repeats load the serialized executable. Defaults to a STABLE
+        user-level dir (warmup.default_cache_dir) so a fresh project
+        never cold-compiles; config.xla_cache_dir overrides."""
+        from framewright_tpu.warmup import enable_xla_cache
 
-            cache = self.config.xla_cache_dir or \
-                (self.config.project_dir / "xla_cache")
-            Path(cache).mkdir(parents=True, exist_ok=True)
-            jax.config.update("jax_compilation_cache_dir", str(cache))
-            jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
-        except Exception:  # noqa: BLE001 — cache is best-effort
-            logger.debug("XLA compilation cache unavailable", exc_info=True)
+        enable_xla_cache(self.config.xla_cache_dir)
 
     # ------------------------------------------------------------------
     def _progress(self, stage: str, done: int, total: int, tracker: _EtaTracker):
@@ -395,18 +390,7 @@ class VideoRestorer:
                     compute_dtype=cfg.compute_dtype,
                 )
             else:
-                sr = SuperResolution(SRConfig(
-                    model_name=cfg.sr_model,
-                    compute_dtype=cfg.compute_dtype,
-                    tile_size=cfg.tile_size,
-                    tile_overlap=cfg.tile_overlap,
-                    batch_size=cfg.batch_size,
-                    hbm_utilization=cfg.hbm_utilization,
-                    outscale=cfg.outscale,
-                    enhancement_cap=cfg.max_enhancement_strength,
-                    diffusion_steps=cfg.diffusion_steps,
-                    diffusion_strength=cfg.diffusion_strength,
-                ))
+                sr = SuperResolution(build_sr_config(cfg))
             sr.setup(meta.height, meta.width)
             oh, ow = sr.output_size(meta.height, meta.width)
 
