@@ -32,6 +32,12 @@ class InterpolationConfig:
     compute_dtype: str = "float32"
     batch_pairs: int = 4              # frame pairs per device step
     weights_dir: Optional[str] = None
+    sharding: str = "none"            # none | data: shard the pair batch
+    #                                 over the local ``frames`` mesh
+    #                                 (each device synthesizes its own
+    #                                 pairs' midpoints — the recipe's
+    #                                 interpolate stage under BASELINE
+    #                                 config 5)
 
 
 @dataclass
@@ -104,12 +110,48 @@ class FrameInterpolator:
 
         self._fn = run
 
+        # pair-batch data parallelism over the local mesh: each device
+        # synthesizes midpoints for its own slice of pairs (reference
+        # analog utils/multi_gpu.py:549 distribute_frames; pairs are
+        # independent, so no halo is needed)
+        self._mesh = None
+        if cfg.sharding == "data" and len(jax.devices()) > 1:
+            from framewright_tpu.parallel.mesh import (
+                build_mesh,
+                frame_sharding,
+                replicate,
+            )
+
+            self._mesh = build_mesh()
+            self._pair_sharding = frame_sharding(self._mesh)
+            self._params = jax.device_put(self._params,
+                                          replicate(self._mesh))
+            # pair batches should fill the mesh
+            nf = len(self._mesh.devices.flat)
+            if cfg.batch_pairs % nf:
+                cfg.batch_pairs = -(-cfg.batch_pairs // nf) * nf
+            logger.info("interpolation sharded over %d devices", nf)
+
     def _mid(self, a: np.ndarray, b: np.ndarray, t: float) -> np.ndarray:
         """Synthesize frames at time t between batched pairs."""
+        import jax
         import jax.numpy as jnp
 
-        out = self._fn(self._params, jnp.asarray(a), jnp.asarray(b), t)
-        return to_uint8(np.asarray(out))
+        n = a.shape[0]
+        if self._mesh is not None:
+            from framewright_tpu.parallel.mesh import pad_batch_for_mesh
+
+            n_pad = pad_batch_for_mesh(n, self._mesh)
+            if n_pad != n:
+                pad = ((0, n_pad - n), (0, 0), (0, 0), (0, 0))
+                a = np.pad(a, pad, mode="edge")
+                b = np.pad(b, pad, mode="edge")
+            aj = jax.device_put(jnp.asarray(a), self._pair_sharding)
+            bj = jax.device_put(jnp.asarray(b), self._pair_sharding)
+        else:
+            aj, bj = jnp.asarray(a), jnp.asarray(b)
+        out = self._fn(self._params, aj, bj, t)
+        return to_uint8(np.asarray(out)[:n])
 
     # ------------------------------------------------------------------
     def interpolate_stream(

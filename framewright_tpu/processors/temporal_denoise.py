@@ -42,6 +42,15 @@ class TemporalDenoiseConfig:
     chroma_only: bool = False       # denoise chroma, preserve luma
     compute_dtype: str = "float32"
     weights_dir: Optional[str] = None
+    batch: int = 0                  # center frames per device step
+    #                                 (0 = mesh size when sharded, else 1)
+    sharding: str = "none"          # none | data: shard the center batch
+    #                                 over the local ``frames`` mesh —
+    #                                 the BASELINE config-5 recipe path
+    #                                 (each device denoises its own
+    #                                 centers; the time-axis halo is the
+    #                                 per-center neighbor stack, so no
+    #                                 cross-device exchange is needed)
 
 
 @dataclass
@@ -93,16 +102,18 @@ class TemporalDenoiser:
                 return ifnet.estimate_flow(fp, a, b, arch)
         sigma2 = 2.0 * cfg.similarity_sigma ** 2
 
-        @jax.jit
-        def align_and_blend(fp, center, neighbors):
-            """center (1,H,W,3); neighbors (K,H,W,3) -> denoised (1,H,W,3).
+        def blend_one(fp, center, neighbors, mask):
+            """center (H,W,3); neighbors (K,H,W,3); mask (K,) with 1 for
+            real neighbors, 0 for padding -> denoised (H,W,3).
 
             Each neighbor is warped toward the center using IFNet flow
             (timestep 1 -> flow from center to neighbor), then blended
-            with photometric confidence weights.
+            with photometric confidence weights.  Padded neighbor slots
+            (short windows at segment edges / scene cuts) carry zero
+            weight, so a masked K-slot window is numerically identical
+            to the variable-length window it stands in for.
             """
-            k = neighbors.shape[0]
-            c_rep = jnp.broadcast_to(center, neighbors.shape)
+            c_rep = jnp.broadcast_to(center[None], neighbors.shape)
             if cfg.flow_align:
                 # flow estimated center->neighbor; warp neighbor back
                 flow_full = flow_fn(fp, c_rep, neighbors)
@@ -110,19 +121,49 @@ class TemporalDenoiser:
             else:
                 warped = neighbors
             diff = ((warped - c_rep) ** 2).mean(axis=-1, keepdims=True)
+            m = mask[:, None, None, None]
             # adaptive rejection width: the typical diff level IS the
             # noise floor for a static aligned scene (the reference
             # feeds NoiseProfiler output here); configured sigma is the
-            # lower bound so clean content still rejects mismatches
-            noise_floor = jnp.median(diff)
+            # lower bound so clean content still rejects mismatches.
+            # Median over REAL neighbors only (padding is NaN-ed out).
+            noise_floor = jnp.nanmedian(jnp.where(m > 0, diff, jnp.nan))
+            noise_floor = jnp.where(jnp.isnan(noise_floor), 0.0, noise_floor)
             s2 = jnp.maximum(sigma2, 2.0 * noise_floor)
-            wgt = jnp.exp(-diff / s2)
-            num = center + (warped * wgt).sum(axis=0, keepdims=True)
-            den = 1.0 + wgt.sum(axis=0, keepdims=True)
+            wgt = jnp.exp(-diff / s2) * m
+            num = center + (warped * wgt).sum(axis=0)
+            den = 1.0 + wgt.sum(axis=0)
             return num / den
 
-        self._align_fn = align_and_blend
+        # batched over centers: (B,H,W,3) x (B,K,H,W,3) x (B,K) ->
+        # (B,H,W,3).  B is the mesh-shardable axis (each device owns a
+        # slice of centers plus their full neighbor windows).
+        self._align_fn = jax.jit(jax.vmap(blend_one,
+                                          in_axes=(None, 0, 0, 0)))
         self._flow_params = flow_params
+
+        # frame-axis data parallelism over the local mesh (the recipe
+        # analog of SuperResolution's sharding; reference
+        # utils/multi_gpu.py:549 distribute_frames)
+        self._mesh = None
+        if cfg.sharding == "data" and len(jax.devices()) > 1:
+            from framewright_tpu.parallel.mesh import (
+                FRAME_AXIS,
+                build_mesh,
+                frame_sharding,
+                replicate,
+            )
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            self._mesh = build_mesh()
+            self._in_sharding = NamedSharding(self._mesh, P(FRAME_AXIS))
+            self._flow_params = jax.device_put(
+                self._flow_params, replicate(self._mesh))
+            logger.info("temporal denoise sharded over %d devices",
+                        len(self._mesh.devices.flat))
+        nf = (len(self._mesh.devices.flat) if self._mesh is not None
+              else 1)
+        self._batch = cfg.batch or nf
 
         if cfg.method in ("nafnet", "restormer"):
             params = None
@@ -165,35 +206,83 @@ class TemporalDenoiser:
             if params is None:
                 params = net.init(jax.random.PRNGKey(2), ncfg)
             self._naf_params = jax.tree_util.tree_map(jnp.asarray, params)
+            if self._mesh is not None:
+                from framewright_tpu.parallel.mesh import replicate
+
+                self._naf_params = jax.device_put(
+                    self._naf_params, replicate(self._mesh))
             self._naf_fn = jax.jit(lambda p, x: net.apply_padded(p, x, ncfg))
 
     # ------------------------------------------------------------------
-    def _denoise_center(self, window: List[np.ndarray], center_idx: int) -> np.ndarray:
+    def _denoise_batch(self, windows: List[tuple]) -> List[np.ndarray]:
+        """Denoise a batch of centers in ONE device step.
+
+        ``windows``: list of (window_frames, center_idx) — each window a
+        list of uint8 frames.  Windows shorter than the full 2r slots
+        are padded with the center frame under a zero mask (numerically
+        a no-op).  The batch axis is padded up to the mesh ``frames``
+        axis and sharded when configured; results come back in order.
+        """
+        import jax
         import jax.numpy as jnp
 
         cfg = self.config
-        center = to_float(window[center_idx][None])
-        neighbors = [to_float(f[None])[0] for i, f in enumerate(window) if i != center_idx]
-        if neighbors and cfg.method in ("temporal", "nafnet", "restormer"):
-            nb = np.stack(neighbors)
-            out = np.asarray(self._align_fn(
-                self._flow_params, jnp.asarray(center), jnp.asarray(nb)))
+        if not windows:
+            return []
+        k_slots = 2 * cfg.radius
+        centers, neighbors, masks = [], [], []
+        for window, center_idx in windows:
+            c = to_float(window[center_idx][None])[0]
+            nb = [to_float(f[None])[0]
+                  for i, f in enumerate(window) if i != center_idx]
+            m = np.zeros((k_slots,), np.float32)
+            m[: len(nb)] = 1.0
+            while len(nb) < k_slots:
+                nb.append(c)
+            centers.append(c)
+            neighbors.append(np.stack(nb[:k_slots]))
+            masks.append(m)
+        n = len(centers)
+        n_pad = n
+        if self._mesh is not None:
+            from framewright_tpu.parallel.mesh import pad_batch_for_mesh
+
+            n_pad = pad_batch_for_mesh(n, self._mesh)
+        while len(centers) < n_pad:
+            centers.append(centers[-1])
+            neighbors.append(neighbors[-1])
+            masks.append(masks[-1])
+        cb = np.stack(centers)
+        if cfg.method in ("temporal", "nafnet", "restormer") \
+                and k_slots > 0:
+            nbb, mb = np.stack(neighbors), np.stack(masks)
+            if self._mesh is not None:
+                cbj = jax.device_put(jnp.asarray(cb), self._in_sharding)
+                nbb = jax.device_put(jnp.asarray(nbb), self._in_sharding)
+                mb = jax.device_put(jnp.asarray(mb), self._in_sharding)
+            else:
+                cbj = jnp.asarray(cb)
+            out = self._align_fn(self._flow_params, cbj,
+                                 jnp.asarray(nbb), jnp.asarray(mb))
         else:
-            out = center
+            out = cb
         if cfg.method in ("nafnet", "restormer") and self._naf_fn is not None:
-            out = np.asarray(self._naf_fn(self._naf_params, jnp.asarray(out)))
+            out = self._naf_fn(self._naf_params, jnp.asarray(out))
         elif cfg.method == "bilateral":
-            out = self._bilateral(center)
-        blended = cfg.strength * out + (1.0 - cfg.strength) * center
+            out = self._bilateral(cb)
+        out = np.asarray(out)[:n]
+        cb = cb[:n]
+        blended = cfg.strength * out + (1.0 - cfg.strength) * cb
         if cfg.chroma_only and blended.shape[-1] == 3:
             # keep the original luma, take denoised chroma: adding the
             # luma delta to every channel shifts Y and leaves U/V
             # untouched (the BT.601 chroma coefficients sum to zero) —
             # reference DenoiserType.CHROMA_ONLY semantics
             w = np.asarray([0.299, 0.587, 0.114], np.float32)
-            dy = ((center - blended) * w).sum(-1, keepdims=True)
+            dy = ((cb - blended) * w).sum(-1, keepdims=True)
             blended = blended + dy
-        return to_uint8(np.clip(blended[0], 0.0, 1.0))
+        u8 = to_uint8(np.clip(blended, 0.0, 1.0))
+        return [u8[i] for i in range(n)]
 
     # ------------------------------------------------------------------
     def _auto_configure(self, head: List[np.ndarray]) -> None:
@@ -257,22 +346,24 @@ class TemporalDenoiser:
         buf: List[np.ndarray] = []
         segment_start = 0  # index within buf where the current scene begins
         out_idx = 0
+        pending: List[tuple] = []  # captured (window, center_idx) queue
 
-        def emit(center_pos: int) -> np.ndarray:
+        def queue(center_pos: int) -> None:
             lo = max(segment_start, center_pos - r)
             hi = min(len(buf), center_pos + r + 1)
-            window = buf[lo:hi]
-            return self._denoise_center(window, center_pos - lo)
+            # copy the slice: buf is mutated after queueing, the frames
+            # themselves are shared refs
+            pending.append((list(buf[lo:hi]), center_pos - lo))
+            self.result.frames += 1
 
         prev: Optional[np.ndarray] = None
         for frame in frames_iter:
             if prev is not None:
                 score = float(frame_pair_scores(prev[None], frame[None])[0])
                 if score >= cfg.scene_change_threshold:
-                    # flush everything before the cut, then reset
+                    # queue everything before the cut, then reset
                     while out_idx < len(buf):
-                        yield emit(out_idx)
-                        self.result.frames += 1
+                        queue(out_idx)
                         out_idx += 1
                     self.result.scene_resets += 1
                     buf = buf[out_idx:]
@@ -280,10 +371,9 @@ class TemporalDenoiser:
                     segment_start = 0
             buf.append(frame)
             prev = frame
-            # emit frames whose full forward context is available
+            # queue frames whose full forward context is available
             while out_idx + r < len(buf):
-                yield emit(out_idx)
-                self.result.frames += 1
+                queue(out_idx)
                 out_idx += 1
                 if out_idx - r > segment_start:
                     # drop frames no longer needed
@@ -291,10 +381,13 @@ class TemporalDenoiser:
                     if segment_start == 0 and drop > 0:
                         buf = buf[drop:]
                         out_idx -= drop
+            if len(pending) >= self._batch:
+                yield from self._denoise_batch(pending)
+                pending = []
         while out_idx < len(buf):
-            yield emit(out_idx)
-            self.result.frames += 1
+            queue(out_idx)
             out_idx += 1
+        yield from self._denoise_batch(pending)
 
 
 class FlickerReducer:

@@ -44,6 +44,13 @@ class VSRConfig:
     overlap: int = 2               # carried context frames
     compute_dtype: str = "bfloat16"
     weights_dir: Optional[str] = None
+    sharding: str = "none"         # none | spatial: shard the window's
+    #                                HEIGHT over a 1-D ``space`` mesh.
+    #                                The recurrent time axis is a scan
+    #                                (unshardable), so multi-chip VSR
+    #                                splits each frame spatially and XLA
+    #                                inserts conv/flow halo exchanges —
+    #                                BASELINE config-5 recipe path.
 
 
 class VideoSuperResolution:
@@ -92,6 +99,29 @@ class VideoSuperResolution:
         self._fn = run
         self._win = win
         self._tail = None
+
+        # spatial sharding: H over all local devices. The padded height
+        # must divide by the mesh; _PAD_MULT=32 already makes H a
+        # multiple of 32, so any device count <= 32 that divides it
+        # works — otherwise fall back to unsharded.
+        self._mesh = None
+        if cfg.sharding == "spatial" and len(jax.devices()) > 1:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from framewright_tpu.parallel.mesh import build_mesh, replicate
+
+            nd = len(jax.devices())
+            if height % nd == 0:
+                self._mesh = build_mesh((nd,), axis_names=("space",))
+                # window (1, T, H, W, C): shard axis 2
+                self._in_sharding = NamedSharding(
+                    self._mesh, P(None, None, "space"))
+                params = jax.device_put(params, replicate(self._mesh))
+                logger.info("VSR height-sharded over %d devices", nd)
+            else:
+                logger.warning(
+                    "VSR spatial sharding skipped: height %d not "
+                    "divisible by %d devices", height, nd)
         logger.info("VSR %s: window %d (+%d overlap), %dx%d -> %dx%d",
                     cfg.model_name, win, cfg.overlap, width, height,
                     width * self.scale, height * self.scale)
@@ -124,7 +154,13 @@ class VideoSuperResolution:
         real = window[: ov + n]           # context + new frames (no pad)
         self._tail = real[-ov:] if ov else real[:0]
         try:
-            y, exc = self._fn(window[None]), None
+            xin = window[None]
+            if self._mesh is not None:
+                import jax
+                import jax.numpy as jnp
+
+                xin = jax.device_put(jnp.asarray(xin), self._in_sharding)
+            y, exc = self._fn(xin), None
         except Exception as e:  # noqa: BLE001
             y, exc = None, e
         return {"y": y, "exc": exc, "n": n, "ov": ov}

@@ -375,6 +375,10 @@ class VideoRestorer:
                     model_name=cfg.sr_model,
                     chunk=cfg.batch_size or 8,
                     compute_dtype=cfg.compute_dtype,
+                    # recurrent time axis is a scan: multi-chip VSR
+                    # shards each frame's height instead
+                    sharding="spatial" if cfg.sharding_strategy
+                    in ("auto", "spatial") else "none",
                 ))
                 dedup = None
             elif cfg.ensemble_models():
@@ -597,6 +601,8 @@ class VideoRestorer:
                 else "temporal",
                 scene_change_threshold=cfg.scene_threshold,
                 flow_model=cfg.flow_model,
+                sharding="data" if cfg.sharding_strategy
+                in ("auto", "data") else "none",
             ))
             dn.setup(meta.height, meta.width)
             src_iter = dn.denoise_stream(src_iter)
@@ -975,6 +981,8 @@ class VideoRestorer:
             target_fps=cfg.target_fps,
             scene_change_threshold=cfg.scene_threshold,
             scene_change_skip=cfg.scene_change_skip,
+            sharding="data" if cfg.sharding_strategy
+            in ("auto", "data") else "none",
         ))
         interp.setup(oh, ow)
 

@@ -185,6 +185,88 @@ class TestMultiHost:
         assert "w9" in coord.live_workers()
 
 
+class TestShardedDenoise:
+    def test_mesh_matches_unsharded(self, rng):
+        """Temporal denoise sharded over the frames mesh must equal the
+        unsharded batched path (BASELINE config-5 recipe stage)."""
+        from framewright_tpu.processors.temporal_denoise import (
+            TemporalDenoiseConfig,
+            TemporalDenoiser,
+        )
+
+        base = (rng.random((16, 16, 3)) * 200).astype(np.float32)
+        frames = [
+            np.clip(base + rng.normal(0, 12, base.shape), 0, 255).astype(np.uint8)
+            for _ in range(10)
+        ]
+        common = dict(radius=2, strength=1.0, method="temporal",
+                      scene_change_threshold=9.9)
+        sharded = TemporalDenoiser(TemporalDenoiseConfig(
+            sharding="data", **common))
+        sharded.setup(16, 16)
+        assert sharded._mesh is not None
+        assert sharded._batch == len(jax.devices())
+        single = TemporalDenoiser(TemporalDenoiseConfig(
+            sharding="none", **common))
+        single.setup(16, 16)
+        a = list(sharded.denoise_stream(iter(frames)))
+        b = list(single.denoise_stream(iter(frames)))
+        assert len(a) == len(b) == 10
+        for fa, fb in zip(a, b):
+            np.testing.assert_allclose(fa.astype(int), fb.astype(int), atol=1)
+
+
+class TestShardedInterpolation:
+    def test_mesh_matches_unsharded(self, rng):
+        """IFNet midpoint synthesis sharded over pair batches must equal
+        the unsharded path."""
+        from framewright_tpu.processors.interpolation import (
+            FrameInterpolator,
+            InterpolationConfig,
+        )
+
+        frames = [
+            (rng.random((16, 16, 3)) * 255).astype(np.uint8) for _ in range(7)
+        ]
+        sharded = FrameInterpolator(InterpolationConfig(sharding="data"))
+        sharded.setup(16, 16)
+        assert sharded._mesh is not None
+        single = FrameInterpolator(InterpolationConfig(sharding="none"))
+        single.setup(16, 16)
+        a = list(sharded.interpolate_stream(iter(frames), 2))
+        b = list(single.interpolate_stream(iter(frames), 2))
+        assert len(a) == len(b) == 13
+        for fa, fb in zip(a, b):
+            np.testing.assert_allclose(fa.astype(int), fb.astype(int), atol=1)
+
+
+class TestShardedVSR:
+    def test_mesh_matches_unsharded(self, rng):
+        """Recurrent VSR with the window height sharded over a ``space``
+        mesh (XLA conv halo exchanges) must equal unsharded."""
+        from framewright_tpu.processors.video_sr import (
+            VideoSuperResolution,
+            VSRConfig,
+        )
+
+        common = dict(model_name="BasicVSR", chunk=4, overlap=1,
+                      compute_dtype="float32")
+        sharded = VideoSuperResolution(VSRConfig(sharding="spatial", **common))
+        sharded.setup(16, 16)
+        assert sharded._mesh is not None
+        single = VideoSuperResolution(VSRConfig(sharding="none", **common))
+        single.setup(16, 16)
+        frames = rng.integers(0, 256, (4, 16, 16, 3), dtype=np.uint8)
+        a = sharded.process_batch(frames)
+        b = single.process_batch(frames)
+        assert a.shape == b.shape == (4, 64, 64, 3)
+        # random weights saturate the output at 0/255: reduction-order
+        # epsilon from the halo exchange flips a small fraction of
+        # hard-clipped pixels, so gate on the mismatch fraction
+        mismatch = (np.abs(a.astype(int) - b.astype(int)) > 1).mean()
+        assert mismatch < 0.02, f"{mismatch:.2%} pixels differ"
+
+
 class TestShardedSR:
     def test_sr_uses_mesh_and_matches_unsharded(self, rng, tmp_path):
         from framewright_tpu.processors.super_resolution import SRConfig, SuperResolution
