@@ -124,7 +124,12 @@ class ShardingError(FatalError):
 # reference's subprocess-stderr classifier (core/errors.py `classify_error`).
 _CLASSIFIERS: list[tuple[tuple[str, ...], Type[FramewrightError]]] = [
     (("resource exhausted", "out of memory", "oom", "allocat"), HBMError),
-    (("mosaic", "lowering", "unsupported"), CompilationError),
+    # "http 500"/"tpu_compile": the axon remote compile server's crash
+    # signature on oversized kernels (PERF.md "compiler fragility";
+    # repro scripts/probe_compiler_crashes.py) — the SR processor
+    # downshifts the frame batch on these
+    (("mosaic", "lowering", "unsupported", "http 500", "tpu_compile",
+      "compilation failure"), CompilationError),
     (("no such file", "not found", "does not exist"), InputError),
     (("no space left", "disk full"), DiskSpaceError),
     (("permission denied",), FatalError),

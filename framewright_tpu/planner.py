@@ -42,6 +42,16 @@ _ACT_CHANNELS = {
 
 _DTYPE_BYTES = {"bfloat16": 2, "float32": 4, "int8": 1}
 
+# Known compiler limits, NOT memory limits: the axon remote compile
+# server reproducibly fails (HTTP 500, helper exit 1) on the int8-i32
+# merge-body program at frame batch >= 4 (PERF.md "compiler fragility";
+# repro: scripts/probe_compiler_crashes.py).  When a compiler release
+# fixes it, bump/remove the entry and the planner adopts the larger
+# batch automatically.
+_COMPILER_MAX_BATCH = {
+    ("rrdb", "int8"): 3,
+}
+
 # Candidate tile interior sizes, MXU/lane-friendly, divisible by 4
 # (pixel_unshuffle at scale 1-2 needs mod-4 input dims).
 _TILE_CANDIDATES = (1024, 768, 512, 384, 256, 192, 128, 96, 64)
@@ -145,6 +155,8 @@ def plan(
     budget = int(hbm_free_bytes * hbm_utilization) - params_bytes * 3  # +grads-free copies
     budget = max(budget, 16 * 2**20)
     u = body_divisor(family, scale)
+    max_batch = min(max_batch,
+                    _COMPILER_MAX_BATCH.get((family, dtype), max_batch))
 
     def fits(h: int, w: int, b: int) -> Tuple[bool, int]:
         est = estimate_activation_bytes(family, h, w, scale, dtype, b)

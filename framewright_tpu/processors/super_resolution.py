@@ -214,11 +214,17 @@ class SuperResolution(FrameProcessor):
         fast = self._fast_params
         plan = self._plan
 
+        model_fn_out = None
         if spec.family == "rrdb" and use_fused:
             from framewright_tpu.models import rrdb
 
             def model_fn(t):
                 return rrdb.apply_fast(params, fast, t, spec.arch_config)
+
+            def model_fn_out(t, out_mode, full_range):
+                return rrdb.apply_fast(params, fast, t, spec.arch_config,
+                                       out_mode=out_mode,
+                                       full_range=full_range)
         elif spec.family == "srvgg" and use_fused:
             from framewright_tpu.ops import fused_srvgg
 
@@ -233,6 +239,49 @@ class SuperResolution(FrameProcessor):
         full_range = self.config.yuv_full_range
         with_stats = self.config.device_stats
         cap = float(self.config.enhancement_cap)
+
+        # fused output epilogue: when the rrdb fast path runs whole
+        # frames and nothing downstream needs float RGB, the production
+        # quantization (and for Y4M the BT.601 CSC + 4:2:0 subsample)
+        # happens INSIDE the tail kernel (ops/fused_tail.py out_mode) —
+        # no 4K float intermediates, uint8 depth-to-space, 10.7x less
+        # kernel output traffic on the YUV path
+        fused_out = (model_fn_out is not None and plan is not None
+                     and not plan.tiled and cap >= 1.0 and not with_stats
+                     and not (yuv and self.config.outscale))
+        if fused_out:
+            from framewright_tpu.ops.tiling import pad_mod
+
+            s, u = plan.scale, plan.body_divisor
+            mode = "yuv420_u8" if yuv else "rgb_u8"
+
+            @jax.jit
+            def run(x_u8):
+                b, h, w, _ = x_u8.shape
+                x = x_u8.astype(dtype) / jnp.asarray(255.0, dtype)
+                hp = -(-h // u) * u
+                wp = -(-w // u) * u
+                xp = pad_mod(x, hp - h, wp - w)
+                # chunk oversize batches at the planner batch (callers
+                # beyond the restorer ring may feed bigger arrays)
+                nb = max(int(plan.batch), 1)
+                chunks = [model_fn_out(xp[i:min(i + nb, b)], mode,
+                                       full_range)
+                          for i in range(0, b, nb)]
+                if yuv:
+                    yp, up, vp = (c[0] for c in chunks), \
+                        (c[1] for c in chunks), (c[2] for c in chunks)
+                    yp = jnp.concatenate(list(yp), axis=0)
+                    up = jnp.concatenate(list(up), axis=0)
+                    vp = jnp.concatenate(list(vp), axis=0)
+                    return (yp[:, : h * s, : w * s],
+                            up[:, : h * s // 2, : w * s // 2],
+                            vp[:, : h * s // 2, : w * s // 2])
+                out = jnp.concatenate(chunks, axis=0)
+                return out[:, : h * s, : w * s]
+
+            self._fn = run
+            return
 
         @jax.jit
         def run(x_u8):
@@ -404,12 +453,25 @@ class SuperResolution(FrameProcessor):
                 break
             except Exception as exc:  # noqa: BLE001
                 err = classify_error(exc)
-                if not isinstance(err, HBMError) or attempt == cfg.max_oom_retries:
+                from framewright_tpu.errors import CompilationError
+
+                # compiler crash (axon HTTP 500 / tpu_compile_helper —
+                # PERF.md "compiler fragility") is batch-sensitive:
+                # halving the frame batch is the known workaround, same
+                # downshift path as OOM
+                compile_retry = (isinstance(err, CompilationError)
+                                 and self._plan is not None
+                                 and self._plan.batch > 1)
+                if (not (isinstance(err, HBMError) or compile_retry)
+                        or attempt == cfg.max_oom_retries):
                     raise err from exc
-                # device OOM: downshift the plan and recompile (the
-                # reference's adaptive tile fallback), then rerun
+                # device OOM / batch-sensitive compiler crash: downshift
+                # the plan and recompile (the reference's adaptive tile
+                # fallback), then rerun
                 self._plan = self._plan.downshift()
-                logger.warning("HBM OOM; downshifted plan to %s", self._plan)
+                logger.warning("%s; downshifted plan to %s",
+                               "compiler failure" if compile_retry
+                               else "HBM OOM", self._plan)
                 import jax.numpy as jnp
 
                 dtype = {"bfloat16": jnp.bfloat16, "float32": jnp.float32}.get(

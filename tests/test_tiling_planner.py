@@ -39,6 +39,15 @@ class TestPlanner:
         with pytest.raises(HBMError):
             plan(8192, 8192, 4, "rrdb", "float32", hbm_free_bytes=1 * 2**20)
 
+    def test_int8_rrdb_batch_capped_by_compiler_limit(self):
+        """The axon remote compiler crashes on the int8 merge body at
+        B>=4 (PERF.md; scripts/probe_compiler_crashes.py): the planner
+        must never pick past the documented cap, however much HBM is
+        free."""
+        p = plan(1080, 1920, 2, "rrdb", "int8", hbm_free_bytes=64 * 2**30)
+        assert not p.tiled
+        assert p.batch == 3
+
     def test_downshift_halves_batch_then_tiles(self):
         p = plan(512, 512, 2, "rrdb", hbm_free_bytes=14 * 2**30, max_batch=8)
         assert p.batch > 1
@@ -75,6 +84,35 @@ def _mean3(x):
         feature_group_count=x.shape[-1],
     )
     return jnp.repeat(jnp.repeat(y, 2, axis=1), 2, axis=2)
+
+
+class TestCompileCrashDownshift:
+    def test_materialize_downshifts_on_compiler_failure(self, rng, tmp_path):
+        """A remote-compiler crash (HTTP 500 / tpu_compile_helper —
+        classified CompilationError) at batch>1 must downshift the plan
+        and retry, like OOM (PERF.md compiler-fragility workaround)."""
+        from framewright_tpu.processors.super_resolution import (
+            SRConfig,
+            SuperResolution,
+        )
+
+        sr = SuperResolution(SRConfig(
+            model_name="realesr-animevideov3", compute_dtype="float32",
+            sharding="none", weights_dir=str(tmp_path)))
+        sr.setup(16, 16)
+        frames = rng.integers(0, 256, (2, 16, 16, 3), dtype=np.uint8)
+        b0 = sr._plan.batch
+        assert b0 > 1
+        handle = {
+            "y": None,
+            "exc": RuntimeError(
+                "HTTP 500 from remote compile server; "
+                "tpu_compile_helper exited with code 1"),
+            "x": frames, "n": 2,
+        }
+        out = sr.materialize(handle)
+        assert out.shape == (2, 64, 64, 3)
+        assert sr._plan.batch == max(1, b0 // 2)
 
 
 class TestTiling:
