@@ -85,7 +85,11 @@ padding:1px 6px;border-radius:3px}.cmp .lbl.b{right:6px}
 <span id="msg"></span>
 </form>
 <pre id="analysis" style="display:none;max-height:14rem;overflow:auto;
-background:#1e2127;padding:.6rem;border-radius:4px"></pre></fieldset>
+background:#1e2127;padding:.6rem;border-radius:4px"></pre>
+<details id="allset" ontoggle="loadSchema()"><summary>all settings
+(full config — only changed values are submitted)</summary>
+<div id="cfgpanel" style="display:flex;flex-wrap:wrap;gap:.6rem"></div>
+</details></fieldset>
 <fieldset><legend>guided restore (analyze &rarr; recommend &rarr; restore)</legend>
 <form onsubmit="return guidedAnalyze(event)">
 <input id="gsrc" placeholder="/path/to/video.y4m" size="38" required>
@@ -138,8 +142,60 @@ async function analyzeSrc(){
   box.style.display = '';
   box.textContent = JSON.stringify(await r.json(), null, 2);
 }
+// full settings editor (reference ui.py settings panels): every Config
+// flag grouped as served by /api/config_schema; values that differ
+// from the default ride the job config
+let schemaLoaded = false;
+async function loadSchema(){
+  if (schemaLoaded || !document.getElementById('allset').open) return;
+  schemaLoaded = true;
+  const r = await fetch('/api/config_schema');
+  const panel = document.getElementById('cfgpanel');
+  for (const g of await r.json()){
+    const fs = document.createElement('fieldset');
+    fs.style.margin = '0';
+    const lg = document.createElement('legend');
+    lg.textContent = g.group; fs.appendChild(lg);
+    for (const f of g.fields){
+      const row = document.createElement('div');
+      const lab = document.createElement('label');
+      lab.textContent = f.name + ' ';
+      let inp;
+      if (f.type === 'bool'){
+        inp = document.createElement('input');
+        inp.type = 'checkbox'; inp.checked = f.default;
+      } else if (f.choices){
+        inp = document.createElement('select');
+        for (const c of f.choices){
+          const o = document.createElement('option');
+          o.value = c; o.textContent = c; inp.appendChild(o);
+        }
+        inp.value = f.default;
+      } else {
+        inp = document.createElement('input');
+        inp.value = f.default; inp.size = 10;
+        if (f.type !== 'str') inp.type = 'text';
+      }
+      inp.className = 'cfgf';
+      inp.dataset.key = f.name; inp.dataset.kind = f.type;
+      inp.dataset.def = JSON.stringify(f.default);
+      lab.appendChild(inp); row.appendChild(lab); fs.appendChild(row);
+    }
+    panel.appendChild(fs);
+  }
+}
 function jobConfig(){
   const cfg = {};
+  for (const inp of document.querySelectorAll('.cfgf')){
+    const k = inp.dataset.key, kind = inp.dataset.kind;
+    let v;
+    if (inp.type === 'checkbox') v = inp.checked;
+    else if (kind === 'int') v = parseInt(inp.value);
+    else if (kind === 'float') v = parseFloat(inp.value);
+    else v = inp.value;
+    if (JSON.stringify(v) !== inp.dataset.def && !Number.isNaN(v))
+      cfg[k] = v;
+  }
   if (document.getElementById('dn').checked) cfg.denoise = true;
   if (document.getElementById('fr').checked) cfg.face_restore = true;
   if (document.getElementById('it').checked) cfg.interpolation = true;
@@ -496,6 +552,12 @@ class APIServer:
 
                     return self._send(200, {
                         k: r.description for k, r in RECIPES.items()})
+                if path == "/api/config_schema":
+                    # the full grouped flag set for the settings editor
+                    # (reference ui.py settings panels)
+                    from framewright_tpu.config import config_schema
+
+                    return self._send(200, config_schema())
                 if path == "/api/jobs":
                     return self._send(200, [self._job_dict(j)
                                             for j in server.store.list_jobs()])
@@ -718,6 +780,9 @@ class APIServer:
                     "state": j.state, "stage": j.stage,
                     "frames_done": j.frames_done,
                     "total_frames": j.total_frames, "error": j.error,
+                    # the submitted overrides, so the settings editor can
+                    # show what a queued job will actually run with
+                    "config": j.config,
                 }
 
         return Handler

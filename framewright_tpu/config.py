@@ -528,6 +528,75 @@ class Config:
         return out
 
 
+def config_schema() -> list:
+    """Grouped editable-flag schema for UI surfaces (the dashboard's
+    full settings editor; reference ui.py settings panels /
+    _ui_pkg/api settings). Groups come straight from the ``# --- ... ``
+    section comments in the Config source, so the schema can never
+    drift from the dataclass. Returns::
+
+        [{"group": "Super-resolution",
+          "fields": [{"name","type","default","choices"?}, ...]}, ...]
+    """
+    import dataclasses
+    import inspect
+    import re
+
+    choices = {
+        "compute_dtype": _VALID_DTYPES,
+        "denoise_model": _VALID_DENOISERS,
+        "sharding_strategy": _VALID_SHARDING,
+        "sr_model": _VALID_SR_MODELS,
+        "output_format": ("auto", "y4m", "png", "mp4", "mkv"),
+        "ensemble_strategy": ("weighted", "median", "max_sharpness"),
+        "face_model": ("gfpgan", "codeformer", "sr"),
+        "grain_mode": ("auto", "off", "preserve", "remove", "match"),
+        "deinterlace": ("auto", "off", "yadif", "bwdif"),
+        "hdr_output": ("none", "hdr10", "hdr10plus", "hlg"),
+        "quality_report_format": ("json", "html", "none"),
+        "subtitle_region": ("bottom", "top", "full"),
+        "temporal_model": ("attention", "latent", "ema"),
+        "flow_model": ("ifnet", "raft"),
+        "long_form": ("auto", "on", "off"),
+    }
+    fdefs = {f.name: f for f in dataclasses.fields(Config) if f.init}
+    groups: list = []
+    cur = None
+    for line in inspect.getsource(Config).splitlines():
+        m = re.match(r"\s*# --- (.+?) -*$", line)
+        if m:
+            title = re.sub(r"\s*\(.*\)\s*$", "", m.group(1).strip())
+            cur = {"group": title, "fields": []}
+            groups.append(cur)
+            continue
+        m = re.match(r"    (\w+):", line)
+        if not (m and cur is not None and m.group(1) in fdefs):
+            continue
+        f = fdefs.pop(m.group(1))
+        if f.default is not dataclasses.MISSING:
+            default = f.default
+        elif f.default_factory is not dataclasses.MISSING:  # type: ignore[misc]
+            default = f.default_factory()  # type: ignore[misc]
+        else:
+            default = None
+        if isinstance(default, bool):
+            ftype = "bool"
+        elif isinstance(default, int):
+            ftype = "int"
+        elif isinstance(default, float):
+            ftype = "float"
+        else:
+            ftype = "str"
+            default = "" if default is None else str(default)
+            if isinstance(f.default, tuple):
+                default = ",".join(str(v) for v in f.default)
+        entry = {"name": f.name, "type": ftype, "default": default}
+        if f.name in choices:
+            entry["choices"] = list(choices[f.name])
+        cur["fields"].append(entry)
+    return [g for g in groups if g["fields"]]
+
+
 def build_config(
     preset: str = "",
     config_file: Optional[Path] = None,

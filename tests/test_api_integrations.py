@@ -93,6 +93,42 @@ class TestAPI:
         assert b"/api/frame" in body          # compare slider wiring
         assert b"gal-" in body                # before/after thumbnail gallery
 
+    def test_config_schema_endpoint_covers_every_flag(self, api):
+        """The full settings editor's schema: every init field of
+        Config appears exactly once, grouped (reference ui.py settings
+        panels)."""
+        import dataclasses
+
+        from framewright_tpu.config import Config
+
+        code, schema = _get(api, "/api/config_schema")
+        assert code == 200
+        names = [f["name"] for g in schema for f in g["fields"]]
+        init_fields = {f.name for f in dataclasses.fields(Config) if f.init}
+        assert set(names) == init_fields
+        assert len(names) == len(set(names))
+        groups = [g["group"] for g in schema]
+        assert "Super-resolution" in groups and "Encoding" in groups
+        sr = next(f for g in schema for f in g["fields"]
+                  if f["name"] == "sr_model")
+        assert "RealESRGAN_x2plus" in sr["choices"]
+
+    def test_dashboard_has_settings_editor(self, api):
+        with urllib.request.urlopen(f"http://127.0.0.1:{api.port}/",
+                                    timeout=5) as r:
+            body = r.read()
+        assert b"/api/config_schema" in body
+        assert b"cfgpanel" in body
+
+    def test_job_submit_with_schema_override(self, api):
+        """A flag edited in the settings editor (differs from default)
+        must land in the job config."""
+        code, out = _post(api, "/api/jobs",
+                          {"source": "a.y4m", "config": {"crf": 22}})
+        assert code == 201
+        code, job = _get(api, f"/api/jobs/{out['job_id']}")
+        assert job["config"]["crf"] == 22
+
     def test_recommend_endpoint_guided_flow(self, api, tmp_path):
         # analyze -> recommend -> restore without hand-writing a config
         # (reference ui.py guided workflow)
