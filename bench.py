@@ -99,7 +99,11 @@ def main() -> int:
     x = jnp.asarray(np.random.rand(1, h, w, 3).astype(np.float32)).astype(jnp.bfloat16)
 
     if on_tpu:
-        fwd = jax.jit(lambda p, fp, t: rrdb.apply_fast(p, fp, t, cfg))
+        # out_mode="rgb_u8": the PRODUCTION output contract — the SR jit
+        # ships uint8, so the headline includes the quantization (fused
+        # into the tail kernel; round-5, ops/fused_tail.py out_mode)
+        fwd = jax.jit(lambda p, fp, t: rrdb.apply_fast(
+            p, fp, t, cfg, out_mode="rgb_u8"))
     else:
         fwd = jax.jit(lambda p, fp, t: rrdb.apply(p, t, cfg))
 
@@ -108,7 +112,7 @@ def main() -> int:
         # committed arrays (observed: a ~2 min compile + 10 queued
         # forwards "completed" in 1 ms). Materializing a scalar always
         # waits for the producing execution.
-        return float(jnp.mean(t[0, ::731, ::731, 0]))
+        return float(jnp.mean(t[0, ::731, ::731, 0].astype(jnp.float32)))
 
     y = fwd(params, fast, x)
     sync(y)                       # warmup: wait out compile + first run

@@ -261,9 +261,36 @@ def calibrate_act_scales(params: Dict, cfg: RRDBConfig,
     return run(stacked, sample)
 
 
+def _out_epilogue(out: jnp.ndarray, out_mode: str, full_range: bool):
+    """XLA fallback for the fused output modes: EXACTLY the SR jit's
+    production epilogue (processors/super_resolution.py run()) applied
+    to a float RGB image in [0,1]-ish range — used when the resident
+    tail3 path (which fuses this into the kernel) can't run, so every
+    caller sees a uniform contract."""
+    y = jnp.clip(out.astype(jnp.float32), 0.0, 1.0) * 255.0
+    if out_mode == "rgb_u8":
+        return jnp.floor(y + 0.5).astype(jnp.uint8)
+    kr, kg, kb = 0.299, 0.587, 0.114
+    r, g, b = y[..., 0], y[..., 1], y[..., 2]
+    yy = kr * r + kg * g + kb * b
+    uu = (b - yy) / (2.0 * (1.0 - kb))
+    vv = (r - yy) / (2.0 * (1.0 - kr))
+    if not full_range:
+        yy = yy * (219.0 / 255.0) + 16.0
+        uu = uu * (224.0 / 255.0)
+        vv = vv * (224.0 / 255.0)
+    n, hh, ww = yy.shape
+    uu = uu.reshape(n, hh // 2, 2, ww // 2, 2).mean(axis=(2, 4))
+    vv = vv.reshape(n, hh // 2, 2, ww // 2, 2).mean(axis=(2, 4))
+    return (jnp.clip(jnp.floor(yy + 0.5), 0, 255).astype(jnp.uint8),
+            jnp.clip(jnp.floor(uu + 128.5), 0, 255).astype(jnp.uint8),
+            jnp.clip(jnp.floor(vv + 128.5), 0, 255).astype(jnp.uint8))
+
+
 def apply_fast(params: Dict, fast_params: Dict, x: jnp.ndarray,
                cfg: RRDBConfig = RRDBConfig(), interpret: bool = False,
-               fast_tail=None) -> jnp.ndarray:
+               fast_tail=None, out_mode: str = "bf16",
+               full_range: bool = False):
     """Forward pass with the fused Pallas RDB body (TPU hot path).
 
     Numerics match ``apply`` at bf16 rounding level (tests assert).
@@ -271,6 +298,13 @@ def apply_fast(params: Dict, fast_params: Dict, x: jnp.ndarray,
     upsample/tail convs through the band-conv kernel as well (2.2x over
     XLA on v5e); ``interpret=True`` runs kernels in the Pallas
     interpreter (CPU CI).
+
+    ``out_mode`` fuses the production output epilogue into the tail3
+    kernel when the merge body runs (exact XLA fallback otherwise):
+      "bf16"      float RGB (B, H*4/ps, W*4/ps, 3) — the default;
+      "rgb_u8"    uint8 RGB, floor(clip(y,0,1)*255+0.5) in-kernel;
+      "yuv420_u8" uint8 (Y, U, V) 4:2:0 planes, BT.601 CSC + subsample
+                  in-kernel (the straight-to-Y4M writer path).
     """
     from framewright_tpu.ops.fused_rrdb import rrdb_body_fast
 
@@ -301,10 +335,13 @@ def apply_fast(params: Dict, fast_params: Dict, x: jnp.ndarray,
             return tail3_image(
                 out_blocks, feat_blocks, ext, b, nh, nw,
                 int(feat.shape[1]), int(feat.shape[2]),
-                fast_params["tail3_phase"], interpret=interpret)
+                fast_params["tail3_phase"], interpret=interpret,
+                out_mode=out_mode, full_range=full_range)
     body_out = rrdb_body_fast(feat, fast_params, interpret=interpret)
     if fast_tail is not None:
-        return fast_tail(feat, body_out)
+        out = fast_tail(feat, body_out)
+        return (out if out_mode == "bf16"
+                else _out_epilogue(out, out_mode, full_range))
     if kind == "auto":
         # Fallback when the merge body can't run (dynamic-scale int8):
         # measured on v5e at 1080p x2 (scripts/bench_tail2.py, same
@@ -313,19 +350,24 @@ def apply_fast(params: Dict, fast_params: Dict, x: jnp.ndarray,
         # only when the body runs bf16.
         body_int8 = fast_params["body_wide"]["Wx"].dtype == jnp.int8
         kind = "1" if body_int8 else "2"
+
+    def _done(out):
+        return (out if out_mode == "bf16"
+                else _out_epilogue(out, out_mode, full_range))
+
     if kind == "2" and "tail2_phase" in fast_params:
-        return _tail_pallas2(params, fast_params, feat, body_out,
-                             interpret=interpret)
+        return _done(_tail_pallas2(params, fast_params, feat, body_out,
+                                   interpret=interpret))
     if "tail_phase" in fast_params:
-        return _tail_pallas(params, fast_params, feat, body_out,
-                            interpret=interpret)
+        return _done(_tail_pallas(params, fast_params, feat, body_out,
+                                  interpret=interpret))
     # NOTE: _tail_folded (exact 4/9-FLOP upsample-conv rewrite) measured
     # SLOWER on v5e than XLA's fused nearest+conv (66.7 -> 78.1 ms tail;
     # scripts/bench_tail.py) — the pixel_shuffle transposes cost more
     # than the saved MACs in XLA; the Pallas phase-tail kernel
     # (fast_params["tail_phase"]) exploits the phase sparsity without
     # any shuffles and is the default when present.
-    return _tail(params, feat, body_out)
+    return _done(_tail(params, feat, body_out))
 
 
 def stack_body(params: Dict) -> Dict:

@@ -334,11 +334,30 @@ def tail2_phase_weights(conv_up1: Dict, conv_up2: Dict, conv_hr: Dict,
 
 
 @functools.lru_cache(maxsize=None)
-def _make_tail2_kernel(s2: int):
+def _make_tail2_kernel(s2: int, out_mode: str = "bf16",
+                       full_range: bool = False):
     """The extended phase-tail kernel body, closed over the block side
     ``s2`` (geometry-parametric: S2 is the tuned image-level default;
     the resident tail3b path runs the same kernel at the BODY geometry
-    S=112 directly on the merge body's blocks — ops/fused_tail3.py)."""
+    S=112 directly on the merge body's blocks — ops/fused_tail3.py).
+
+    ``out_mode`` selects the kernel epilogue:
+      "bf16"      — (nb, 128, px2) bf16 phase-RGB (16 phases x 8 rows).
+      "rgb_u8"    — same layout, but quantized IN-KERNEL to uint8
+                    (floor(clip(y,0,1)*255+0.5)) — the production
+                    contract (the SR jit emits uint8 anyway), at half
+                    the output write traffic and a uint8 downstream
+                    depth-to-space (the round-4 trace's top non-kernel
+                    op at ~13.5 ms/frame was the bf16 d2s ROOT reshape).
+      "yuv420_u8" — three outputs (Y (nb,16,px2), U (nb,4,px2),
+                    V (nb,4,px2)) uint8: BT.601 CSC folded into the
+                    kernel; the 4:2:0 subsample is FREE in phase space
+                    (each half-res chroma sample is the mean of 4 phase
+                    rows at the SAME low-res lane) — replaces the SR
+                    jit's whole-4K XLA CSC + reshape-mean subsample
+                    (processors/super_resolution.py run()) and cuts
+                    kernel output bytes 10.7x vs bf16 phase-RGB.
+    """
     px2 = s2 * s2
 
     def roll(src, dr, dc):
@@ -348,8 +367,16 @@ def _make_tail2_kernel(s2: int):
         return pltpu.roll(src, shift % px2, axis=1)
 
     def kernel(ext_ref, x_ref, wa0_ref, wa_ref, wb_ref, wc_ref,
-               ba0_ref, ba_ref, bb_ref, bc_ref, o_ref, a0_ref, a_ref,
-               b_ref):
+               ba0_ref, ba_ref, bb_ref, bc_ref, *rest):
+        # rest: [wy_ref, by_ref (yuv420_u8 only)], o_ref, a0_ref, a_ref,
+        #       b_ref, [c_ref (u8 modes)]
+        if out_mode == "yuv420_u8":
+            wy_ref, by_ref = rest[0], rest[1]
+            o_ref, a0_ref, a_ref, b_ref, c_ref = rest[2:]
+        elif out_mode == "rgb_u8":
+            o_ref, a0_ref, a_ref, b_ref, c_ref = rest
+        else:
+            o_ref, a0_ref, a_ref, b_ref = rest
         bi = pl.program_id(0)
         r0 = ext_ref[bi, 0]
         r1 = ext_ref[bi, 1]
@@ -424,44 +451,122 @@ def _make_tail2_kernel(s2: int):
                             preferred_element_type=jnp.float32)
                 acc = c if acc is None else acc + c
             out = jnp.where(valid, acc + bc_ref[:], 0.0)
-            o_ref[0, pi * 8:(pi + 1) * 8] = out.astype(jnp.bfloat16)
+            if out_mode == "bf16":
+                o_ref[0, pi * 8:(pi + 1) * 8] = out.astype(jnp.bfloat16)
+            else:
+                c_ref[pi * 8:(pi + 1) * 8] = out   # f32, 8-row aligned
+
+        if out_mode == "rgb_u8":
+            # production quantization (super_resolution.run():
+            # floor(clip(y,0,1)*255+0.5)) folded into the kernel.
+            # Mosaic has no f32->u8 cast: go through int32.
+            cc = jnp.clip(c_ref[:], 0.0, 1.0) * 255.0
+            o_ref[0] = (jnp.floor(cc + 0.5).astype(jnp.int32)
+                        .astype(jnp.uint8))
+        elif out_mode == "yuv420_u8":
+            # everything after the RGB clip is LINEAR (BT.601 matrix,
+            # range scaling, the 4:2:0 mean of 4 phase rows at the same
+            # low-res lane) -> ONE (24,128)x(128,px2) dot. Rows 0:16 Y
+            # per 4K phase P*4+Q, 16:20 U420 per half-res phase
+            # py*2+qx, 20:24 V420. by_ref carries offset+0.5 so floor
+            # rounds exactly like the XLA path.
+            cc = jnp.clip(c_ref[:], 0.0, 1.0)
+            yuv = jnp.dot(wy_ref[:], cc, preferred_element_type=jnp.float32)
+            o_ref[0] = (jnp.clip(jnp.floor(yuv + by_ref[:]), 0.0, 255.0)
+                        .astype(jnp.int32).astype(jnp.uint8))
 
     return kernel
 
 
+@functools.lru_cache(maxsize=None)
+def yuv420_matrix(full_range: bool = False):
+    """(M (24,128), b (24,1)) f32: phase-RGB (clipped to [0,1]) ->
+    [Y x16 phases, U420 x4, V420 x4] in the 0..255 uint8 domain,
+    matching processors/super_resolution.py run()'s BT.601 math
+    bit-closely (coefficients pre-multiplied; bias includes the +0.5
+    rounding offset so floor() == the XLA floor(x+0.5)).
+
+    Returns NUMPY arrays: this function is lru_cached, and a jnp array
+    created during a jit trace is a tracer — caching it leaks it into
+    later traces (UnexpectedTracerError on the second batch size)."""
+    kr, kg, kb = 0.299, 0.587, 0.114
+    fy = 219.0 if not full_range else 255.0
+    fc = 224.0 if not full_range else 255.0
+    m = np.zeros((24, 128), np.float32)
+    b = np.zeros((24, 1), np.float32)
+    ucoef = np.asarray([-kr, -kg, 1.0 - kb], np.float32) / (2.0 * (1.0 - kb))
+    vcoef = np.asarray([1.0 - kr, -kg, -kb], np.float32) / (2.0 * (1.0 - kr))
+    for pi in range(16):
+        m[pi, pi * 8:pi * 8 + 3] = np.asarray([kr, kg, kb], np.float32) * fy
+        b[pi, 0] = (16.5 if not full_range else 0.5)
+    for py in (0, 1):
+        for qx in (0, 1):
+            j = py * 2 + qx
+            for a in (0, 1):
+                for bb_ in (0, 1):
+                    pi = (2 * py + a) * 4 + (2 * qx + bb_)
+                    m[16 + j, pi * 8:pi * 8 + 3] = 0.25 * fc * ucoef
+                    m[20 + j, pi * 8:pi * 8 + 3] = 0.25 * fc * vcoef
+            b[16 + j, 0] = 128.5
+            b[20 + j, 0] = 128.5
+    return m, b
+
+
 def fused_tail2_blocks(blocks: jnp.ndarray, extents: jnp.ndarray,
-                       wts: Dict, interpret: bool = False) -> jnp.ndarray:
-    """blocks: (NB, 64, s2*s2) bf16 at BODY res -> (NB, 128, s2*s2) bf16
-    (16 4K-phases x 8 rows, rows 0-2 of each group = RGB). The block
-    side s2 is inferred from the lane count (square blocks)."""
+                       wts: Dict, interpret: bool = False,
+                       out_mode: str = "bf16",
+                       full_range: bool = False) -> jnp.ndarray:
+    """blocks: (NB, 64, s2*s2) bf16 at BODY res -> phase-form output
+    per ``out_mode`` (see _make_tail2_kernel):
+      bf16      (NB, 128, px2) bf16
+      rgb_u8    (NB, 128, px2) uint8
+      yuv420_u8 (NB, 24, px2) uint8 (rows 0:16 Y, 16:20 U420, 20:24 V)
+    The block side s2 is inferred from the lane count (square blocks)."""
     nb = blocks.shape[0]
     px2 = int(blocks.shape[-1])
     s2 = int(round(px2 ** 0.5))
     assert s2 * s2 == px2, blocks.shape
+    yuv = out_mode == "yuv420_u8"
+    n_extra = 2 if yuv else 0
+    scratch = [
+        pltpu.VMEM((128, px2), jnp.int32),   # A0: 4 x 64ch packed
+        pltpu.VMEM((512, px2), jnp.int32),   # A: 16 x 64ch packed
+        pltpu.VMEM((512, px2), jnp.int32),   # B
+    ]
+    if out_mode != "bf16":
+        scratch.append(pltpu.VMEM((128, px2), jnp.float32))  # C (f32)
+    if yuv:
+        out_shape = jax.ShapeDtypeStruct((nb, 24, px2), jnp.uint8)
+        out_rows = 24
+    elif out_mode == "rgb_u8":
+        out_shape = jax.ShapeDtypeStruct((nb, 128, px2), jnp.uint8)
+        out_rows = 128
+    else:
+        out_shape = jax.ShapeDtypeStruct((nb, 128, px2), jnp.bfloat16)
+        out_rows = 128
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(nb,),
         in_specs=[pl.BlockSpec((1, NF, px2), lambda k, *_: (k, 0, 0),
                                memory_space=pltpu.VMEM)]
-                 + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 8,
-        out_specs=pl.BlockSpec((1, 128, px2), lambda k, *_: (k, 0, 0),
+                 + [pl.BlockSpec(memory_space=pltpu.VMEM)] * (8 + n_extra),
+        out_specs=pl.BlockSpec((1, out_rows, px2), lambda k, *_: (k, 0, 0),
                                memory_space=pltpu.VMEM),
-        scratch_shapes=[
-            pltpu.VMEM((128, px2), jnp.int32),   # A0: 4 x 64ch packed
-            pltpu.VMEM((512, px2), jnp.int32),   # A: 16 x 64ch packed
-            pltpu.VMEM((512, px2), jnp.int32),   # B
-        ],
+        scratch_shapes=scratch,
     )
+    args = [extents, blocks, wts["Wa0"], wts["Wa"], wts["Wb"], wts["Wc"],
+            wts["ba0"], wts["ba"], wts["bb"], wts["bc"]]
+    if yuv:
+        args.extend(jnp.asarray(a) for a in yuv420_matrix(full_range))
     return pl.pallas_call(
-        _make_tail2_kernel(s2),
+        _make_tail2_kernel(s2, out_mode, full_range),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((nb, 128, px2), jnp.bfloat16),
+        out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=int(_os.environ.get("FW_RDB_VMEM_MB", "100"))
             * 1024 * 1024),
         interpret=interpret,
-    )(extents, blocks, wts["Wa0"], wts["Wa"], wts["Wb"], wts["Wc"],
-      wts["ba0"], wts["ba"], wts["bb"], wts["bc"])
+    )(*args)
 
 
 @functools.partial(jax.jit, static_argnames=("h", "w", "interpret"))

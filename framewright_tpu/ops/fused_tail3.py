@@ -117,24 +117,54 @@ def conv_body_skip_blocks(blocks: jnp.ndarray, feat_blocks: jnp.ndarray,
     )(extents, *([blocks] * 9), feat_blocks, wts["Ws"], wts["bs"])
 
 
+def _crop_assemble(out: jnp.ndarray, rows: int, b: int, nh: int, nw: int,
+                   h: int, w: int) -> jnp.ndarray:
+    """Phase blocks (NB, rows, PX) -> channel-major image
+    (B, rows, h, w) via interior crop + block transpose."""
+    out = out.reshape(b, nh, nw, rows, S, S)[
+        :, :, :, :, HALO:S - HALO, HALO:S - HALO]
+    out = out.reshape(b, nh, nw, rows, BH, BH)
+    out = out.transpose(0, 3, 1, 4, 2, 5).reshape(b, rows, nh * BH, nw * BH)
+    return out[:, :, :h, :w]
+
+
+def _d2s(t: jnp.ndarray, f: int, b: int, h: int, w: int) -> jnp.ndarray:
+    """Phase-planar (B, f*f, h, w) -> (B, f*h, f*w), phase index P*f+Q.
+    Two-stage interleave (lanes Q first, then rows P) — measured faster
+    than the single 6-D transpose (scripts/bench_d2s_ctx.py)."""
+    y = t.reshape(b, f, f, h, w).transpose(0, 1, 3, 4, 2)  # (B,P,h,w,Q)
+    y = y.reshape(b, f, h, f * w)
+    return y.transpose(0, 2, 1, 3).reshape(b, f * h, f * w)
+
+
 def tail3_image(out_blocks: jnp.ndarray, feat_blocks: jnp.ndarray,
                 extents: jnp.ndarray, b: int, nh: int, nw: int,
                 h: int, w: int, wts: Dict,
-                interpret: bool = False) -> jnp.ndarray:
-    """Resident blocks -> (B, 4h, 4w, 3) bf16 image.
+                interpret: bool = False, out_mode: str = "bf16",
+                full_range: bool = False):
+    """Resident blocks -> the full-tail output image/planes.
 
     K1 (conv_body+skip) then K2 (phase tail at the body geometry), then
     the interior crop + two-stage depth-to-space (see
-    fused_tail.fused_tail2_image)."""
+    fused_tail.fused_tail2_image). ``out_mode``:
+      bf16      -> (B, 4h, 4w, 3) bf16 RGB
+      rgb_u8    -> (B, 4h, 4w, 3) uint8 RGB (quantized in-kernel)
+      yuv420_u8 -> ((B, 4h, 4w) Y, (B, 2h, 2w) U, (B, 2h, 2w) V) uint8
+                   (BT.601 CSC + 4:2:0 subsample fused into K2 — the
+                   SR jit's whole-4K XLA CSC disappears and the
+                   depth-to-space runs on uint8 planes)"""
     sblk = conv_body_skip_blocks(out_blocks, feat_blocks, extents, wts,
                                  nw, interpret=interpret)
-    out = ft.fused_tail2_blocks(sblk, extents, wts, interpret=interpret)
-    out = out.reshape(b, nh, nw, 128, S, S)[
-        :, :, :, :, HALO:S - HALO, HALO:S - HALO]
-    out = out.reshape(b, nh, nw, 128, BH, BH)
-    out = out.transpose(0, 3, 1, 4, 2, 5).reshape(b, 128, nh * BH, nw * BH)
-    out = out[:, :, :h, :w]
-    t = out.reshape(b, 4, 4, 8, h, w)[:, :, :, :3]   # (B, P, Q, 3, h, w)
+    out = ft.fused_tail2_blocks(sblk, extents, wts, interpret=interpret,
+                                out_mode=out_mode, full_range=full_range)
+    if out_mode == "yuv420_u8":
+        img = _crop_assemble(out, 24, b, nh, nw, h, w)  # (B, 24, h, w)
+        yp = _d2s(img[:, 0:16], 4, b, h, w)             # (B, 4h, 4w)
+        up = _d2s(img[:, 16:20], 2, b, h, w)            # (B, 2h, 2w)
+        vp = _d2s(img[:, 20:24], 2, b, h, w)
+        return yp, up, vp
+    img = _crop_assemble(out, 128, b, nh, nw, h, w)
+    t = img.reshape(b, 4, 4, 8, h, w)[:, :, :, :3]   # (B, P, Q, 3, h, w)
     y = t.transpose(0, 3, 1, 4, 5, 2).reshape(b, 3, 4, h, 4 * w)
     y = y.transpose(0, 1, 3, 2, 4).reshape(b, 3, 4 * h, 4 * w)
     return y.transpose(0, 2, 3, 1)

@@ -216,15 +216,24 @@ class SuperResolution(FrameProcessor):
 
         model_fn_out = None
         if spec.family == "rrdb" and use_fused:
+            import os as _os
+
             from framewright_tpu.models import rrdb
 
+            # FW_INTERPRET=1 runs the SAME fused production program in
+            # the Pallas interpreter (CPU CI coverage of the processor's
+            # fused output path)
+            interp = _os.environ.get("FW_INTERPRET", "") == "1"
+
             def model_fn(t):
-                return rrdb.apply_fast(params, fast, t, spec.arch_config)
+                return rrdb.apply_fast(params, fast, t, spec.arch_config,
+                                       interpret=interp)
 
             def model_fn_out(t, out_mode, full_range):
                 return rrdb.apply_fast(params, fast, t, spec.arch_config,
                                        out_mode=out_mode,
-                                       full_range=full_range)
+                                       full_range=full_range,
+                                       interpret=interp)
         elif spec.family == "srvgg" and use_fused:
             from framewright_tpu.ops import fused_srvgg
 
@@ -247,13 +256,37 @@ class SuperResolution(FrameProcessor):
         # no 4K float intermediates, uint8 depth-to-space, 10.7x less
         # kernel output traffic on the YUV path
         fused_out = (model_fn_out is not None and plan is not None
-                     and not plan.tiled and cap >= 1.0 and not with_stats
+                     and not plan.tiled and cap >= 1.0
                      and not (yuv and self.config.outscale))
         if fused_out:
             from framewright_tpu.ops.tiling import pad_mod
 
             s, u = plan.scale, plan.body_divisor
             mode = "yuv420_u8" if yuv else "rgb_u8"
+
+            def _u8_stats(yf, x):
+                # same gate signals as the float path, computed from the
+                # quantized output (±0.5/255 — irrelevant for gating).
+                # In YUV mode yf is the Y plane, so psnr/ssim are
+                # luma-domain (PSNR-Y, the standard SR reporting metric)
+                from framewright_tpu.models.layers import resize_bicubic
+                from framewright_tpu.ops.metrics import (
+                    psnr_per_frame,
+                    ssim_per_frame,
+                )
+
+                ref = resize_bicubic(x.astype(jnp.float32), yf.shape[1:3])
+                if yf.shape[-1] == 1:   # luma domain
+                    kr, kg, kb = 0.299, 0.587, 0.114
+                    ref = (kr * ref[..., 0] + kg * ref[..., 1]
+                           + kb * ref[..., 2])[..., None]
+                return {
+                    "psnr": psnr_per_frame(yf, ref),
+                    "ssim": ssim_per_frame(yf, ref),
+                    "luma": jnp.mean(yf, axis=(1, 2, 3)) * 255.0,
+                    "std": jnp.std(yf * 255.0, axis=(1, 2, 3)),
+                    "finite": jnp.all(jnp.isfinite(yf), axis=(1, 2, 3)),
+                }
 
             @jax.jit
             def run(x_u8):
@@ -274,11 +307,22 @@ class SuperResolution(FrameProcessor):
                     yp = jnp.concatenate(list(yp), axis=0)
                     up = jnp.concatenate(list(up), axis=0)
                     vp = jnp.concatenate(list(vp), axis=0)
-                    return (yp[:, : h * s, : w * s],
-                            up[:, : h * s // 2, : w * s // 2],
-                            vp[:, : h * s // 2, : w * s // 2])
-                out = jnp.concatenate(chunks, axis=0)
-                return out[:, : h * s, : w * s]
+                    planes = (yp[:, : h * s, : w * s],
+                              up[:, : h * s // 2, : w * s // 2],
+                              vp[:, : h * s // 2, : w * s // 2])
+                    if with_stats:
+                        # dequantize the Y plane back to [0,1] luma
+                        y0, yr = ((16.0, 219.0) if not full_range
+                                  else (0.0, 255.0))
+                        yf = ((planes[0].astype(jnp.float32) - y0)
+                              / yr)[..., None]
+                        return planes, _u8_stats(jnp.clip(yf, 0.0, 1.0), x)
+                    return planes
+                out = jnp.concatenate(chunks, axis=0)[:, : h * s, : w * s]
+                if with_stats:
+                    return out, _u8_stats(
+                        out.astype(jnp.float32) / 255.0, x)
+                return out
 
             self._fn = run
             return

@@ -64,6 +64,111 @@ class TestTail3:
         assert err.max() < 0.05, err.max()
         assert err.mean() < 0.005, err.mean()
 
+    def test_rgb_u8_out_mode_matches_epilogue(self, small_net, monkeypatch):
+        # the in-kernel uint8 quantization must reproduce the SR jit's
+        # production epilogue floor(clip(y,0,1)*255+0.5); f32-accum in
+        # the kernel vs bf16 y in the fallback allows ±1 LSB
+        monkeypatch.setenv("FW_TAIL", "3")
+        cfg, params, fast = small_net
+        x = jnp.asarray(np.random.default_rng(3).random((1, 40, 56, 3)),
+                        jnp.bfloat16)
+        ref = np.asarray(rrdb.apply_fast(params, fast, x, cfg,
+                                         interpret=True), np.float32)
+        want = np.floor(np.clip(ref, 0.0, 1.0) * 255.0 + 0.5)
+        got = np.asarray(rrdb.apply_fast(params, fast, x, cfg,
+                                         interpret=True,
+                                         out_mode="rgb_u8"))
+        assert got.dtype == np.uint8
+        diff = np.abs(got.astype(np.float32) - want)
+        assert diff.max() <= 1.0, diff.max()
+        assert (diff > 0).mean() < 0.02, (diff > 0).mean()
+
+    def test_yuv420_u8_out_mode_matches_epilogue(self, small_net,
+                                                 monkeypatch):
+        # in-kernel BT.601 CSC + 4:2:0 phase-row subsample vs the exact
+        # XLA epilogue (rrdb._out_epilogue == super_resolution run())
+        monkeypatch.setenv("FW_TAIL", "3")
+        cfg, params, fast = small_net
+        x = jnp.asarray(np.random.default_rng(4).random((2, 40, 56, 3)),
+                        jnp.bfloat16)
+        ref = rrdb.apply_fast(params, fast, x, cfg, interpret=True)
+        want = jax.device_get(rrdb._out_epilogue(
+            jnp.asarray(ref), "yuv420_u8", False))
+        got = rrdb.apply_fast(params, fast, x, cfg, interpret=True,
+                              out_mode="yuv420_u8")
+        assert isinstance(got, tuple) and len(got) == 3
+        for g, w, name in zip(got, want, "yuv"):
+            g = np.asarray(g)
+            assert g.shape == w.shape, (name, g.shape, w.shape)
+            assert g.dtype == np.uint8
+            diff = np.abs(g.astype(np.float32) - w.astype(np.float32))
+            assert diff.max() <= 1.0, (name, diff.max())
+            assert (diff > 0).mean() < 0.02, (name, (diff > 0).mean())
+
+    def test_yuv420_retrace_across_batch_sizes(self, small_net,
+                                               monkeypatch):
+        # regression: yuv420_matrix was lru_cached returning jnp arrays;
+        # the first jit trace cached a tracer and the SECOND batch size
+        # died with UnexpectedTracerError (round-5 TPU bench)
+        monkeypatch.setenv("FW_TAIL", "3")
+        cfg, params, fast = small_net
+        fwd = jax.jit(lambda p, fp, t: rrdb.apply_fast(
+            p, fp, t, cfg, interpret=True, out_mode="yuv420_u8"))
+        x1 = jnp.asarray(np.random.default_rng(5).random((1, 40, 56, 3)),
+                         jnp.bfloat16)
+        y1 = fwd(params, fast, x1)
+        x3 = jnp.broadcast_to(x1, (3,) + x1.shape[1:])
+        y3 = fwd(params, fast, x3)          # must not leak a tracer
+        assert np.asarray(y3[0]).shape[0] == 3
+        np.testing.assert_array_equal(np.asarray(y1[0])[0],
+                                      np.asarray(y3[0])[0])
+
+    def test_processor_fused_yuv_stats_path(self, monkeypatch, tmp_path):
+        """The PRODUCTION fused output path through the SuperResolution
+        processor: in-kernel YUV420 epilogue + luma-domain device stats
+        in one program (FW_INTERPRET=1 runs the same program in the
+        Pallas interpreter on CPU)."""
+        monkeypatch.setenv("FW_TAIL", "3")
+        monkeypatch.setenv("FW_INTERPRET", "1")
+        from framewright_tpu.processors.super_resolution import (
+            SRConfig,
+            SuperResolution,
+        )
+
+        sr = SuperResolution(SRConfig(
+            model_name="RealESRGAN_x4plus_anime_6B",
+            compute_dtype="bfloat16", use_fused_kernel=True,
+            sharding="none", device_stats=True, output_color="yuv420",
+            weights_dir=str(tmp_path)))
+        sr.setup(24, 32)
+        assert sr._plan is not None and not sr._plan.tiled
+        frames = np.random.default_rng(0).integers(
+            0, 256, (1, 24, 32, 3), dtype=np.uint8)
+        handle = sr.dispatch(frames)
+        planes = sr.materialize(handle)
+        assert isinstance(planes, tuple) and len(planes) == 3
+        assert planes[0].shape == (1, 96, 128)
+        assert planes[1].shape == planes[2].shape == (1, 48, 64)
+        assert planes[0].dtype == np.uint8
+        stats = handle.get("stats_np")
+        assert stats is not None
+        assert stats["psnr"].shape == (1,)
+        assert np.all(np.isfinite(stats["psnr"]))
+        assert bool(np.all(stats["finite"]))
+
+    def test_out_mode_fallback_without_tail3(self, small_net, monkeypatch):
+        # FW_TAIL=2 bypasses tail3 -> the XLA fallback epilogue must
+        # produce the same contract (uint8 planes)
+        monkeypatch.setenv("FW_TAIL", "2")
+        cfg, params, fast = small_net
+        x = jnp.asarray(np.random.default_rng(6).random((1, 40, 56, 3)),
+                        jnp.bfloat16)
+        got = rrdb.apply_fast(params, fast, x, cfg, interpret=True,
+                              out_mode="yuv420_u8")
+        assert isinstance(got, tuple) and len(got) == 3
+        assert np.asarray(got[0]).shape == (1, 80, 112)
+        assert np.asarray(got[1]).shape == (1, 40, 56)
+
     def test_int8_i32_body_tail3(self, small_net, monkeypatch):
         monkeypatch.setenv("FW_TAIL", "3")
         cfg, params, fast16 = small_net
