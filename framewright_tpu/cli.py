@@ -763,6 +763,8 @@ KNOWN_VERBS = {
     "qa-report", "export-presets", "audio", "wizard", "farm", "subtitles",
     "interpolate", "extend", "extract-frames", "reassemble", "compare",
     "upload", "notify", "completion", "report", "audio-sync", "proxy",
+    # one-word preset verbs (reference cli_simple.py)
+    "quick", "best", "archive",
 }
 
 
@@ -1081,6 +1083,19 @@ def build_parser() -> argparse.ArgumentParser:
     p = sub.add_parser("restore", help="restore a video (default command)")
     _add_restore_args(p)
     p.set_defaults(func=cmd_restore)
+
+    # one-word verbs (reference cli_simple.py:174-760: quick/best/
+    # archive with zero flags): plain `restore` with a pinned preset —
+    # `framewright quick video.y4m` just works
+    for word, preset_name, blurb in (
+        ("quick", "fast", "fast 2x upscale"),
+        ("best", "ultimate", "maximum quality, every stage on"),
+        ("archive", "archive", "film-archive restoration defaults"),
+    ):
+        p = sub.add_parser(word,
+                           help=f"one-word restore ({blurb})")
+        _add_restore_args(p)
+        p.set_defaults(func=cmd_restore, preset=preset_name)
 
     p = sub.add_parser("probe", help="show video metadata")
     p.add_argument("source")

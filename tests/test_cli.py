@@ -75,6 +75,28 @@ class TestRestoreVerbs:
         summary = json.loads(capsys.readouterr().out)
         assert summary["frames"] == 8
 
+    def test_one_word_quick_verb(self, tmp_path, gradient_frame, capsys):
+        """`framewright quick video.y4m` — the reference cli_simple.py
+        zero-flag verbs (quick/best/archive) pin a preset on restore."""
+        src = _clip(tmp_path, gradient_frame)
+        out = tmp_path / "q.y4m"
+        rc = main(["quick", str(src), "-o", str(out),
+                   "--device", "cpu", "--no-validate",
+                   "--project-dir", str(tmp_path / "proj")])
+        assert rc == 0
+        assert out.exists()
+        summary = json.loads(capsys.readouterr().out)
+        assert summary["frames"] == 8
+
+    def test_one_word_verbs_registered(self):
+        from framewright_tpu.cli import KNOWN_VERBS, build_parser
+
+        parser = build_parser()
+        for verb in ("quick", "best", "archive"):
+            assert verb in KNOWN_VERBS
+            args = parser.parse_args([verb, "x.y4m"])
+            assert args.preset in ("fast", "ultimate", "archive")
+
     def test_do_dry_run(self, tmp_path, gradient_frame, capsys):
         src = _clip(tmp_path, gradient_frame)
         rc = main(["do", f"fast 2x upscale of {src}", "--dry-run",
