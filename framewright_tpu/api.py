@@ -103,6 +103,9 @@ Restore with these settings</button>
 </div></fieldset>
 <details><summary>hardware</summary>
 <pre id="hardware">loading...</pre></details>
+<details ontoggle="loadGuide()"><summary>model guide (which model for
+which content)</summary>
+<table id="mguide" style="width:auto"></table></details>
 <table id="jobs"><tr><th>Job</th><th>Source</th><th>State</th>
 <th>Progress</th></tr></table>
 <pre id="joblog" style="display:none;max-height:16rem;overflow:auto;
@@ -133,6 +136,24 @@ async function loadHardware(){
   const r = await fetch('/api/hardware');
   document.getElementById('hardware').textContent =
     JSON.stringify(await r.json(), null, 2);
+}
+// model-selection guide (reference ui.py "AI Model Guide")
+let guideLoaded = false;
+async function loadGuide(){
+  if (guideLoaded) return;
+  guideLoaded = true;
+  const r = await fetch('/api/models');
+  const t = document.getElementById('mguide');
+  const hdr = t.insertRow();
+  for (const h of ['model', 'scale', 'when to use'])
+    hdr.insertCell().textContent = h;
+  for (const [name, d] of Object.entries(await r.json())){
+    if (!d.guide) continue;
+    const row = t.insertRow();
+    row.insertCell().textContent = name;
+    row.insertCell().textContent = d.scale + 'x';
+    row.insertCell().textContent = d.guide;
+  }
 }
 async function analyzeSrc(){
   const r = await fetch('/api/analyze', {method:'POST',
@@ -542,10 +563,14 @@ class APIServer:
                     return self._send(200, {
                         k: v.get("description", "") for k, v in PRESETS.items()})
                 if path == "/api/models":
-                    from framewright_tpu.models.registry import MODEL_SPECS
+                    from framewright_tpu.models.registry import (
+                        MODEL_GUIDE,
+                        MODEL_SPECS,
+                    )
 
                     return self._send(200, {
-                        k: {"scale": s.scale, "family": s.family}
+                        k: {"scale": s.scale, "family": s.family,
+                            "guide": MODEL_GUIDE.get(k, "")}
                         for k, s in MODEL_SPECS.items()})
                 if path == "/api/recipes":
                     from framewright_tpu.recipes import RECIPES

@@ -263,6 +263,15 @@ def cmd_models(args: argparse.Namespace) -> int:
             if args.verbose:
                 print(f"    {spec.url}")
         return 0
+    if action == "guide":
+        # when-to-use guidance (reference ui.py "AI Model Guide")
+        from framewright_tpu.models.registry import MODEL_GUIDE
+
+        for name, spec in sorted(MODEL_SPECS.items()):
+            tip = MODEL_GUIDE.get(name)
+            if tip:
+                print(f"{name:32s} x{spec.scale}  {tip}")
+        return 0
     if action == "port":
         # torch .pth -> cached .npz in the weights dir
         from framewright_tpu.models.registry import get_model
@@ -1107,9 +1116,10 @@ def build_parser() -> argparse.ArgumentParser:
     p = sub.add_parser("presets", help="list presets")
     p.set_defaults(func=cmd_presets)
 
-    p = sub.add_parser("models", help="model zoo: list/port/download/verify")
+    p = sub.add_parser("models",
+                       help="model zoo: list/guide/port/download/verify")
     p.add_argument("action", nargs="?",
-                   choices=["list", "port", "download", "verify"],
+                   choices=["list", "guide", "port", "download", "verify"],
                    default="list")
     p.add_argument("name", nargs="?", default="")
     p.add_argument("--path", default="",

@@ -247,6 +247,48 @@ def get_model(name: str) -> ModelSpec:
     return MODEL_SPECS[name]
 
 
+# When-to-use guidance per model — the dashboard's model guide and
+# `models --guide` (reference ui.py "AI Model Guide" section, ~1963).
+MODEL_GUIDE: Dict[str, str] = {
+    "RealESRGAN_x4plus": "Real footage, 4x: the general-purpose "
+        "restoration default. Pre-1960 film: add grain preservation.",
+    "RealESRGAN_x2plus": "Real footage, 2x: the 1080p->4K headline "
+        "path (fused TPU kernels, int8 mode).",
+    "RealESRGAN_x4plus_anime_6B": "Anime/animation stills, 4x: "
+        "6-block body, crisper lines, ~4x fewer FLOPs.",
+    "realesr-animevideov3": "Anime VIDEO, 4x: the fastest SR (SRVGG "
+        "family, ~22 fps/chip at 1080p); light degradations.",
+    "realesr-general-x4v3": "Mixed/unknown content, 4x: general SRVGG "
+        "with denoise built in.",
+    "FW_fast6_x2": "Speed-first real footage, 2x: in-repo distilled "
+        "6-block RRDB (~14 fps/chip).",
+    "FW_fastvgg_x2": "Speed-first 2x preview/proxy work (in-repo "
+        "trained, ~22 fps/chip).",
+    "FW_fastvgg_x4": "Speed-first 4x (in-repo trained SRVGG).",
+    "HAT_SRx4": "Maximum-detail stills/archival 4x: window-attention "
+        "SR; slowest, highest ceiling with real weights.",
+    "DiffusionSR_x4": "Generative detail for heavily degraded 4x "
+        "content; stochastic — pair with temporal consistency.",
+    "BasicVSR": "Video SR with temporal propagation: best on pans/"
+        "static cameras where neighboring frames carry real detail.",
+    "TVSR_x4": "Transformer video SR, 4x: stronger than BasicVSR on "
+        "complex motion, costlier.",
+    "FW_nafnet_dn": "Learned single-frame denoiser (auto-picked by "
+        "--denoise-method auto on heavy noise).",
+    "CodeFormer": "Face restoration with a fidelity dial "
+        "(--face-fidelity): favors identity over beauty.",
+    "GFPGANv1.4": "Face restoration default: strong on old/blurry "
+        "portraits.",
+    "big-lama": "Inpainting: watermark/logo/subtitle removal masks.",
+    "rife-v4.6": "Frame interpolation / fps doubling; also the flow "
+        "backend for temporal alignment.",
+    "raft-things": "Precision optical flow (--flow-model raft) when "
+        "alignment quality matters more than speed.",
+    "RetinaFace_mnet025": "Face detector feeding the face-restore "
+        "pipeline (auto).",
+}
+
+
 def packaged_weights_dir() -> Path:
     """Directory of trained-in-repo checkpoints shipped with the
     package (the fallback below user weights in init_model)."""

@@ -75,6 +75,15 @@ class TestRestoreVerbs:
         summary = json.loads(capsys.readouterr().out)
         assert summary["frames"] == 8
 
+    def test_models_guide(self, capsys):
+        from framewright_tpu.models.registry import MODEL_GUIDE, MODEL_SPECS
+
+        assert set(MODEL_GUIDE) <= set(MODEL_SPECS)
+        rc = main(["models", "guide"])
+        assert rc == 0
+        out = capsys.readouterr().out
+        assert "realesr-animevideov3" in out and "Anime" in out
+
     def test_one_word_quick_verb(self, tmp_path, gradient_frame, capsys):
         """`framewright quick video.y4m` — the reference cli_simple.py
         zero-flag verbs (quick/best/archive) pin a preset on restore."""
