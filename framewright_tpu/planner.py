@@ -24,13 +24,17 @@ from framewright_tpu.errors import HBMError
 logger = logging.getLogger(__name__)
 
 # Peak live activation bytes per body-resolution pixel per dtype byte.
-# RRDB: measured on v5e with the FUSED Pallas body (block extraction
-# buffers + scan copies + 4K tail feats dominate): a 1080p x2 frame
-# peaks ~5 GB ⇒ ~4000 channel-bytes per body pixel (batch=4 OOMs in
-# ~13.6 GB free, batch=2 fits). The old analytic 470 applied only to
-# the plain conv path and under-counted by ~8x in production.
+# RRDB: round-5 recalibration for the MERGE-RESIDENT body + resident
+# tail3 (round-4's 4000 was measured on the pre-merge path whose
+# per-RDB extraction buffers + 4K tail feats dominated — that peak no
+# longer exists; the resident path keeps ~4 block-layout buffers of
+# 64ch packed words per frame, ~1-1.5 GB at 1080p x2, and B=4 runs on
+# a 16 GB chip without OOM in every round-4/5 bench). The axon plugin
+# exposes no memory_stats, so the constant is bounded empirically:
+# B=4 bf16 fits comfortably; batches past the measured-best are capped
+# by _MEASURED_MAX_BATCH below, not by this estimate.
 _ACT_CHANNELS = {
-    "rrdb": 4000.0,
+    "rrdb": 1200.0,
     "srvgg": 200.0,
     "nafnet": 380.0,
     "restormer": 520.0,
@@ -38,6 +42,16 @@ _ACT_CHANNELS = {
     # HAT: window attention stores qkv + logits per window; ~dim*16
     "hat": 2900.0,
     "default": 512.0,
+}
+
+# Measured-best whole-frame batches (scripts/bench_outmode.py round-5,
+# 1080p x2 on v5e): the batch curve is nearly flat past these (B=4
+# bf16 gains 0.7% over B=3; int8 B=4 is a compiler crash — see
+# _COMPILER_MAX_BATCH) while compile time and OOM risk grow, so the
+# planner stops here rather than chasing its analytic estimate to B=16.
+_MEASURED_MAX_BATCH = {
+    ("rrdb", "bfloat16"): 4,
+    ("rrdb", "int8"): 3,
 }
 
 _DTYPE_BYTES = {"bfloat16": 2, "float32": 4, "int8": 1}
@@ -156,7 +170,8 @@ def plan(
     budget = max(budget, 16 * 2**20)
     u = body_divisor(family, scale)
     max_batch = min(max_batch,
-                    _COMPILER_MAX_BATCH.get((family, dtype), max_batch))
+                    _COMPILER_MAX_BATCH.get((family, dtype), max_batch),
+                    _MEASURED_MAX_BATCH.get((family, dtype), max_batch))
 
     def fits(h: int, w: int, b: int) -> Tuple[bool, int]:
         est = estimate_activation_bytes(family, h, w, scale, dtype, b)

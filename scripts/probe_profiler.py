@@ -2,7 +2,7 @@
 """Per-op device timeline for the full RRDB fast path via jax.profiler
 (works on the axon stack — perfetto JSON parsed by trace_report.py).
 
-Usage: python scripts/probe_profiler.py [bf16|int8] [trace_dir]
+Usage: python scripts/probe_profiler.py [bf16|int8] [trace_dir] [B] [out_mode]
 """
 
 import os
@@ -42,22 +42,31 @@ def main():
         with jax.default_device(cpu):
             fast = rrdb.make_fast_params(jax.device_get(params))
     fast = jax.device_put(fast, jax.devices()[0])
-    x = jnp.asarray(np.random.rand(1, H, W, 3), jnp.bfloat16)
+    b = int(sys.argv[3]) if len(sys.argv) > 3 else 1
+    out_mode = sys.argv[4] if len(sys.argv) > 4 else "bf16"
+    x = jnp.asarray(np.random.rand(b, H, W, 3), jnp.bfloat16)
 
-    f = jax.jit(lambda p, fp, t: rrdb.apply_fast(p, fp, t, cfg))
+    f = jax.jit(lambda p, fp, t: rrdb.apply_fast(p, fp, t, cfg,
+                                                 out_mode=out_mode))
+
+    def sync(t):
+        if isinstance(t, tuple):
+            t = t[0]
+        jax.block_until_ready(t)
+
     y = f(params, fast, x)
-    y.block_until_ready()
+    sync(y)
     t0 = time.time()
     for _ in range(4):
         y = f(params, fast, x)
-    y.block_until_ready()
-    print(f"frame: {(time.time()-t0)/4*1000:.1f} ms")
+    sync(y)
+    print(f"frame: {(time.time()-t0)/4/b*1000:.1f} ms (B={b}, {out_mode})")
 
     os.makedirs(trace_dir, exist_ok=True)
     with jax.profiler.trace(trace_dir, create_perfetto_trace=True):
         for _ in range(2):
             y = f(params, fast, x)
-        y.block_until_ready()
+        sync(y)
     subprocess.run([sys.executable,
                     os.path.join(os.path.dirname(__file__),
                                  "trace_report.py"), trace_dir])

@@ -39,6 +39,17 @@ class TestPlanner:
         with pytest.raises(HBMError):
             plan(8192, 8192, 4, "rrdb", "float32", hbm_free_bytes=1 * 2**20)
 
+    def test_planner_picks_measured_best_batches_on_16gb(self):
+        """VERDICT r4 #4: on a 16 GB chip at 1080p x2 the planner must
+        pick the bench-measured best batch (B=4 bf16 / B=3 int8),
+        whole-frame, no OOM-downshift needed."""
+        p16 = plan(1080, 1920, 2, "rrdb", "bfloat16",
+                   hbm_free_bytes=16 * 2**30)
+        assert not p16.tiled and p16.batch == 4, p16
+        p8 = plan(1080, 1920, 2, "rrdb", "int8",
+                  hbm_free_bytes=16 * 2**30)
+        assert not p8.tiled and p8.batch == 3, p8
+
     def test_int8_rrdb_batch_capped_by_compiler_limit(self):
         """The axon remote compiler crashes on the int8 merge body at
         B>=4 (PERF.md; scripts/probe_compiler_crashes.py): the planner
