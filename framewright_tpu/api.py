@@ -12,12 +12,20 @@ Endpoints:
     GET  /api/presets
     GET  /api/models
     GET  /api/recipes
+    GET  /api/config_schema   grouped full-Config flag schema (settings editor)
     GET  /api/jobs            list
     POST /api/jobs            {"source": ..., "output": ..., "config": {...}}
     GET  /api/jobs/<id>
+    GET  /api/jobs/<id>/log   live per-stage log lines
     DELETE /api/jobs/<id>
     POST /api/analyze         {"source": ...}
-    GET  /                    minimal HTML dashboard
+    POST /api/recommend       guided analyze -> recommendation
+    POST /api/preview         render a preview segment task
+    GET  /api/frame           PNG frame crops (compare slider / gallery)
+    GET  /api/events          SSE job/progress stream
+    GET  /                    HTML dashboard (guided workflow, settings
+                              editor, model guide, live logs, compare
+                              slider + gallery)
 """
 
 from __future__ import annotations

@@ -65,13 +65,20 @@ def main():
                                        int8_scheme="i32")
     fast16, fast8i = jax.device_put((fast16, fast8i), jax.devices()[0])
 
+    import sys
+
+    only = sys.argv[1] if len(sys.argv) > 1 else ""
+    out_mode = sys.argv[2] if len(sys.argv) > 2 else "rgb_u8"
     plan = [("int8", fast8i, "3", (1, 3)),
             ("bf16", fast16, "3", (1, 4))]
+    if only:
+        plan = [p for p in plan if p[0] == only]
     for name, fp, tail, batches in plan:
         os.environ["FW_TAIL"] = tail
         for b in batches:
             x = jnp.asarray(np.random.rand(b, H, W, 3), jnp.bfloat16)
-            f = jax.jit(lambda p, fpp, t: rrdb.apply_fast(p, fpp, t, cfg))
+            f = jax.jit(lambda p, fpp, t: rrdb.apply_fast(
+                p, fpp, t, cfg, out_mode=out_mode))
             try:
                 dt = timeit(f, params_s, fp, x) / b
                 print(f"S={fused_rrdb.S} {name} B={b} tail{tail}: "
