@@ -68,6 +68,8 @@ class TemporalDenoiser:
         self._align_fn = None
         self._naf_fn = None
         self._naf_params = None
+        self._mesh = None
+        self._batch = 1          # setup() raises it to the mesh size
         self.result = TemporalDenoiseResult()
 
     # ------------------------------------------------------------------
