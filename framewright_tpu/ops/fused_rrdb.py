@@ -1158,12 +1158,48 @@ def _block_extents(h: int, w: int, nh: int, nw: int) -> np.ndarray:
     return np.asarray(extents, np.int32)
 
 
+def _blocks_from_interiors(inter: jnp.ndarray) -> jnp.ndarray:
+    """Interior grid (b, nh, nw, NF, BH, BH) -> halo blocks
+    (b*nh*nw, NF, S, S): each block's HALO ring is filled from its
+    neighbors' interiors (zeros outside the grid). Three big
+    pad/concat ops instead of nh*nw overlapping window slices."""
+    b, nh, nw = inter.shape[:3]
+    ip = jnp.pad(inter, ((0, 0), (1, 1), (1, 1), (0, 0), (0, 0), (0, 0)))
+    # columns first: (b, nh+2, nw, NF, BH, S)
+    cols = jnp.concatenate([
+        ip[:, :, :-2, :, :, BH - HALO:],
+        ip[:, :, 1:-1],
+        ip[:, :, 2:, :, :, :HALO],
+    ], axis=-1)
+    # then rows: (b, nh, nw, NF, S, S)
+    wins = jnp.concatenate([
+        cols[:, :-2, :, :, BH - HALO:, :],
+        cols[:, 1:-1],
+        cols[:, 2:, :, :, :HALO, :],
+    ], axis=-2)
+    return wins.reshape(b * nh * nw, NF, S, S)
+
+
 def extract_blocks(feat_cm: jnp.ndarray, h: int, w: int) -> jnp.ndarray:
     """Channel-major image (B, 64, h, w) -> halo blocks (B*nh*nw, 64, S, S).
 
     Zero padding supplies both the frame-border halo ring and the
     grid-alignment slack (both outside the frame, where SAME convs see
-    zeros)."""
+    zeros). Implemented as interior tiling + the same neighbor-concat
+    ring construction as halo_refresh_xla — the round-5 device trace
+    showed the old per-window ``lax.slice`` loop (nh*nw overlapping
+    copies) cost ~10 ms/frame of pure copy time at 1080p."""
+    b = feat_cm.shape[0]
+    nh, nw = _grid_dims(h, w)
+    hp, wp = nh * BH, nw * BH
+    x = jnp.pad(feat_cm, ((0, 0), (0, 0), (0, hp - h), (0, wp - w)))
+    inter = x.reshape(b, NF, nh, BH, nw, BH).transpose(0, 2, 4, 1, 3, 5)
+    return _blocks_from_interiors(inter)
+
+
+def extract_blocks_slices(feat_cm: jnp.ndarray, h: int, w: int) -> jnp.ndarray:
+    """The original per-window slice extraction (kept as the
+    bit-match oracle for extract_blocks and for A/B benching)."""
     b = feat_cm.shape[0]
     nh, nw = _grid_dims(h, w)
     hp, wp = nh * BH, nw * BH
@@ -1202,20 +1238,7 @@ def halo_refresh_xla(blocks: jnp.ndarray, b: int, nh: int, nw: int) -> jnp.ndarr
     """
     x = blocks.reshape(b, nh, nw, NF, S, S)
     inter = x[:, :, :, :, HALO:S - HALO, HALO:S - HALO]
-    ip = jnp.pad(inter, ((0, 0), (1, 1), (1, 1), (0, 0), (0, 0), (0, 0)))
-    # columns first: (b, nh+2, nw, NF, BH, S)
-    cols = jnp.concatenate([
-        ip[:, :, :-2, :, :, BH - HALO:],
-        ip[:, :, 1:-1],
-        ip[:, :, 2:, :, :, :HALO],
-    ], axis=-1)
-    # then rows: (b, nh, nw, NF, S, S)
-    wins = jnp.concatenate([
-        cols[:, :-2, :, :, BH - HALO:, :],
-        cols[:, 1:-1],
-        cols[:, 2:, :, :, :HALO, :],
-    ], axis=-2)
-    return wins.reshape(b * nh * nw, NF, S, S)
+    return _blocks_from_interiors(inter)
 
 
 def halo_refresh(blocks: jnp.ndarray, b: int, nh: int, nw: int) -> jnp.ndarray:
