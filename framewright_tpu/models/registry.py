@@ -154,12 +154,16 @@ _register(ModelSpec(
 ))
 _register(ModelSpec(
     name="DiffusionSR_x4", family="diffusion", scale=4,
-    # steps=2: the in-repo checkpoint (weights/DiffusionSR_x4.npz) is
-    # x0-pretrained (train_diffusion) then fine-tuned END-TO-END through
-    # the 2-step DDIM unroll (finetune_sampler); measured +0.58..+0.73 dB
-    # over bicubic across 4 held-out synthetic eval seeds.
+    # steps=1: the in-repo checkpoint (weights/DiffusionSR_x4.npz) is
+    # x0-pretrained (train_diffusion), fine-tuned through the 2-step
+    # DDIM unroll (v3), then DISTILLED to a 1-step sampler (round-5
+    # scripts/train_diffusion_v4.py — consistency-distillation family:
+    # fine-tuned through the steps=1 unroll so the composed net becomes
+    # a noise-invariant regressor conditioned on the bicubic upsample).
+    # Measured +0.63..+0.90 dB over bicubic across 4 held-out synthetic
+    # eval seeds (min-margin 0.650 vs the 2-step checkpoint's 0.438).
     arch_config=dataclasses.replace(diffusion_sr.DiffusionSRConfig(),
-                                    steps=2),
+                                    steps=1),
     apply_fn=diffusion_sr.apply, init_fn=diffusion_sr.init,
     port_fn=None,  # no portable released pixel-space checkpoint; see
                    # models/diffusion_sr.py docstring
