@@ -1185,21 +1185,13 @@ def extract_blocks(feat_cm: jnp.ndarray, h: int, w: int) -> jnp.ndarray:
 
     Zero padding supplies both the frame-border halo ring and the
     grid-alignment slack (both outside the frame, where SAME convs see
-    zeros). Implemented as interior tiling + the same neighbor-concat
-    ring construction as halo_refresh_xla — the round-5 device trace
-    showed the old per-window ``lax.slice`` loop (nh*nw overlapping
-    copies) cost ~10 ms/frame of pure copy time at 1080p."""
-    b = feat_cm.shape[0]
-    nh, nw = _grid_dims(h, w)
-    hp, wp = nh * BH, nw * BH
-    x = jnp.pad(feat_cm, ((0, 0), (0, 0), (0, hp - h), (0, wp - w)))
-    inter = x.reshape(b, NF, nh, BH, nw, BH).transpose(0, 2, 4, 1, 3, 5)
-    return _blocks_from_interiors(inter)
-
-
-def extract_blocks_slices(feat_cm: jnp.ndarray, h: int, w: int) -> jnp.ndarray:
-    """The original per-window slice extraction (kept as the
-    bit-match oracle for extract_blocks and for A/B benching)."""
+    zeros). Per-window overlapping ``lax.slice`` loop — measured FASTER
+    than the interior-tiling + neighbor-concat alternative
+    (extract_blocks_concat): at the production 540p body geometry the
+    slice loop is ~1.7 ms vs ~4.8 ms, because the concat route's 6-D
+    interior transpose (channel axis moved inward) costs more than the
+    window copies save (same-process A/B scripts/bench_extract_ab.py:
+    int8 B=3 apply_fast 142.9 vs 145.0 ms/frame)."""
     b = feat_cm.shape[0]
     nh, nw = _grid_dims(h, w)
     hp, wp = nh * BH, nw * BH
@@ -1211,6 +1203,19 @@ def extract_blocks_slices(feat_cm: jnp.ndarray, h: int, w: int) -> jnp.ndarray:
             windows.append(jax.lax.slice(
                 x, (0, 0, i * BH, j * BH), (b, NF, i * BH + S, j * BH + S)))
     return jnp.stack(windows, axis=1).reshape(b * nh * nw, NF, S, S)
+
+
+def extract_blocks_concat(feat_cm: jnp.ndarray, h: int, w: int) -> jnp.ndarray:
+    """Interior tiling + the same neighbor-concat ring construction as
+    halo_refresh_xla. Bit-matches extract_blocks (tests) but measured
+    slower in context (see extract_blocks docstring) — kept as the
+    bit-match cross-check and a record of the negative result."""
+    b = feat_cm.shape[0]
+    nh, nw = _grid_dims(h, w)
+    hp, wp = nh * BH, nw * BH
+    x = jnp.pad(feat_cm, ((0, 0), (0, 0), (0, hp - h), (0, wp - w)))
+    inter = x.reshape(b, NF, nh, BH, nw, BH).transpose(0, 2, 4, 1, 3, 5)
+    return _blocks_from_interiors(inter)
 
 
 def assemble_blocks(blocks: jnp.ndarray, b: int, h: int, w: int) -> jnp.ndarray:

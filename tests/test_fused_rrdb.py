@@ -280,17 +280,17 @@ class TestResidentBody:
         np.testing.assert_array_equal(
             np.asarray(refreshed, np.float32), np.asarray(blocks, np.float32))
 
-    def test_extract_blocks_matches_slice_oracle(self):
-        # the concat-based extraction (round-5, one pad/transpose plus
-        # three concats) must bit-match the original per-window slice
+    def test_extract_blocks_concat_matches_default(self):
+        # the concat-based extraction (round-5 negative result, kept as
+        # a cross-check) must bit-match the default per-window slice
         # extraction, including frame-border zeros and grid slack
         for b, h, w in [(1, 70, 90), (2, 96, 96), (1, 54, 131)]:
             rng = np.random.default_rng(h + w)
             img = jnp.asarray(
                 rng.standard_normal((b, fused_rrdb.NF, h, w))
                 .astype(np.float32)).astype(jnp.bfloat16)
-            got = np.asarray(fused_rrdb.extract_blocks(img, h, w))
-            want = np.asarray(fused_rrdb.extract_blocks_slices(img, h, w))
+            got = np.asarray(fused_rrdb.extract_blocks_concat(img, h, w))
+            want = np.asarray(fused_rrdb.extract_blocks(img, h, w))
             np.testing.assert_array_equal(got, want)
 
     def test_extract_assemble_roundtrip(self):
