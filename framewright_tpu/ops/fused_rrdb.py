@@ -869,9 +869,16 @@ def fused_rdb_blocks_merge_int8_i32(blocks: jnp.ndarray,
                                     extents: jnp.ndarray, wide: Dict,
                                     nw: int,
                                     interpret: bool = False,
-                                    carry: jnp.ndarray = None) -> jnp.ndarray:
-    """Merge-body sweep with the int32-accumulation int8 kernel."""
+                                    carry: jnp.ndarray = None,
+                                    neighbors: jnp.ndarray = None
+                                    ) -> jnp.ndarray:
+    """Merge-body sweep with the int32-accumulation int8 kernel.
+
+    ``neighbors`` feeds the 8 ring-source views from a DIFFERENT array
+    (wrong semantics — diagnostic only, scripts/probe_dup_operands.py:
+    isolates XLA duplicate-operand buffer copies)."""
     nb = blocks.shape[0]
+    nbr = blocks if neighbors is None else neighbors
     res = carry is not None
     kernel = (_rdb_kernel_int8_i32_merge_res if res
               else _rdb_kernel_int8_i32_merge)
@@ -902,7 +909,7 @@ def fused_rdb_blocks_merge_int8_i32(blocks: jnp.ndarray,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=VMEM_LIMIT),
         interpret=interpret,
-    )(extents, wide["act_q"], *([blocks] * 9), *extra_args, wide["Wx"],
+    )(extents, wide["act_q"], blocks, *([nbr] * 8), *extra_args, wide["Wx"],
       wide["W1"], wide["W2"], wide["W3"], wide["W4"], wide["oscale"],
       wide["obias"])
 
