@@ -305,6 +305,7 @@ def init_model(
     dtype=jnp.float32,
     allow_random: bool = True,
     seed: int = 0,
+    device: bool = True,
 ) -> Tuple[ModelSpec, Dict]:
     """Resolve weights for a registered model.
 
@@ -372,4 +373,11 @@ def init_model(
     nd = np.dtype(dtype)
     params = jax.tree_util.tree_map(
         lambda p: np.asarray(p).astype(nd, copy=False), params)
+    if not device:
+        # host numpy params: callers that derive weight transforms
+        # (wide/fused forms, body stacking) do them host-side and ship
+        # ONE device_put — on the axon tunnel, per-leaf D2H round
+        # trips during those transforms measured ~314 s of SR setup
+        # (scripts/probe_e2e_warm.py, 2026-08-19)
+        return spec, params
     return spec, jax.device_put(params)

@@ -80,6 +80,21 @@ class SuperResolution(FrameProcessor):
         self._int8_calibrate = False
 
     # ------------------------------------------------------------------
+    @staticmethod
+    def _host_ctx():
+        """Context manager placing jax ops on the host CPU backend
+        (weight transforms stay off the device/tunnel); null context
+        when no CPU backend exists."""
+        import contextlib
+
+        import jax
+
+        try:
+            cpu = jax.local_devices(backend="cpu")[0]
+        except RuntimeError:
+            return contextlib.nullcontext()
+        return jax.default_device(cpu)
+
     def setup(self, height: int, width: int) -> None:
         import jax
         import jax.numpy as jnp
@@ -93,11 +108,16 @@ class SuperResolution(FrameProcessor):
         # infrastructure/gpu/backends/tensorrt.py:110-455)
         dtype = {"bfloat16": jnp.bfloat16, "float32": jnp.float32,
                  "int8": jnp.bfloat16}.get(cfg.compute_dtype, jnp.bfloat16)
+        # host numpy params: the wide/fused weight transforms below are
+        # pure host work; doing them on device arrays costs one tunnel
+        # D2H round trip PER WEIGHT on the axon stack (~314 s of setup,
+        # scripts/probe_e2e_warm.py) — prep on host, ship ONE device_put
         spec, params = init_model(
             cfg.model_name,
             weights_dir=cfg.weights_dir,
             dtype=dtype,
             allow_random=cfg.allow_random_weights,
+            device=False,
         )
         if spec.family == "diffusion" and (cfg.diffusion_steps
                                            or cfg.diffusion_strength):
@@ -123,6 +143,7 @@ class SuperResolution(FrameProcessor):
             # use_fused_kernel=True (int8 mode needs it).
             use_fused = on_tpu and spec.family == "rrdb"
 
+        host_ctx = self._host_ctx()
         if spec.family == "srvgg" and use_fused:
             from framewright_tpu.ops import fused_srvgg
 
@@ -131,8 +152,9 @@ class SuperResolution(FrameProcessor):
                 self._int8_calibrate = True
                 self._fast_params = None
             else:
-                self._fast_params = fused_srvgg.make_fast_params(
-                    params, spec.arch_config)
+                with host_ctx:
+                    self._fast_params = fused_srvgg.make_fast_params(
+                        params, spec.arch_config)
         if spec.family == "rrdb":
             from framewright_tpu.models import rrdb
 
@@ -146,9 +168,15 @@ class SuperResolution(FrameProcessor):
                     self._int8_calibrate = True
                     self._fast_params = None
                 else:
-                    self._fast_params = rrdb.make_fast_params(
-                        params, compute_dtype="int8" if int8 else "bf16")
-            params = rrdb.stack_body(params)
+                    with host_ctx:
+                        self._fast_params = rrdb.make_fast_params(
+                            params, compute_dtype="int8" if int8 else "bf16")
+            with host_ctx:
+                params = rrdb.stack_body(params)
+        # host copy kept for later weight re-transforms (int8
+        # calibration rebuilds fast params from it without pulling the
+        # device copies back through the tunnel)
+        self._host_params = params
         self._params = params
 
         overlap = cfg.tile_overlap or tiling.receptive_overlap(spec.family)
@@ -187,6 +215,13 @@ class SuperResolution(FrameProcessor):
             logger.info("SR sharded over %d devices (%s)",
                         len(self._mesh.devices.flat),
                         "frames x space" if self._spatial else "frames axis")
+        else:
+            # single-device: one bulk transfer of the host-prepped
+            # params (weights were kept off the device until now)
+            self._params = jax.device_put(self._params, jax.devices()[0])
+            if self._fast_params is not None:
+                self._fast_params = jax.device_put(
+                    self._fast_params, jax.devices()[0])
         self._jit_dtype = dtype
         self._jit_fused = use_fused
         if cfg.output_color == "yuv420" and cfg.outscale:
@@ -422,25 +457,36 @@ class SuperResolution(FrameProcessor):
         r0, c0 = (h - ch) // 2, (w - cw) // 2
         sample = jnp.asarray(
             x_u8[:1, r0:r0 + ch, c0:c0 + cw].astype(np.float32) / 255.0)
+        # activation ranges come from ONE instrumented device pass
+        # (self._params, jit); the weight re-transform runs on the host
+        # copy — per-weight D2H through the tunnel measured ~5 min
+        # (scripts/probe_e2e_warm.py)
+        host = getattr(self, "_host_params", None)
+        host = host if host is not None else self._params
         if self._spec.family == "srvgg":
             from framewright_tpu.ops import fused_srvgg
 
             amax = np.asarray(fused_srvgg.calibrate_act_scales(
                 self._params, self._spec.arch_config, sample,
                 margin=cfg.int8_calib_margin))
-            self._fast_params = fused_srvgg.make_fast_params_int8(
-                self._params, self._spec.arch_config, amax)
+            with self._host_ctx():
+                self._fast_params = fused_srvgg.make_fast_params_int8(
+                    host, self._spec.arch_config, amax)
         else:
             amax = np.asarray(rrdb.calibrate_act_scales(
                 self._params, self._spec.arch_config, sample,
                 margin=cfg.int8_calib_margin))
-            self._fast_params = rrdb.make_fast_params(
-                self._params, compute_dtype="int8", act_amax=amax)
+            with self._host_ctx():
+                self._fast_params = rrdb.make_fast_params(
+                    host, compute_dtype="int8", act_amax=amax)
         if self._mesh is not None:
             from framewright_tpu.parallel.mesh import replicate
 
             self._fast_params = jax.device_put(
                 self._fast_params, replicate(self._mesh))
+        else:
+            self._fast_params = jax.device_put(
+                self._fast_params, jax.devices()[0])
         self._int8_calibrate = False
         self._compile(self._jit_dtype, True)
         logger.info("int8 static scales calibrated (margin %.2f)",
